@@ -1,0 +1,129 @@
+"""Brute-force filtered kNN vs NumPy ground truth (search_service.py:112-153)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vector_database_api_spark.operators.knn import knn_brute_force
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("library_id", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def _data(spark, n=50, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [
+        (
+            f"c{i:03d}",
+            "libA" if i % 2 == 0 else "libB",
+            [float(x) for x in vecs[i]],
+            {"topic": "ml" if i % 3 == 0 else "db"},
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, SCHEMA), vecs
+
+
+def _query_df(spark, vec):
+    return spark.createDataFrame(
+        [Row(query_embedding=[float(x) for x in vec])],
+        StructType([StructField("query_embedding", ArrayType(FloatType()))]),
+    )
+
+
+def _numpy_topk(vecs, q, mask, k):
+    v = vecs.astype(np.float64)
+    qd = q.astype(np.float64)
+    sims = v @ qd / (np.linalg.norm(v, axis=1) * np.linalg.norm(qd))
+    order = sorted(
+        (i for i in range(len(v)) if mask[i]), key=lambda i: (-sims[i], f"c{i:03d}")
+    )
+    return [f"c{i:03d}" for i in order[:k]]
+
+
+def test_knn_matches_numpy(spark):
+    df, vecs = _data(spark)
+    q = vecs[0]
+    got = [
+        r["id"] for r in knn_brute_force(df, _query_df(spark, q), k=10).collect()
+    ]
+    assert got == _numpy_topk(vecs, q, [True] * len(vecs), 10)
+
+
+def test_filter_then_search(spark):
+    """Metadata filter applies BEFORE top-k: k results are k filtered results."""
+    df, vecs = _data(spark)
+    q = vecs[1]
+    got = [
+        r["id"]
+        for r in knn_brute_force(
+            df,
+            _query_df(spark, q),
+            k=5,
+            library_id="libA",
+            metadata_filters={"topic": "ml"},
+        ).collect()
+    ]
+    mask = [i % 2 == 0 and i % 3 == 0 for i in range(len(vecs))]
+    assert got == _numpy_topk(vecs, q, mask, 5)
+    assert len(got) == 5
+
+
+def test_fewer_than_k_results_allowed(spark):
+    df, _ = _data(spark, n=6)
+    q = np.ones(8, dtype=np.float32)
+    got = knn_brute_force(
+        df, _query_df(spark, q), k=100, library_id="libA"
+    ).collect()
+    assert len(got) == 3  # only 3 libA rows exist
+
+
+def test_null_embeddings_excluded(spark):
+    rows = [
+        ("a", "lib", [1.0, 0.0], {}),
+        ("b", "lib", None, {}),
+        ("c", "lib", [0.9, 0.1], {}),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        r["id"]
+        for r in knn_brute_force(
+            df, _query_df(spark, np.array([1.0, 0.0])), k=10
+        ).collect()
+    ]
+    assert got == ["a", "c"]
+
+
+def test_tie_break_deterministic(spark):
+    """Duplicate vectors: ties broken by id ascending (reference relies on
+    dict order — we make it total, SURVEY §2.7 T1)."""
+    rows = [
+        ("z9", "lib", [1.0, 0.0], {}),
+        ("a1", "lib", [1.0, 0.0], {}),
+        ("m5", "lib", [1.0, 0.0], {}),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        r["id"]
+        for r in knn_brute_force(
+            df, _query_df(spark, np.array([1.0, 0.0])), k=3
+        ).collect()
+    ]
+    assert got == ["a1", "m5", "z9"]

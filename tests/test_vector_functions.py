@@ -1,0 +1,70 @@
+"""Vector scalar functions vs NumPy ground truth.
+
+Covers the reference edge cases: zero-norm cosine -> exactly 0.0
+(embedding.py:82-84), zero-vector normalize unchanged (embedding.py:111-112).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+from vector_database_api_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    normalize_vector,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("a", ArrayType(FloatType())),
+        StructField("b", ArrayType(FloatType())),
+    ]
+)
+
+
+def _eval(spark, a, b):
+    df = spark.createDataFrame([(a, b)], SCHEMA)
+    row = df.select(
+        dot_product("a", "b").alias("dot"),
+        cosine_similarity("a", "b").alias("cos"),
+        euclidean_distance("a", "b").alias("euc"),
+    ).collect()[0]
+    return row["dot"], row["cos"], row["euc"]
+
+
+def test_against_numpy(spark):
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        a = rng.normal(size=16).astype(np.float32)
+        b = rng.normal(size=16).astype(np.float32)
+        dot, cos, euc = _eval(spark, [float(x) for x in a], [float(x) for x in b])
+        ad, bd = a.astype(np.float64), b.astype(np.float64)
+        assert dot == pytest.approx(float(ad @ bd), rel=1e-12)
+        assert cos == pytest.approx(
+            float(ad @ bd / (np.linalg.norm(ad) * np.linalg.norm(bd))), rel=1e-12
+        )
+        assert euc == pytest.approx(float(np.linalg.norm(ad - bd)), rel=1e-12)
+
+
+def test_zero_norm_cosine_is_exactly_zero(spark):
+    zero = [0.0] * 4
+    other = [1.0, 2.0, 3.0, 4.0]
+    _, cos, _ = _eval(spark, zero, other)
+    assert cos == 0.0 and not math.isnan(cos)
+    _, cos2, _ = _eval(spark, zero, zero)
+    assert cos2 == 0.0
+
+
+def test_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [0.0, 0.0])], SCHEMA)
+    row = df.select(
+        normalize_vector("a").alias("na"), normalize_vector("b").alias("nb")
+    ).collect()[0]
+    assert row["na"] == pytest.approx([0.6, 0.8])
+    assert row["nb"] == [0.0, 0.0]  # zero vector returned unchanged

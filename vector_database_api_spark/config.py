@@ -1,0 +1,39 @@
+"""Engine defaults mirroring the reference configuration.
+
+Reference: ``/root/reference/app/config.py`` — LSH ``num_tables=8`` /
+``hash_length=12`` (config.py:29-30), IVF ``nlist=100`` / ``nprobe=5``
+(config.py:31-32), ``default_k=5`` / ``max_k=100`` (config.py:35-36,62-68),
+embedding dim 1024 (config.py:20).  Our test fixtures use 64-d embeddings
+(driver ``embeddings`` table), so the dim is a parameter, not a constant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # LSH (sign random projection — cosine family)
+    lsh_num_tables: int = 8
+    lsh_hash_length: int = 12
+    # IVF (inverted file over k-means)
+    ivf_nlist: int = 100
+    ivf_nprobe: int = 5
+    ivf_kmeans_max_iter: int = 10
+    # search
+    default_k: int = 5
+    max_k: int = 100
+    # embeddings
+    embedding_dim: int = 64
+    # determinism (the reference is unseeded — indexes.py:70,240; we fix seeds)
+    seed: int = 42
+
+    def clamp_k(self, k: int | None) -> int:
+        """k<=0 or None -> default; k>max -> max (reference config.py:62-68)."""
+        if k is None or k <= 0:
+            return self.default_k
+        return min(k, self.max_k)
+
+
+DEFAULT_CONFIG = EngineConfig()

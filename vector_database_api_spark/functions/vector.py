@@ -1,0 +1,77 @@
+"""Vector scalar functions as JVM-side column expressions.
+
+Reference semantics: ``/root/reference/app/utils/embedding.py:66-140`` —
+``cosine_similarity`` (zero-norm -> exactly 0.0, embedding.py:82-84),
+``euclidean_distance``, ``dot_product``, ``normalize_vector`` (zero vector
+returned unchanged, embedding.py:111-112).
+
+Implementation notes (scale + oracle parity):
+
+- All of these are SQL higher-order functions (``zip_with`` + ``aggregate``)
+  so they run inside whole-stage codegen on the JVM — no Python in the hot
+  path, vectorized by Tungsten, usable in any filter/join/sort expression
+  that Catalyst can push around.
+- Accumulation is sequential left-to-right with a DOUBLE accumulator and
+  per-element casts.  The DuckDB oracle fragments in
+  ``vector_database_api_spark.functions.oracle`` use the *same* operation
+  order and precision (``list_zip``/``list_transform``/``list_reduce`` with
+  DOUBLE casts), making results bit-identical between Spark and DuckDB —
+  which keeps top-k ordering stable across both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Sum a_i * b_i (reference embedding.py:98-104)."""
+    a, b = _col(a), _col(b)
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def norm2(a: ColumnOrName) -> Column:
+    """Squared L2 norm — building block shared by cosine/normalize."""
+    a = _col(a)
+    squares = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.aggregate(squares, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """dot/(|a||b|); exactly 0.0 when either norm is zero
+    (reference embedding.py:69-85)."""
+    a, b = _col(a), _col(b)
+    na2, nb2 = norm2(a), norm2(b)
+    return F.when(
+        (na2 == F.lit(0.0)) | (nb2 == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(dot_product(a, b) / (F.sqrt(na2) * F.sqrt(nb2)))
+
+
+def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """L2 distance (reference embedding.py:87-96)."""
+    a, b = _col(a), _col(b)
+    diffs2 = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.sqrt(F.aggregate(diffs2, F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def normalize_vector(a: ColumnOrName) -> Column:
+    """a/|a|, zero vector unchanged (reference embedding.py:106-113).
+    Returns ARRAY<DOUBLE>."""
+    a = _col(a)
+    n2 = norm2(a)
+    return F.when(n2 == F.lit(0.0), F.transform(a, lambda x: x.cast("double"))).otherwise(
+        F.transform(a, lambda x: x.cast("double") / F.sqrt(n2))
+    )

@@ -1,0 +1,75 @@
+"""Brute-force filtered kNN top-k — the reference's ``_fallback_search``.
+
+Reference: ``/root/reference/app/services/search_service.py:112-153`` —
+score every embedded chunk against the query vector (cosine), sort
+descending, slice k.  Filter-then-search semantics (search_service.py:103-105,
+135-145): metadata filters are applied BEFORE scoring/top-k, so the k results
+are k *filtered* results (possibly fewer).
+
+Spark shape:
+
+- the query vector arrives as a one-row DataFrame broadcast into a cross
+  join (no shuffle of the big side — each partition scores its rows against
+  the broadcast copy);
+- scoring is the JVM-side HOF expression from ``functions.vector``;
+- ``ORDER BY score DESC, id LIMIT k`` is planned by Catalyst as
+  ``TakeOrderedAndProject``: a per-partition top-k heap + single merge on the
+  driver — O(n) per partition, no global sort, no full shuffle.  This beats
+  the reference's full `sort()[:k]` asymptotically and is the shape that
+  survives 100 TB (each of 1000 executors returns only k rows).
+- ties broken by id: the reference relies on Python sort stability over dict
+  order (nondeterministic across runs, SURVEY §2.7 T1); we make ordering
+  total and deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.functions.vector import (
+    cosine_similarity,
+    euclidean_distance,
+)
+from vector_database_api_spark.operators.filters import (
+    apply_metadata_filters,
+    library_scope,
+)
+
+
+def knn_brute_force(
+    chunks: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    metric: str = "cosine",
+    library_id: str | None = None,
+    metadata_filters: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Top-k rows of ``chunks`` nearest to the single row of ``query``.
+
+    ``query`` must have exactly one row holding ``query_vec_col``; it is
+    broadcast, so the big side never shuffles.  Returns the chunk id plus
+    ``similarity`` and ``distance`` columns (reference SearchResult shape,
+    models.py:123-128).
+    """
+    scoped = library_scope(chunks, library_id)
+    scoped = apply_metadata_filters(scoped, metadata_filters)
+    scoped = scoped.filter(F.col(vec_col).isNotNull())
+
+    scored = scoped.crossJoin(F.broadcast(query.select(query_vec_col)))
+    sim = cosine_similarity(vec_col, query_vec_col).alias("similarity")
+    dist = euclidean_distance(vec_col, query_vec_col).alias("distance")
+    scored = scored.select(F.col(id_col), sim, dist)
+
+    if metric == "cosine":
+        ordered = scored.orderBy(F.desc("similarity"), F.col(id_col))
+    elif metric == "euclidean":
+        ordered = scored.orderBy(F.asc("distance"), F.col(id_col))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return ordered.limit(k)

@@ -1,0 +1,580 @@
+"""Oracle-checked query registry.
+
+Every entry pairs a Spark DataFrame program with the equivalent DuckDB SQL
+(run by the driver side-by-side at sf0.01; row-count + schema + value-hash
+compared).  Column names/aliases are kept identical on both sides; floating
+aggregates are rounded identically on both sides; vector math uses the
+bit-exact fragment pairs from ``functions.vector`` / ``functions.oracle``.
+
+Each query's docstring cites the reference behavior it re-expresses
+(SURVEY.md §2 inventory ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_api_spark.functions.oracle import (
+    duck_cosine,
+    duck_dot,
+    duck_euclidean,
+)
+from vector_database_api_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+)
+from vector_database_api_spark.operators.knn import knn_brute_force
+from vector_database_api_spark.sources.tables import chunks_table, load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Flagship: filtered brute-force kNN (reference _fallback_search,
+# search_service.py:112-153; scoring V1/V2; top-k T1)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id,
+         {duck_cosine('e.embedding', 'q.query_embedding')} AS similarity,
+         {duck_euclidean('e.embedding', 'q.query_embedding')} AS distance
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id, q
+)
+SELECT id, similarity, distance FROM scored
+ORDER BY similarity DESC, id LIMIT 10
+"""
+
+
+@register("knn_cosine_topk", _KNN_ORACLE)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over the chunks table for query vector
+    vec_id=0 (reference search_service.py:112-153)."""
+    chunks = chunks_table(spark, sf_dir)
+    query = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    return knn_brute_force(chunks, query, k=10, metric="cosine")
+
+
+_KNN_FILTERED_ORACLE = f"""
+WITH q AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id,
+         {duck_cosine('e.embedding', 'q.query_embedding')} AS similarity,
+         {duck_euclidean('e.embedding', 'q.query_embedding')} AS distance
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id, q
+  WHERE d.lang = 'en' AND d.source = 'src3'
+)
+SELECT id, similarity, distance FROM scored
+ORDER BY similarity DESC, id LIMIT 5
+"""
+
+
+@register("knn_filtered", _KNN_FILTERED_ORACLE)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-then-search: metadata filter + library scope applied BEFORE
+    top-k, so k results are k filtered results (reference
+    search_service.py:103-105; F1/F6 + T1)."""
+    chunks = chunks_table(spark, sf_dir)
+    query = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    return knn_brute_force(
+        chunks,
+        query,
+        k=5,
+        metric="cosine",
+        library_id="src3",
+        metadata_filters={"lang": "en"},
+    )
+
+
+_KNN_EUCLIDEAN_ORACLE = f"""
+WITH q AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id,
+       {duck_euclidean('e.embedding', 'q.query_embedding')} AS distance
+FROM embeddings e, q
+ORDER BY distance ASC, e.vec_id LIMIT 10
+"""
+
+
+@register("knn_euclidean_topk", _KNN_EUCLIDEAN_ORACLE)
+def knn_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean top-10 (reference V2 + T1, embedding.py:87-96)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    query = embs.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    scored = embs.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        euclidean_distance("embedding", "query_embedding").alias("distance"),
+    )
+    return scored.orderBy(F.asc("distance"), F.col("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Vector scalar functions V1-V3 (embedding.py:66-140), bit-exact pairs
+# ---------------------------------------------------------------------------
+
+_VECTOR_MATH_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {duck_dot('a.embedding', 'b.embedding')} AS dot,
+       {duck_cosine('a.embedding', 'b.embedding')} AS cosine,
+       {duck_euclidean('a.embedding', 'b.embedding')} AS euclidean
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < 5 AND b.vec_id < 5
+"""
+
+
+@register("vector_math_pairs", _VECTOR_MATH_ORACLE)
+def vector_math_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dot/cosine/euclidean on all pairs of 5 vectors (V1-V3)."""
+    embs = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return a.crossJoin(b).select(
+        "id_a",
+        "id_b",
+        dot_product("ea", "eb").alias("dot"),
+        cosine_similarity("ea", "eb").alias("cosine"),
+        euclidean_distance("ea", "eb").alias("euclidean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: lookups, scans, joins, aggregations
+# (SURVEY §2.1 S3/S7/S8, §2.4, §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "point_lookup",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by id (S3, storage.py:46-48): pushed-down equality
+    predicate replaces the dict get."""
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 42)
+
+
+@register(
+    "child_scan_2hop",
+    """
+    SELECT CAST(d.doc_id AS VARCHAR) AS id, e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.source = 'src3'
+    """,
+)
+def child_scan_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks-of-library two-hop traversal (S7, storage.py:242-249) =
+    equi-join + library predicate (partition pruning at scale)."""
+    chunks = chunks_table(spark, sf_dir)
+    return chunks.filter(F.col("library_id") == "src3").select(
+        "id", F.col("metadata")["label"].cast("int").alias("label")
+    )
+
+
+@register(
+    "stats_counts",
+    """
+    SELECT 'documents' AS entity, count(*) AS n FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    """,
+)
+def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count stats per entity (S8/A1, storage.py:253-265)."""
+    parts = []
+    for name in ("documents", "embeddings", "events", "orders"):
+        parts.append(
+            load_table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("entity"), F.col("n"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "metadata_exact_filter",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, n_chars
+    FROM documents WHERE lang = 'en' AND source = 'src1'
+    """,
+)
+def metadata_exact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact metadata match, AND-ed (F1/F5, search_service.py:188-191):
+    MapType access — missing key is NULL => filtered, like the reference."""
+    chunks = chunks_table(spark, sf_dir)
+    return chunks.filter(
+        (F.col("metadata")["lang"] == "en") & (F.col("metadata")["source"] == "src1")
+    ).select("id", F.col("metadata")["n_chars"].cast("bigint").alias("n_chars"))
+
+
+@register(
+    "metadata_contains_filter",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id
+    FROM documents WHERE contains(lower(text), lower('VECTOR WINDOW'))
+    """,
+)
+def metadata_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring predicate (F4, search_service.py:179-187)."""
+    chunks = chunks_table(spark, sf_dir)
+    return chunks.filter(
+        F.lower(F.col("text")).contains(F.lower(F.lit("VECTOR WINDOW")))
+    ).select("id")
+
+
+@register(
+    "word_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_words
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over text (A5, demo.py:144)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ", -1)).alias("n_words")
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate ∩ filtered-set semi-join shape (J2, indexes.py:158)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def anti_join_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the cascade-delete / orphan-audit shape (S5/S10/J3,
+    storage.py:67-90, 278-306)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "union_distinct_candidates",
+    """
+    SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src1'
+    UNION
+    SELECT doc_id FROM documents WHERE n_chars > 400 AND source = 'src1'
+    """,
+)
+def union_distinct_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set UNION DISTINCT across hash tables (A4,
+    indexes.py:143-149)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter((F.col("lang") == "en") & (F.col("source") == "src1")).select(
+        "doc_id"
+    )
+    b = docs.filter((F.col("n_chars") > 400) & (F.col("source") == "src1")).select(
+        "doc_id"
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "nested_assembly",
+    """
+    SELECT source, list(doc_id ORDER BY doc_id) AS doc_ids, count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested parent->children read model (P2, library_service.py:52-55):
+    collect_list(struct) in general; sorted id list here for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical surface (general joins/aggregations the engine
+# must support; SURVEY §2.5 "free in Spark" + scale posture)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy aggregate: partial (map-side) + final agg,
+    no join — the canonical scan-heavy aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: broadcast dimension join + shuffle agg + top-k
+    (TakeOrderedAndProject, not a full sort)."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = lineitem.join(
+        F.broadcast(orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: chained broadcast joins of small
+    dimensions into the fact table."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+    )
+    joined = lineitem.join(
+        F.broadcast(orders.join(F.broadcast(dims), orders["o_custkey"] == customer["c_custkey"])),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function: top-3 orders per priority class
+    (extended surface — absent in reference, SURVEY §2.11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + event-time windowed aggregation (batch analog of
+# the streaming surface; extended per SURVEY §7 stage 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction over the dynamic-metadata escape hatch
+    (events.props ~ reference Dict[str,Any] metadata)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object(F.col("props"), "$.k").cast("bigint")), 4
+        ).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_hourly_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the
+    streaming windowed agg, SURVEY §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (LLM-pipeline surface): exact dedup + keep-first
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_summary",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT md5(text)) AS distinct_texts,
+           count(*) - count(DISTINCT md5(text)) AS exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup accounting: content-hash distinct counts (hash
+    groupBy dedup — the 100 TB pattern is md5(text) shuffle-agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("distinct_texts"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text").cast("binary")))
+        ).alias("exact_dups"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first-by-key: groupBy + min — the deterministic
+    form of dropDuplicates that scales (single shuffle on the dedup key)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
