@@ -28,6 +28,8 @@ from vector_database_api_spark.functions.vector import (
     dot_product,
     euclidean_distance,
 )
+from vector_database_api_spark.operators import ivf as ivf_mod
+from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
 from vector_database_api_spark.sources.tables import chunks_table, load_table
 
@@ -142,6 +144,108 @@ def knn_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         euclidean_distance("embedding", "query_embedding").alias("distance"),
     )
     return scored.orderBy(F.asc("distance"), F.col("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH search (indexes.py:44-190) — fully oracle-checked: the seeded
+# hyperplane literals are emitted into both the Spark expressions and the
+# DuckDB SQL, so hashing/candidates/re-rank agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_PLANES = lsh_mod.generate_planes(dim=64)
+
+
+def _lsh_oracle_sql(query_vec_id: int, library: str, lang: str, k: int) -> str:
+    n_tables = len(_PLANES)
+    qh = " UNION ALL ".join(
+        f"SELECT {t} AS table_idx, "
+        f"{lsh_mod.duck_hash_sql('query_embedding', _PLANES[t])} AS hash FROM qv"
+        for t in range(n_tables)
+    )
+    idx = " UNION ALL ".join(
+        f"SELECT id, {t} AS table_idx, "
+        f"{lsh_mod.duck_hash_sql('embedding', _PLANES[t])} AS hash FROM scoped"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH qv AS (SELECT embedding AS query_embedding FROM embeddings
+                WHERE vec_id = {query_vec_id}),
+    scoped AS (
+      SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding, d.lang
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.source = '{library}' AND e.embedding IS NOT NULL
+    ),
+    qh AS ({qh}),
+    idx AS ({idx}),
+    cand AS (SELECT DISTINCT idx.id FROM idx
+             JOIN qh ON idx.table_idx = qh.table_idx AND idx.hash = qh.hash),
+    pool AS (
+      SELECT s.* FROM scoped s JOIN cand ON s.id = cand.id
+      UNION ALL
+      SELECT s.* FROM scoped s WHERE NOT EXISTS (SELECT 1 FROM cand)
+    ),
+    scored AS (
+      SELECT p.id,
+             {duck_cosine('p.embedding', 'q.query_embedding')} AS similarity,
+             {duck_euclidean('p.embedding', 'q.query_embedding')} AS distance
+      FROM pool p, qv q WHERE p.lang = '{lang}'
+    )
+    SELECT id, similarity, distance FROM scored
+    ORDER BY similarity DESC, id LIMIT {k}
+    """
+
+
+@register("lsh_search_topk", _lsh_oracle_sql(5, "src2", "en", 5))
+def lsh_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-scoped SRP-LSH search with metadata filter: bucket-join
+    candidates (union-distinct across 8 tables), fallback-to-all on zero
+    candidates, exact cosine re-rank, deterministic top-k
+    (reference indexes.py:137-178 + search_service.py:88-110)."""
+    chunks = chunks_table(spark, sf_dir)
+    query = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 5)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    return lsh_mod.lsh_search(
+        chunks,
+        query,
+        _PLANES,
+        k=5,
+        library_id="src2",
+        metadata_filters={"lang": "en"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search (indexes.py:193-393) — rows-only check: k-means training
+# is not SQL-expressible in DuckDB; the algorithmic invariants (assignment
+# totality, probe confinement, simulation equivalence, recall) are pytest
+# tests in tests/test_ivf.py.
+# ---------------------------------------------------------------------------
+
+
+@register("ivf_search_topk", None)
+def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build IVF (seeded KMeans, nlist=100, nprobe=5) over the embeddings
+    table and probe-search the top-10 neighbors of vec_id=9
+    (reference indexes.py:228-265, 340-379)."""
+    import numpy as np
+
+    chunks = chunks_table(spark, sf_dir)
+    index = ivf_mod.build_ivf(chunks)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 9)
+        .select("embedding")
+        .collect()[0]
+    )
+    query_vec = np.array(qrow["embedding"], dtype=np.float64)
+    query = spark.createDataFrame(
+        [([float(x) for x in qrow["embedding"]],)],
+        "query_embedding array<float>",
+    )
+    return ivf_mod.ivf_search(index, query, query_vec, k=10)
 
 
 # ---------------------------------------------------------------------------
