@@ -1,0 +1,87 @@
+"""Dedup operators vs constructed ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.operators import dedup as D
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def _shingles(text, n=3):
+    toks = text.lower().split(" ")
+    return {"_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (5, "alpha beta gamma"),
+        (3, "delta epsilon zeta"),
+        (2, "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_near_dups_with_exact_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # high word-trigram overlap
+    rows = [
+        (1, base),
+        (2, near),
+        (3, "completely different words describing unrelated things entirely now"),
+        (4, "another separate document about novel topics nobody mentioned before"),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    pairs = D.minhash_near_dup_pairs(df, jaccard_threshold=0.3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    sa, sb = _shingles(base), _shingles(near)
+    want = len(sa & sb) / len(sa | sb)
+    assert abs(pairs[0]["jaccard"] - want) < 1e-12
+
+
+def test_minhash_identical_docs(spark):
+    rows = [(1, "one two three four five six"), (2, "one two three four five six")]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    pairs = D.minhash_near_dup_pairs(df, jaccard_threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (1, "spark window merge join table"),
+        (2, "spark window merge join table"),  # identical -> same hash
+        (3, "spark window merge join chart"),  # near -> small hamming
+        (4, "zzz qqq vvv kkk www"),  # far -> larger hamming
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {r["id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert len(got[1]) == 60 and set(got[1]) <= {"0", "1"}
+    assert got[1] == got[2]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(got[1], got[3]) < ham(got[1], got[4])
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        ("a", [1.0, 0.0, 0.0], "x"),
+        ("b", [0.999, 0.01, 0.0], "x"),  # near-dup of a, same block
+        ("c", [0.0, 1.0, 0.0], "x"),
+        ("d", [1.0, 0.0, 0.0], "y"),  # identical to a but different block
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>, label string")
+    pairs = D.embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.95
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [("a", "b")]
+
+    # without blocking the cross-block duplicate surfaces too
+    pairs_all = D.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs_all} == {("a", "b"), ("a", "d"), ("b", "d")}

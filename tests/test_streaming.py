@@ -1,0 +1,117 @@
+"""Streaming incremental index maintenance (M1) + watermarked windows.
+
+The invariant that matters (SURVEY §2.9): after draining the stream, the
+incrementally-maintained LSH index is IDENTICAL to a batch rebuild over the
+accumulated chunks table — same seeded planes, same hash rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vector_database_api_spark.functions.embedding import text_to_vector
+from vector_database_api_spark.operators import lsh as L
+from vector_database_api_spark.streaming import maintenance as M
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def planes():
+    return L.generate_planes(DIM, num_tables=4, hash_length=6, seed=3)
+
+
+def _chunk_batch(spark, ids, with_embedding=False):
+    rows = []
+    for i in ids:
+        emb = [float(x) for x in text_to_vector(f"text {i}", DIM)] if with_embedding else None
+        rows.append((f"c{i}", "lib", f"d{i}", f"text {i}", emb, {"k": str(i)}))
+    return spark.createDataFrame(rows, M.CHUNK_INGEST_SCHEMA)
+
+
+def test_incremental_equals_batch_rebuild(spark, planes, tmp_path):
+    src = str(tmp_path / "src")
+    chunks_dir = str(tmp_path / "chunks")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1 lands before the stream starts
+    _chunk_batch(spark, range(0, 5)).write.mode("append").parquet(src)
+    q = M.incremental_index_maintenance(
+        M.read_chunk_stream(spark, src), planes, chunks_dir, index_dir, ckpt,
+        embedding_dim=DIM,
+    )
+    q.awaitTermination(120)
+
+    # batch 2 arrives later; resume from the checkpoint
+    _chunk_batch(spark, range(5, 12)).write.mode("append").parquet(src)
+    q2 = M.incremental_index_maintenance(
+        M.read_chunk_stream(spark, src), planes, chunks_dir, index_dir, ckpt,
+        embedding_dim=DIM,
+    )
+    q2.awaitTermination(120)
+
+    chunks = spark.read.parquet(chunks_dir)
+    index = spark.read.parquet(index_dir)
+    assert chunks.count() == 12
+    # embeddings were filled by the deterministic embedder
+    assert chunks.filter("embedding IS NULL").count() == 0
+
+    incr = {
+        (r["id"], r["table_idx"], r["hash"])
+        for r in index.collect()
+    }
+    rebuild = {
+        (r["id"], r["table_idx"], r["hash"])
+        for r in L.hash_table_df(chunks, planes).collect()
+    }
+    assert incr == rebuild
+    assert len(incr) == 12 * len(planes)
+
+
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05",
+                     "2024-01-01 10:20", "2024-01-01 12:40"]
+                ),
+                "event_type": ["click", "click", "click", "view", "view"],
+                "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+    )
+    events.write.mode("append").parquet(src)
+    stream = M.read_event_stream(spark, src, events.schema)
+    # append mode only emits windows the watermark has passed; a single
+    # availableNow drain never advances it, so read the full state instead
+    q = M.run_stream_to_memory(
+        M.windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        ("2024-01-01 10:00:00", "click"): (2, 3.0),
+        ("2024-01-01 11:00:00", "click"): (1, 4.0),
+        ("2024-01-01 10:00:00", "view"): (1, 8.0),
+        ("2024-01-01 12:00:00", "view"): (1, 16.0),
+    }
+    assert got == want
+
+
+def test_embedder_deterministic(spark):
+    df = spark.createDataFrame([("hello",), ("hello",), ("world",)], "text string")
+    from vector_database_api_spark.functions.embedding import embed_text
+
+    out = df.select(embed_text("text", DIM).alias("e")).collect()
+    assert out[0]["e"] == out[1]["e"]
+    assert out[0]["e"] != out[2]["e"]
+    assert len(out[0]["e"]) == DIM
+    assert abs(float(np.linalg.norm(out[0]["e"])) - 1.0) < 1e-5

@@ -1,0 +1,198 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+These generalize the reference's capability class (it only does
+``lower``/``contains`` and word counts — SURVEY §2.6/§2.11) into the
+operators a 100 TB training-data pipeline needs: tokenization, language ID,
+quality scoring, token counting, fingerprinting, shingling, and the hashed
+building blocks for MinHash/SimHash dedup.
+
+Every function here is generated as *paired SQL text* — a Spark expression
+and a DuckDB expression with identical operation semantics — so the whole
+text surface is oracle-checkable.  All of it is JVM-side (no Python UDFs in
+the hot path); the 64-bit shingle hash is the first 60 bits of md5, which
+both engines compute identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# stopword lists for the five fixture languages (driver documents.lang)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans", "est", "les"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+# deterministic tie-break: fixed priority order (first wins on equal score)
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# MinHash modulus: prime > 2^32 so (a*h32 + b) stays within int64 for
+# a < 2^30, h32 < 2^32
+MINHASH_PRIME = 4294967311
+
+
+def spark_tokens(col: str) -> str:
+    return f"split(lower({col}), ' ')"
+
+
+def duck_tokens(col: str) -> str:
+    return f"string_split(lower({col}), ' ')"
+
+
+def spark_token_count(col: str) -> str:
+    """BPE-ish token count via regexp extraction (both engines use the same
+    RE2/Java-compatible pattern).  Spark's SQL parser processes backslash
+    escapes inside string literals (DuckDB's does not), so the pattern is
+    double-escaped for Spark only."""
+    pat = TOKEN_PATTERN.replace("\\", "\\\\")
+    return f"size(regexp_extract_all({col}, '{pat}', 0))"
+
+
+def duck_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{TOKEN_PATTERN}'))"
+
+
+def _stopword_score(tokens_expr: str, words: list[str], engine: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    if engine == "spark":
+        return f"size(filter({tokens_expr}, t -> t IN ({lits})))"
+    return f"len(list_filter({tokens_expr}, t -> t IN ({lits})))"
+
+
+def _lang_id(col: str, engine: str) -> str:
+    toks = spark_tokens(col) if engine == "spark" else duck_tokens(col)
+    scores = {
+        lang: _stopword_score(toks, words, engine)
+        for lang, words in STOPWORDS.items()
+    }
+    # argmax with fixed priority order: lang L wins if its score is strictly
+    # greater than every earlier-priority lang and >= every later one
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        conds = []
+        for j, other in enumerate(LANG_PRIORITY):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(cases)} ELSE 'und' END"
+
+
+def spark_lang_id(col: str) -> str:
+    """Stopword-vote language ID with deterministic priority tie-break."""
+    return _lang_id(col, "spark")
+
+
+def duck_lang_id(col: str) -> str:
+    return _lang_id(col, "duck")
+
+
+def _quality_score(col: str, engine: str) -> str:
+    toks = spark_tokens(col) if engine == "spark" else duck_tokens(col)
+    n_tokens = f"size({toks})" if engine == "spark" else f"len({toks})"
+    sw = _stopword_score(toks, STOPWORDS["en"], engine)
+    if engine == "spark":
+        punct = f"size(regexp_extract_all({col}, '[^A-Za-z0-9 ]', 0))"
+    else:
+        punct = f"len(regexp_extract_all({col}, '[^A-Za-z0-9 ]'))"
+    return (
+        f"round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.4 * least(5.0 * CAST({sw} AS DOUBLE) / CAST({n_tokens} AS DOUBLE), 1.0)"
+        f" + 0.2 * (1.0 - least(CAST({punct} AS DOUBLE) / 50.0, 1.0)), 6)"
+    )
+
+
+def spark_quality_score(col: str) -> str:
+    """Heuristic document quality in [0,1]: length, stopword density,
+    punctuation noise (the ratios C4/Gopher-style filters use)."""
+    return _quality_score(col, "spark")
+
+
+def duck_quality_score(col: str) -> str:
+    return _quality_score(col, "duck")
+
+
+def spark_fingerprint(col: str) -> str:
+    """Canonical-form fingerprint: md5 of sorted distinct tokens — the
+    key used for near-exact (word-order/duplication-insensitive) dedup."""
+    toks = spark_tokens(col)
+    return f"md5(CAST(array_join(array_sort(array_distinct({toks})), ' ') AS BINARY))"
+
+
+def duck_fingerprint(col: str) -> str:
+    toks = duck_tokens(col)
+    return f"md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
+
+
+# ---------------------------------------------------------------------------
+# Shingling + 60-bit hashing (MinHash building blocks)
+# ---------------------------------------------------------------------------
+
+
+def spark_word_shingles(col: str, n: int = 3) -> str:
+    """Distinct word n-grams joined by '_'."""
+    toks = spark_tokens(col)
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks}, i, {n}), '_')))"
+    )
+
+
+def duck_word_shingles(col: str, n: int = 3) -> str:
+    toks = duck_tokens(col)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), '_')))"
+    )
+
+
+def spark_hash60(expr: str) -> str:
+    """First 60 bits of md5 as BIGINT — identical in both engines."""
+    return f"CAST(conv(substring(md5(CAST({expr} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def duck_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_perms(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded (a, b) parameters; a < 2^30 keeps a*h32 + b inside int64."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, 2**30)), int(rng.integers(0, 2**30)))
+        for _ in range(num_perm)
+    ]
+
+
+def spark_hashed_shingles(shingles_col: str) -> str:
+    """Hash each shingle once (md5 -> 60-bit -> mod 2^32); signatures then
+    reuse these integers instead of re-hashing per permutation."""
+    return f"transform({shingles_col}, s -> pmod({spark_hash60('s')}, 4294967296))"
+
+
+def duck_hashed_shingles(shingles_col: str) -> str:
+    return f"list_transform({shingles_col}, s -> {duck_hash60('s')} % 4294967296)"
+
+
+def spark_minhash_signature(hashed_col: str, perms) -> str:
+    """MinHash signature array: sig_i = min over hashed shingles of
+    (a_i * h32 + b_i) mod PRIME."""
+    mins = ", ".join(
+        f"array_min(transform({hashed_col}, h -> pmod({a} * h + {b}, {MINHASH_PRIME})))"
+        for a, b in perms
+    )
+    return f"array({mins})"
+
+
+def duck_minhash_signature(hashed_col: str, perms) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashed_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in perms
+    )
+    return f"[{mins}]"

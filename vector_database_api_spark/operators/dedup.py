@@ -1,0 +1,278 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+The reference dedups nothing (its only set op is the LSH candidate
+union-distinct, indexes.py:143-149); these operators extend its capability
+class to what a 100 TB corpus pipeline needs (BASELINE.json north star):
+
+- exact dedup — content-hash groupBy; ONE shuffle on the hash key, the only
+  strategy that scales to arbitrary corpus size.
+- MinHash + banded LSH near-dup — shingle -> 60-bit hash -> seeded
+  permutations -> band buckets -> candidate pair join -> exact Jaccard
+  verify.  Everything is generated SQL (JVM-side in Spark, mirrored into
+  DuckDB for the oracle); candidate generation is an equi-join on
+  (band_idx, band_value), i.e. shuffle-by-bucket, never an all-pairs
+  comparison.
+- SimHash — 64-bit sign fingerprint of token hashes; Hamming-adjacent
+  pairs found via band equi-join on 16-bit quarters.
+- embedding near-dup — cosine >= threshold pairs inside blocking keys
+  (all-pairs only *within* a block; block by a cheap key such as label,
+  language, or an LSH bucket).
+
+Each operator is a pure DataFrame -> DataFrame function; the paired DuckDB
+SQL generators live beside them for the oracle registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.functions import text as T
+from vector_database_api_spark.functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (deterministic
+    keep-first; ``dropDuplicates`` would keep an arbitrary row)."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, sig): distinct word n-gram shingles and the seeded
+    MinHash signature.  Narrow projection — no shuffle."""
+    perms = T.minhash_perms(num_perm, seed)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(T.spark_word_shingles(text_col, shingle_n)).alias("shingles"),
+        )
+        .withColumn("hashed", F.expr(T.spark_hashed_shingles("shingles")))
+        .withColumn("sig", F.expr(T.spark_minhash_signature("hashed", perms)))
+        .drop("hashed")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: banded-LSH candidates, exact-Jaccard verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.  The pair join is an
+    equi-join on (band_idx, band_val) — at 100 TB the shuffle is by bucket
+    and each bucket's pair expansion is local to its group; skew in a hot
+    bucket is handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed)
+    sigs.persist()
+
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"array_join(slice(sig, {b * rows_per_band + 1}, {rows_per_band}), '_')"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duck_minhash_near_dup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`minhash_near_dup_pairs` (same seeds, same
+    hash pipeline, same band layout)."""
+    rows_per_band = num_perm // bands
+    perms = T.minhash_perms(num_perm, seed)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, "
+        f"array_to_string(list_slice(sig, {b * rows_per_band + 1}, "
+        f"{b * rows_per_band + rows_per_band}), '_') AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id,
+             {T.duck_word_shingles(text_col, shingle_n)} AS shingles
+      FROM {table}
+    ),
+    hashed AS (
+      SELECT id, shingles, {T.duck_hashed_shingles('shingles')} AS h FROM base
+    ),
+    sigs AS (
+      SELECT id, shingles, {T.duck_minhash_signature('h', perms)} AS sig FROM hashed
+    ),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             (CAST(len(sa.shingles) AS DOUBLE) + CAST(len(sb.shingles) AS DOUBLE)
+              - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)) AS jaccard
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.id
+      JOIN sigs sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {jaccard_threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash): sign fingerprint — bit b is 1 iff the sum over tokens
+    of (+1 if token-hash bit b set else -1) is >= 0.  Token hash is the
+    shared 60-bit md5 (so only the low 60 of ``bits`` are meaningful;
+    we use 60)."""
+    bits = min(bits, 60)
+    toks = T.spark_tokens(text_col)
+    # stage token hashes once; the 60 bit-vote expressions then reuse them
+    # instead of re-running md5 per bit
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({toks}, t -> {T.spark_hash60('t')})").alias("th"),
+    )
+    bit_exprs = ", ".join(
+        f"CASE WHEN aggregate(th, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN (h >> {b}) % 2 = 1 THEN 1L ELSE -1L END)) >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for b in range(bits)
+    )
+    return staged.select("id", F.expr(f"concat({bit_exprs})").alias("simhash"))
+
+
+def duck_simhash_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> str:
+    bits = min(bits, 60)
+    toks = T.duck_tokens(text_col)
+    hashed = f"list_transform({toks}, t -> {T.duck_hash60('t')})"
+    bit_exprs = "||".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> "
+        f"CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH staged AS (SELECT {id_col} AS id, {hashed} AS th FROM {table}) "
+        f"SELECT id, {bit_exprs} AS simhash FROM staged"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine within blocking keys)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    With ``block_col`` the pair expansion happens only within equal block
+    values (shuffle on the block key, local all-pairs per block) — the
+    scalable shape; without it, a full cross pair join (small inputs only).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    joined = a.join(b, on=["blk"] if block_col else None, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

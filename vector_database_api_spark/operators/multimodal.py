@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column operators.
+
+Beyond the reference's text-only surface: a 100 TB training-data pipeline
+carries media as opaque ``BINARY`` columns plus typed metadata, processed
+by Arrow-batched Python stages (``mapInPandas``) because media codecs live
+in Python/native libraries, not SQL.
+
+The Spark-side plumbing here is real and tested — schemas, partitioning
+behavior, batch iteration shape, output contracts.  The codec calls
+themselves are STUBS (this container ships no image/audio libraries):
+``decode_image`` raises ``NotImplementedError`` unless given the
+deterministic fake codec, which tests use.  Swapping in Pillow/librosa is
+a one-line change at the marked seam.
+
+Media schema convention:
+
+    media(id STRING, modality STRING, content BINARY,
+          meta MAP<STRING, STRING>)
+
+At scale the table is partitioned by ``modality`` (and bucketed or
+range-partitioned by id) so per-modality stages prune; ``content`` stays
+opaque to Catalyst, and every transform below is a narrow per-partition
+map — no shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "id string, modality string, content binary, meta map<string,string>"
+)
+
+FEATURE_SCHEMA = "id string, modality string, feature array<float>"
+FRAME_SCHEMA = "id string, frame_idx int, frame binary"
+
+
+def fake_decode(content: bytes) -> np.ndarray:
+    """Deterministic fake codec: derives a fixed-shape 'decoded' array from
+    the bytes' sha256.  Stands in for PIL.Image.open/librosa.load so the
+    pipeline shape is testable without media libraries."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(32).astype(np.float32)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """REAL-CODEC SEAM: replace the body with e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(content)))``."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use codec=fake_decode or install a real decoder"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    codec: Callable[[bytes], np.ndarray] = fake_decode,
+) -> DataFrame:
+    """Decode + feature-extract each media row via mapInPandas (Arrow
+    batches; one Python worker per partition, zero shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                codec(bytes(c)).astype(np.float32).tolist() for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits one output row per
+    sampled 'frame' (here: fixed-stride byte windows standing in for
+    decoded frames — the real decoder plugs into the same iterator).
+    Demonstrates the 1-to-N mapInPandas expansion contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                for j in range(min(max_frames, max(len(content) // every_n_bytes, 1))):
+                    out_ids.append(row["id"])
+                    out_idx.append(j)
+                    out_frames.append(
+                        content[j * every_n_bytes : (j + 1) * every_n_bytes]
+                    )
+            yield pd.DataFrame(
+                {"id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return media.filter("modality = 'video'").mapInPandas(run, FRAME_SCHEMA)

@@ -28,6 +28,9 @@ from vector_database_api_spark.functions.vector import (
     dot_product,
     euclidean_distance,
 )
+from vector_database_api_spark.functions import text as text_fns
+from vector_database_api_spark.operators import crud as crud_mod
+from vector_database_api_spark.operators import dedup as dedup_mod
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
@@ -455,6 +458,67 @@ def nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mutation semantics (S4/S5, storage.py:50-90) — snapshot-functional:
+# the query returns the post-mutation snapshot, which SQL can express too
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cascade_delete_effect",
+    """
+    SELECT CAST(e.vec_id AS VARCHAR) AS id, d.source
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def cascade_delete_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade delete of library 'src0' (S5): surviving chunks after the
+    anti-join cascade libraries -> documents -> chunks."""
+    libraries = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("id"))
+        .distinct()
+        .withColumn("name", F.col("id"))
+    )
+    documents = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source").alias("library_id"),
+    )
+    chunks = chunks_table(spark, sf_dir)
+    out = crud_mod.delete_cascade(libraries, documents, chunks, ["src0"])
+    return out["chunks"].select("id", F.col("metadata")["source"].alias("source"))
+
+
+@register(
+    "update_coalesce",
+    """
+    SELECT d.doc_id, coalesce(p.source, d.source) AS source,
+           coalesce(p.lang, d.lang) AS lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, 'promoted' AS source, CAST(NULL AS VARCHAR) AS lang
+               FROM documents WHERE lang = 'en') p
+      ON d.doc_id = p.doc_id
+    """,
+)
+def update_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial update by id (S4): patch rows set source='promoted' for
+    English docs, leave lang NULL => unchanged (None-field-ignored
+    semantics as coalesce)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    patch = (
+        docs.filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.lit("promoted").alias("source"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    return crud_mod.update_by_id(docs, patch, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style analytical surface (general joins/aggregations the engine
 # must support; SURVEY §2.5 "free in Spark" + scale posture)
 # ---------------------------------------------------------------------------
@@ -664,6 +728,91 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text").cast("binary")))
         ).alias("exact_dups"),
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup keeping the lowest id per hash — deterministic,
+    one shuffle on the content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_mod.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@register(
+    "minhash_near_dup",
+    dedup_mod.duck_minhash_near_dup_sql(jaccard_threshold=0.5),
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banded-LSH near-duplicate pairs, exact-Jaccard verified at
+    0.5 (finds the corpus's planted ~0.9-Jaccard duplicates). Seeded
+    permutations + md5-based shingle hashing are identical in the DuckDB
+    oracle, so candidates AND scores match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_mod.minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    dedup_mod.duck_simhash_sql() + " WHERE id < 100",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash sign fingerprints (token-hash bit votes)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup_mod.simhash(docs)
+
+
+@register(
+    "embedding_near_dup_blocked",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking: all-pairs only
+    within a block (shuffle on the block key), the scalable shape."""
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding", "label"
+    )
+    return dedup_mod.embedding_near_dup_pairs(
+        embs, block_col="label", threshold=0.4
+    )
+
+
+@register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           {text_fns.duck_token_count('text')} AS n_tokens,
+           {text_fns.duck_lang_id('text')} AS lang_guess,
+           {text_fns.duck_quality_score('text')} AS quality,
+           {text_fns.duck_fingerprint('text')} AS fingerprint
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis bundle: BPE-ish token count, stopword-vote language
+    ID, quality score, canonical-form fingerprint — all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.expr(text_fns.spark_token_count("text")).alias("n_tokens"),
+        F.expr(text_fns.spark_lang_id("text")).alias("lang_guess"),
+        F.expr(text_fns.spark_quality_score("text")).alias("quality"),
+        F.expr(text_fns.spark_fingerprint("text")).alias("fingerprint"),
     )
 
 

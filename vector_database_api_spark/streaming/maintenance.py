@@ -1,0 +1,132 @@
+"""Incremental index maintenance + event-stream analytics.
+
+Reference: index updates happen synchronously on every chunk mutation
+(M1-M3: ``chunk_service.py:22-54,81-98,108-134`` -> ``IndexManager.add/
+remove``).  The Spark-native equivalent is Structured Streaming over a
+chunk-changes source with ``foreachBatch``: each micro-batch embeds new
+text, appends to the ``chunks`` table, computes its LSH hashes with the
+SAME seeded planes as the batch build, and appends them to the index table
+— so a search over the maintained index equals a search over a full
+rebuild (tested in tests/test_streaming.py).
+
+The event-analytics surface (extended, SURVEY §7 stage 6) uses watermarked
+tumbling windows — late data beyond the watermark is dropped by Spark's
+state store, the standard answer to out-of-order events at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vector_database_api_spark.functions.embedding import make_embedder
+from vector_database_api_spark.operators.lsh import hash_table_df
+
+CHUNK_INGEST_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("library_id", StringType()),
+        StructField("document_id", StringType()),
+        StructField("text", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def read_chunk_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based micro-batch source of chunk rows (the M1 ingestion feed).
+    ``maxFilesPerTrigger=1`` keeps batches bounded regardless of how many
+    files land between triggers."""
+    return (
+        spark.readStream.schema(CHUNK_INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def incremental_index_maintenance(
+    chunk_stream: DataFrame,
+    planes,
+    chunks_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    embedding_dim: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """M1: per micro-batch — embed missing embeddings, append to the chunks
+    table, compute SRP hashes with the shared seeded planes, append to the
+    LSH index table.  Both writes are append-only file sinks; exactly-once
+    comes from the checkpoint + deterministic recompute."""
+    embedder = make_embedder(embedding_dim)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn(
+            "embedding",
+            F.coalesce(F.col("embedding"), embedder(F.col("text"))),
+        )
+        batch.persist()
+        batch.write.mode("append").parquet(chunks_dir)
+        hash_table_df(batch, planes).write.mode("append").parquet(index_dir)
+        batch.unpersist()
+
+    writer = chunk_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_event_stream(spark: SparkSession, source_dir: str, schema) -> DataFrame:
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_length: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    form of the batch ``events_hourly_window`` query (same results when the
+    stream is drained with availableNow)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_length).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain a streaming DataFrame into an in-memory table (test harness)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
