@@ -27,11 +27,22 @@ HEADLINE = [
     "knn_cosine_topk",
     "knn_filtered",
     "knn_euclidean_topk",
+    "lsh_search_topk",
+    "ivf_search_topk",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
     "topk_per_group",
     "events_hourly_window",
+    "events_json_extract",
+    "asof_click_before_error",
+    "range_join_close_events",
+    "session_windows",
+    "rollup_revenue",
+    "minhash_near_dup",
+    "simhash_fingerprints",
+    "text_profile",
+    "embedding_near_dup_blocked",
     "dedup_keep_first",
     "dedup_exact_summary",
 ]

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: scale-critical plan shapes must not regress.
+
+These queries run at 100 TB only if Catalyst plans them the right way;
+a silent fallback (global sort instead of top-k, shuffle join instead of
+broadcast, Python UDF in the scoring path) is a performance bug even when
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_database_api_spark import queries as q
+from vector_database_api_spark.plans.audit import audit_plan, explain_str
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    names = [
+        "knn_cosine_topk",
+        "knn_filtered",
+        "lsh_search_topk",
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_nation_revenue",
+    ]
+    return {n: audit_plan(q.spark_queries()[n](spark, sf_dir)) for n in names}
+
+
+def test_topk_is_take_ordered_not_global_sort(audits):
+    """ORDER BY sim DESC LIMIT k must plan as TakeOrderedAndProject
+    (per-partition heap + merge), never a full sort."""
+    for name in ("knn_cosine_topk", "knn_filtered", "lsh_search_topk", "q3_top_orders"):
+        assert audits[name]["take_ordered_topk"], name
+
+
+def test_no_python_in_hot_paths(audits):
+    """Vector math, hashing, filtering: all JVM expressions — zero
+    Python/Arrow eval nodes anywhere in the scoring plans."""
+    for name, a in audits.items():
+        assert a["python_udfs"] == 0, name
+
+
+def test_dimension_joins_broadcast(audits):
+    """Query-vector and dimension joins broadcast; the fact side never
+    shuffles for the join."""
+    assert audits["knn_cosine_topk"]["broadcast_joins"] >= 2
+    assert audits["q3_top_orders"]["broadcast_joins"] >= 2
+    assert audits["q5_nation_revenue"]["broadcast_joins"] >= 4
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    plan = explain_str(q.spark_queries()["point_lookup"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """GroupBy aggregates must be partial (map-side combine) + final —
+    two HashAggregate nodes around one exchange."""
+    plan = explain_str(q.spark_queries()["q1_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read all lineitem columns."""
+    plan = explain_str(q.spark_queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "l_comment" not in plan  # not in the data, but guard anyway
+    # ReadSchema in the scan should carry only needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema found"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }

@@ -1,0 +1,109 @@
+"""End-to-end engine lifecycle: ingest -> index -> search (the reference's
+demo.py flow, hermetic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.config import EngineConfig
+from vector_database_api_spark.functions.embedding import text_to_vector
+from vector_database_api_spark.service import VectorEngine
+from vector_database_api_spark.streaming.maintenance import CHUNK_INGEST_SCHEMA
+
+CFG = EngineConfig(embedding_dim=16, ivf_nlist=4, ivf_nprobe=2, default_k=5)
+
+TOPICS = ["python", "ml", "databases"]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = VectorEngine(spark, str(tmp_path / "wh"), config=CFG)
+    rows = []
+    for i in range(30):
+        topic = TOPICS[i % 3]
+        rows.append(
+            (
+                f"c{i:02d}",
+                "libA" if i < 20 else "libB",
+                f"d{i}",
+                f"{topic} document number {i} about {topic}",
+                None,
+                {"topic": topic},
+            )
+        )
+    eng.ingest_chunks(spark.createDataFrame(rows, CHUNK_INGEST_SCHEMA))
+    return eng
+
+
+def test_ingest_embeds_and_partitions(engine):
+    chunks = engine.chunks()
+    assert chunks.count() == 30
+    assert chunks.filter("embedding IS NULL").count() == 0
+    assert engine.chunks("libA").count() == 20
+
+
+def test_brute_force_search_unindexed(engine):
+    got = engine.search("libA", query_text="python document number 0 about python").collect()
+    assert len(got) == CFG.default_k
+    assert got[0]["id"] == "c00"  # exact text match ranks first
+    assert got[0]["similarity"] == pytest.approx(1.0)
+
+
+def test_filtered_search_semantics(engine):
+    got = engine.search(
+        "libA",
+        query_text="ml document number 1 about ml",
+        k=100,
+        metadata_filters={"topic": "ml"},
+    ).collect()
+    # k filtered results, fewer than k allowed: libA has ~7 'ml' chunks
+    assert 0 < len(got) < 100
+    ids = {r["id"] for r in got}
+    assert all(int(i[1:]) % 3 == 1 for i in ids)
+
+
+def test_k_clamping(engine):
+    assert len(engine.search("libA", query_text="x", k=-5).collect()) == CFG.default_k
+    got = engine.search("libA", query_text="x", k=10 ** 6)
+    assert len(got.collect()) <= CFG.max_k
+
+
+def test_lsh_index_search_and_switch(engine):
+    engine.index_library("libA", "lsh")
+    got = engine.search("libA", query_text="python document number 0 about python", k=3).collect()
+    assert len(got) <= 3 and got
+    # switch lsh -> ivf -> search still works (test_basic.py:244-268 parity)
+    engine.index_library("libA", "ivf")
+    got2 = engine.search("libA", query_text="python document number 0 about python", k=3).collect()
+    assert len(got2) <= 3
+    # ivf trained (20 >= nlist=4): results confined + sane
+    assert got2[0]["similarity"] >= got2[-1]["similarity"]
+
+
+def test_ivf_untrained_returns_empty(engine, spark):
+    # libB has 10 chunks; shrink further with an nlist above the count
+    small_cfg = EngineConfig(embedding_dim=16, ivf_nlist=50, ivf_nprobe=2)
+    eng2 = VectorEngine(spark, engine.warehouse, config=small_cfg)
+    eng2.index_library("libB", "ivf")
+    got = eng2.search("libB", query_text="anything").collect()
+    assert got == []
+
+
+def test_invalid_index_type_raises(engine):
+    with pytest.raises(ValueError, match="Unknown index type"):
+        engine.index_library("libA", "flat")
+
+
+def test_search_requires_text_or_embedding(engine):
+    with pytest.raises(ValueError, match="text or embedding"):
+        engine.search("libA")
+
+
+def test_search_by_embedding_matches_text(engine):
+    text = "databases document number 2 about databases"
+    vec = [float(x) for x in text_to_vector(text, CFG.embedding_dim)]
+    by_text = [r["id"] for r in engine.search("libA", query_text=text).collect()]
+    by_vec = [r["id"] for r in engine.search("libA", query_embedding=vec).collect()]
+    assert by_text == by_vec

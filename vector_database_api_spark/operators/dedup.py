@@ -259,20 +259,39 @@ def embedding_near_dup_pairs(
     values (shuffle on the block key, local all-pairs per block) — the
     scalable shape; without it, a full cross pair join (small inputs only).
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+    from vector_database_api_spark.functions.vector import dot_product, norm2
+
+    # stage each row's squared norm ONCE (O(n*d)); the quadratic pair stage
+    # then runs a single dot-product aggregate per pair instead of three.
+    # The arithmetic (and therefore the bit pattern vs the oracle, which
+    # recomputes norms inline) is unchanged — only the evaluation count is.
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm2(vec_col).alias("n2"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
+    a = staged.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+        *(["blk"] if block_col else []),
     )
-    joined = a.join(b, on=["blk"] if block_col else None, how="inner") if block_col else a.crossJoin(b)
+    b = staged.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+        *(["blk"] if block_col else []),
+    )
+    joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    cosine = F.when(
+        (F.col("na2") == 0.0) | (F.col("nb2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot_product("va", "vb") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+    )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -1,0 +1,144 @@
+"""Extended join operators: as-of and range joins.
+
+Absent from the reference (SURVEY §2.4 "not present") but part of the
+capability surface a time-aware data pipeline needs.  Both are built from
+stock Spark primitives in their scalable shapes:
+
+- **as-of join**: the sort-based union trick — tag both sides, union,
+  window ``last(..., ignorenulls)`` per key ordered by (ts, side, id),
+  keep left rows.  One shuffle on the key, no range-predicate join, no
+  per-row probe: O(n log n) within each key partition and skew-safe under
+  AQE.  This is how as-of joins are done at 100 TB (a join with
+  ``r.ts <= l.ts`` predicate would be a cross-ish join blowup).
+- **range join**: equi-join on the blocking key with a bounded interval
+  predicate — the pair expansion is confined to equal-key groups.
+
+Both have exact DuckDB mirrors (same union+window construction) so they
+are oracle-checkable; see queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """For each left row: the latest right row with the same ``on`` key and
+    ``right.ts <= left.ts`` (ties: the right row wins — <= semantics).
+
+    Returns the left key/id/ts plus ``asof_<col>`` for each right value
+    column (NULL when no earlier right row exists).
+    """
+    right_value_cols = right_value_cols or [right_id_col]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_id_col).alias("_oid"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(left_id_col).alias("_oid"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_oid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        F.col(on),
+        "_ts",
+        "_side",
+        "_oid",
+        *[
+            F.last(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(on),
+        F.col("_oid").alias(left_id_col),
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def duck_as_of_join_sql(
+    left_filter: str,
+    right_filter: str,
+    on: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB mirror of :func:`as_of_join` for self-as-of over one table —
+    identical union + window construction, so results match exactly."""
+    return f"""
+    WITH r AS (SELECT {on}, {ts} AS _ts, 0 AS _side, {id_col} AS _oid,
+                      {id_col} AS _rv FROM {table} WHERE {right_filter}),
+    l AS (SELECT {on}, {ts} AS _ts, 1 AS _side, {id_col} AS _oid,
+                 CAST(NULL AS BIGINT) AS _rv FROM {table} WHERE {left_filter}),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+    w AS (SELECT {on}, _ts, _side, _oid,
+                 last_value(_rv IGNORE NULLS) OVER (
+                   PARTITION BY {on} ORDER BY _ts, _side, _oid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS asof_{id_col}
+          FROM u)
+    SELECT {on}, _oid AS {id_col}, _ts AS {ts}, asof_{id_col}
+    FROM w WHERE _side = 1
+    """
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    max_gap_seconds: int = 600,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Pairs (a, b) sharing the blocking key with |ts_a - ts_b| <= gap and
+    a.id < b.id.  The equality on ``on`` confines the quadratic expansion
+    to per-key groups — the only range-join shape that scales."""
+    a = left.select(
+        F.col(on),
+        F.col(left_id).alias("id_a"),
+        F.col(ts_col).alias("ts_a"),
+    )
+    b = right.select(
+        F.col(on),
+        F.col(right_id).alias("id_b"),
+        F.col(ts_col).alias("ts_b"),
+    )
+    return (
+        a.join(b, on)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(
+                    F.unix_micros(F.col("ts_a").cast("timestamp"))
+                    - F.unix_micros(F.col("ts_b").cast("timestamp"))
+                )
+                <= max_gap_seconds * 1_000_000
+            )
+        )
+        .select(on, "id_a", "id_b")
+    )

@@ -1,0 +1,3 @@
+from vector_database_api_spark.plans.audit import audit_plan, explain_str
+
+__all__ = ["audit_plan", "explain_str"]

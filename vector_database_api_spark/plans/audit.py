@@ -1,0 +1,41 @@
+"""Physical-plan audit helpers.
+
+The reference has no optimizer (SURVEY §4); our engine's performance
+posture comes from Catalyst producing the *right* physical plan.  These
+helpers make the plan checkable in tests and tooling, so regressions like
+"the dimension stopped broadcasting" or "top-k became a global sort" fail
+loudly instead of silently costing a shuffle at 100 TB:
+
+- ``TakeOrderedAndProject``: distributed partial top-k (per-partition heap
+  + driver merge) — what every ``ORDER BY ... LIMIT k`` query must plan to.
+- ``BroadcastHashJoin``: small side shipped to every task — what every
+  dim-to-fact and query-vector join must plan to (no shuffle of the big
+  side).
+- ``PushedFilters``: predicates reaching the parquet scan.
+- ``WholeStageCodegen`` spans: expressions compiled to JVM bytecode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def audit_plan(df: DataFrame) -> dict[str, bool | int]:
+    """Summarize scale-critical physical plan features."""
+    plan = explain_str(df)
+    return {
+        "take_ordered_topk": "TakeOrderedAndProject" in plan,
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "shuffles": plan.count("Exchange"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "codegen_stages": plan.count("WholeStageCodegen"),
+        "python_udfs": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+    }

@@ -31,6 +31,7 @@ from vector_database_api_spark.functions.vector import (
 from vector_database_api_spark.functions import text as text_fns
 from vector_database_api_spark.operators import crud as crud_mod
 from vector_database_api_spark.operators import dedup as dedup_mod
+from vector_database_api_spark.operators import joins as joins_mod
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
@@ -701,6 +702,118 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended time-aware joins + analytics (absent in reference, SURVEY §2.4 /
+# §2.11; required capability for the events surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_click_before_error",
+    joins_mod.duck_as_of_join_sql(
+        left_filter="event_type = 'error'", right_filter="event_type = 'click'"
+    ),
+)
+def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the user's most recent click at
+    or before it — sort-based union+window shape (one shuffle on user_id,
+    no range-predicate join)."""
+    events = load_table(spark, sf_dir, "events")
+    return joins_mod.as_of_join(
+        events.filter(F.col("event_type") == "error"),
+        events.filter(F.col("event_type") == "click"),
+        on="user_id",
+    )
+
+
+@register(
+    "range_join_close_events",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
+    """,
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs of the same user within 10 minutes — the
+    interval predicate rides on a user_id equi-join, so pair expansion is
+    per-key, never global."""
+    events = load_table(spark, sf_dir, "events")
+    return joins_mod.range_join(events, events, on="user_id")
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP super-aggregates (grouping-set surface, SURVEY §2.5 'free in
+    Spark'): per (flag, status), per flag, and grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    > CAST(14400000000 AS BIGINT)
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 4-hour inactivity gap per user
+    (Spark ``session_window``; oracle is the gaps-and-islands rewrite)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "4 hours").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@register("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch count (rows-only: DuckDB's approx_count_distinct uses a
+    different sketch, so values differ legitimately; the exact-count
+    equivalent is covered by stats_counts)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -1,0 +1,213 @@
+"""Engine service layer — the reference's API lifecycle, Spark-native.
+
+Mirrors the control flow of ``/root/reference/app/services/`` without the
+HTTP shell (the REST surface is a thin façade, SURVEY §2.1 S12):
+
+- ``SearchService.search_library``  (search_service.py:24-77): resolve the
+  query embedding (text -> deterministic embedder, replacing the Cohere
+  call at search_service.py:79-86), clamp k (config.py:62-68), dispatch to
+  the library's index or brute-force fallback, filter-then-search.
+- ``LibraryService.index_library``  (library_service.py:120-158): batch
+  index build per (library, index_type), INSERT OVERWRITE of the index
+  table, ``is_indexed`` flag.
+- ``IndexManager._create_index``    (indexes.py:408-422): 'lsh' | 'ivf'
+  dispatch; anything else (including the README's documented-but-invalid
+  'flat') raises ValueError.
+
+Storage: a warehouse directory of parquet tables —
+
+    {warehouse}/chunks/                 partitioned by library_id
+    {warehouse}/lsh_index/{library_id}/ (id, table_idx, hash)
+    {warehouse}/ivf_index/{library_id}/ (id, cluster_id, embedding)
+    {warehouse}/ivf_centroids/{library_id}.npy
+
+Mutations are atomic directory overwrites (snapshot isolation — the
+capability the reference gets from ReadWriteLock).  On a production
+deployment these become Delta tables with MERGE; the operator layer
+(operators/crud.py) is unchanged by that swap.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.config import DEFAULT_CONFIG, EngineConfig
+from vector_database_api_spark.functions.embedding import make_embedder, text_to_vector
+from vector_database_api_spark.operators import ivf as ivf_mod
+from vector_database_api_spark.operators import lsh as lsh_mod
+from vector_database_api_spark.operators.knn import knn_brute_force
+
+VALID_INDEX_TYPES = ("lsh", "ivf")
+
+
+class VectorEngine:
+    """Library/document/chunk store + per-library ANN indexes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.config = config
+        self._embedder = make_embedder(config.embedding_dim)
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+
+    def _chunks_dir(self) -> str:
+        return os.path.join(self.warehouse, "chunks")
+
+    def _index_dir(self, kind: str, library_id: str) -> str:
+        return os.path.join(self.warehouse, f"{kind}_index", library_id)
+
+    def _centroids_path(self, library_id: str) -> str:
+        d = os.path.join(self.warehouse, "ivf_centroids")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{library_id}.npy")
+
+    def _index_meta(self, library_id: str) -> tuple[str, str] | None:
+        """(index_type, path) of the library's built index, if any."""
+        for kind in VALID_INDEX_TYPES:
+            path = self._index_dir(kind, library_id)
+            if os.path.isdir(path):
+                return kind, path
+        return None
+
+    # -- ingestion (M1; chunk_service.py:22-54) ------------------------
+
+    def ingest_chunks(self, rows: DataFrame) -> None:
+        """Append chunk rows; NULL embeddings are filled by the
+        deterministic embedder (reference embeds on create,
+        chunk_service.py:31).  Partitioned by library_id so every
+        library-scoped read prunes."""
+        filled = rows.withColumn(
+            "embedding",
+            F.coalesce(F.col("embedding"), self._embedder(F.col("text"))),
+        )
+        filled.write.mode("append").partitionBy("library_id").parquet(
+            self._chunks_dir()
+        )
+
+    def chunks(self, library_id: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self._chunks_dir())
+        if library_id is not None:
+            df = df.filter(F.col("library_id") == library_id)
+        return df
+
+    # -- index build (M4; library_service.py:120-158) ------------------
+
+    def index_library(self, library_id: str, index_type: str = "lsh") -> None:
+        """Deterministic full (re)build of the library's index table
+        (IndexManager.rebuild_index, indexes.py:437-452) — INSERT OVERWRITE
+        of a recompute from the chunks table."""
+        if index_type not in VALID_INDEX_TYPES:
+            # parity: reference raises on anything but lsh/ivf
+            # (indexes.py:408-422; 'flat' in the README is invalid there too)
+            raise ValueError(f"Unknown index type: {index_type}")
+        chunks = self.chunks(library_id).filter(F.col("embedding").isNotNull())
+        if index_type == "lsh":
+            planes = lsh_mod.generate_planes(
+                self.config.embedding_dim, config=self.config
+            )
+            lsh_mod.hash_table_df(chunks, planes).write.mode("overwrite").parquet(
+                self._index_dir("lsh", library_id)
+            )
+        else:
+            index = ivf_mod.build_ivf(chunks, config=self.config)
+            ivf_dir = self._index_dir("ivf", library_id)
+            if index.trained:
+                # partitioned by cluster_id: probe search = partition pruning
+                index.index_df.write.mode("overwrite").partitionBy(
+                    "cluster_id"
+                ).parquet(ivf_dir)
+                np.save(self._centroids_path(library_id), index.centroids)
+                marker = os.path.join(ivf_dir, "_UNTRAINED")
+                if os.path.exists(marker):
+                    os.remove(marker)
+            else:
+                # untrained (n < nlist): the library IS indexed but the index
+                # is untrained — searches must return empty (reference lazy-
+                # train gate, indexes.py:343-344), NOT fall back to brute force
+                os.makedirs(ivf_dir, exist_ok=True)
+                with open(os.path.join(ivf_dir, "_UNTRAINED"), "w") as f:
+                    f.write("")
+        # dropping the other index type mirrors index switching in the
+        # reference tests (test_basic.py:244-268: lsh -> ivf -> lsh)
+        other = "ivf" if index_type == "lsh" else "lsh"
+        other_dir = self._index_dir(other, library_id)
+        if os.path.isdir(other_dir):
+            import shutil
+
+            shutil.rmtree(other_dir)
+
+    # -- search (search_service.py:24-153) -----------------------------
+
+    def search(
+        self,
+        library_id: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Filtered top-k search: index dispatch when built, brute-force
+        fallback otherwise; k clamped to [1, max_k] with default
+        (T2, config.py:62-68); k results are k *filtered* results."""
+        if query_embedding is None:
+            if query_text is None:
+                raise ValueError("query must have text or embedding")
+            query_embedding = [
+                float(x)
+                for x in text_to_vector(query_text, self.config.embedding_dim)
+            ]
+        k = self.config.clamp_k(k)
+        query = self.spark.createDataFrame(
+            [(query_embedding,)], "query_embedding array<float>"
+        )
+        chunks = self.chunks(library_id)
+
+        meta = self._index_meta(library_id)
+        if meta is None:
+            return knn_brute_force(
+                chunks, query, k=k, metadata_filters=metadata_filters
+            )
+        kind, path = meta
+        if kind == "lsh":
+            planes = lsh_mod.generate_planes(
+                self.config.embedding_dim, config=self.config
+            )
+            index_df = self.spark.read.parquet(path)
+            return lsh_mod.lsh_search(
+                chunks,
+                query,
+                planes,
+                k=k,
+                metadata_filters=metadata_filters,
+                index_df=index_df,
+            )
+        if os.path.exists(os.path.join(path, "_UNTRAINED")):
+            return self.spark.createDataFrame([], ivf_mod.RESULT_SCHEMA)
+        centroids = np.load(self._centroids_path(library_id))
+        index = ivf_mod.IVFIndex(
+            centroids=centroids,
+            index_df=self.spark.read.parquet(path),
+            trained=True,
+            nlist=self.config.ivf_nlist,
+            nprobe=self.config.ivf_nprobe,
+        )
+        return ivf_mod.ivf_search(
+            index,
+            query,
+            np.asarray(query_embedding, dtype=np.float64),
+            k=k,
+            chunks=chunks,
+            metadata_filters=metadata_filters,
+        )

@@ -50,11 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: ns values (~1.7e18) exceed double precision
+            # (2^53), so a float path would be off by ±1 µs
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
             )
         return df
     return spark.read.parquet(path)
