@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -167,6 +168,43 @@ def ivf_search(
         euclidean_distance("embedding", query_vec_col).alias("distance"),
     )
     return scored.orderBy(F.desc("similarity"), F.col("id")).limit(k)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign rows to their nearest centroid with FROZEN centroids — the
+    incremental add/update path (reference indexes.py:267-274,310-321:
+    after initial training, new vectors are assigned with stale centroids,
+    never retrained — SURVEY §7 risk 5 says mirror, don't 'fix').
+
+    Arrow-vectorized pandas UDF: one NumPy distance matrix per batch; the
+    centroid matrix rides into the workers via closure (broadcast-scale by
+    construction, nlist x dim)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        # argmin over squared L2 (same argmin as L2); ties -> lowest id,
+        # matching np.argmin in the reference (indexes.py:273)
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * m @ cent.T
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        nearest(F.col(vec_col)).alias("cluster_id"),
+        F.col(vec_col).alias("embedding"),
+    )
 
 
 def cluster_sizes(index: IVFIndex) -> DataFrame:

@@ -705,6 +705,96 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "integrity_audit_orphans",
+    """
+    WITH surviving_docs AS (SELECT doc_id FROM documents WHERE source <> 'src1')
+    SELECT 'orphan_chunk' AS violation, CAST(e.vec_id AS VARCHAR) AS entity_id
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM surviving_docs d WHERE d.doc_id = e.vec_id)
+    """,
+)
+def integrity_audit_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (S10, storage.py:278-306): after
+    simulating the loss of library 'src1''s documents, every embedding row
+    pointing at a vanished document is flagged via anti-join."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") != "src1"
+    )
+    embs = load_table(spark, sf_dir, "embeddings")
+    return (
+        embs.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        .select(
+            F.lit("orphan_chunk").alias("violation"),
+            F.col("vec_id").cast("string").alias("entity_id"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: predicate-heavy single-table scan + scalar agg —
+    every filter must reach the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register("embed_texts_deterministic", None)
+def embed_texts_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 embedding source as an Arrow-batched pandas UDF (rows-only:
+    the embedder is deterministic but not SQL-expressible).  Returns the
+    per-language mean first component — exercises embed + agg."""
+    from vector_database_api_spark.functions.embedding import embed_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("emb", embed_text("text", 64))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("emb")[0]), 6).alias("mean_c0"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended time-aware joins + analytics (absent in reference, SURVEY §2.4 /
 # §2.11; required capability for the events surface)

@@ -148,6 +148,101 @@ class VectorEngine:
 
             shutil.rmtree(other_dir)
 
+    # -- mutation maintenance (M2/M3; chunk_service.py:81-134) ---------
+
+    def delete_chunks(self, library_id: str, chunk_ids: list[str]) -> None:
+        """M3: remove chunks and their index rows (reference removes from
+        index then storage, chunk_service.py:108-134).  Snapshot rewrite of
+        the library partition + anti-join on the index table."""
+        remaining = self.chunks(library_id).filter(~F.col("id").isin(chunk_ids))
+        self._overwrite_library_chunks(library_id, remaining)
+        meta = self._index_meta(library_id)
+        if meta is not None:
+            kind, path = meta
+            if kind == "lsh":
+                idx = self.spark.read.parquet(path)
+                kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
+                kept.write.mode("overwrite").parquet(path)
+            elif not os.path.exists(os.path.join(path, "_UNTRAINED")):
+                idx = self.spark.read.parquet(path)
+                kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
+                kept.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    def update_chunk_texts(self, library_id: str, patches: dict[str, str]) -> None:
+        """M2: text update => re-embed + remove-then-add in the index
+        (chunk_service.py:81-98).  The updated rows get fresh deterministic
+        embeddings; index rows for those ids are recomputed."""
+        ids = list(patches)
+        mapping = F.create_map(
+            *[F.lit(x) for kv in patches.items() for x in kv]
+        )
+        updated = (
+            self.chunks(library_id)
+            .withColumn(
+                "text",
+                F.when(F.col("id").isin(ids), mapping[F.col("id")]).otherwise(
+                    F.col("text")
+                ),
+            )
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("id").isin(ids), self._embedder(F.col("text"))
+                ).otherwise(F.col("embedding")),
+            )
+        )
+        self._overwrite_library_chunks(library_id, updated)
+        meta = self._index_meta(library_id)
+        if meta is not None:
+            kind, path = meta
+            if kind == "lsh":
+                planes = lsh_mod.generate_planes(
+                    self.config.embedding_dim, config=self.config
+                )
+                idx = self.spark.read.parquet(path)
+                fresh = lsh_mod.hash_table_df(
+                    self.chunks(library_id).filter(F.col("id").isin(ids)), planes
+                )
+                merged = (
+                    idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
+                ).localCheckpoint()
+                merged.write.mode("overwrite").parquet(path)
+            else:
+                # IVF: assignment with the frozen centroids (the reference
+                # never retrains once trained — SURVEY §7 risk 5)
+                if os.path.exists(os.path.join(path, "_UNTRAINED")):
+                    return
+                centroids = np.load(self._centroids_path(library_id))
+                changed = self.chunks(library_id).filter(F.col("id").isin(ids))
+                fresh = ivf_mod.assign_to_centroids(changed, centroids)
+                idx = self.spark.read.parquet(path)
+                merged = (
+                    idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
+                ).localCheckpoint()
+                merged.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+    def _overwrite_library_chunks(self, library_id: str, new_rows: DataFrame) -> None:
+        """Atomic snapshot replace of ONE library partition.  Dynamic
+        partition overwrite touches only the partitions present in
+        ``new_rows`` (this library), leaving other libraries' data alone;
+        localCheckpoint materializes the snapshot before the overwrite so
+        the read and write of the same path never overlap."""
+        snap = new_rows.localCheckpoint()
+        if snap.rdd.isEmpty():
+            # dynamic overwrite writes no partitions for an empty frame;
+            # an emptied library must still lose its directory
+            import shutil
+
+            part_dir = os.path.join(
+                self._chunks_dir(), f"library_id={library_id}"
+            )
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            return
+        snap.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("library_id").parquet(self._chunks_dir())
+
     # -- search (search_service.py:24-153) -----------------------------
 
     def search(
