@@ -1,0 +1,76 @@
+"""applyInPandasWithState: per-key state persists across micro-batches and
+across stream restarts (checkpoint recovery)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.streaming import maintenance as M
+from vector_database_api_spark.streaming.stateful import running_user_profile
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        )
+    )
+
+
+def _drain(spark, src, out_dir, ckpt):
+    """memory sink cannot resume from a checkpoint, so batches land in a
+    parquet dir via foreachBatch; each drain reads only its own batches.
+    availableNow may split the backlog into several micro-batches (update
+    mode emits one row per touched key per batch), so keep each user's row
+    from the LAST batch that touched it."""
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, value double"
+    )
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        running_user_profile(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {}
+    for r in sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["batch_id"]
+    ):
+        out[r["user_id"]] = (r["n_events"], r["total_value"])
+    return out
+
+
+def test_state_accumulates_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2024, 1, 1, 9, 0)
+
+    _events_df(spark, [(1, t, 2.0), (1, t, 3.0), (2, t, 10.0)]).write.mode(
+        "append"
+    ).parquet(src)
+    got1 = _drain(spark, src, str(tmp_path / "out1"), ckpt)
+    assert got1 == {1: (2, 5.0), 2: (1, 10.0)}
+
+    # second batch, new query instance, same checkpoint: state recovered
+    _events_df(spark, [(1, t, 4.0), (3, t, 7.0)]).write.mode("append").parquet(src)
+    got2 = _drain(spark, src, str(tmp_path / "out2"), ckpt)
+    # update mode emits only touched keys; user 1 continued from state
+    assert got2[1] == (3, 9.0)
+    assert got2[3] == (1, 7.0)
+    assert 2 not in got2

@@ -1,0 +1,111 @@
+"""Scale smoke test: replicate the driver tables in-memory to millions of
+rows and time the core operators.  Evidence that the operator shapes hold
+well past the bench scale (the plans contain no driver-side loops or
+collects, so throughput should scale ~linearly with cores/data until
+shuffle or memory limits).
+
+Usage: python tools/scale_smoke.py [emb_multiplier] [doc_multiplier]
+Prints one JSON line with per-operator seconds and effective row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from vector_database_api_spark import queries  # noqa: F401 (registers)
+from vector_database_api_spark.functions.vector import cosine_similarity
+from vector_database_api_spark.operators import dedup as D
+from vector_database_api_spark.operators import lsh as L
+from vector_database_api_spark.session import get_spark
+from vector_database_api_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df, times: int, id_col: str):
+    """times copies with distinct ids: id' = id * times + replica."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_rep")
+    return df.select("*", reps).withColumn(
+        id_col, F.col(id_col) * times + F.col("_rep")
+    ).drop("_rep")
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def main() -> None:
+    emb_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    doc_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("scale-smoke")
+
+    embs = replicate(load_table(spark, SF_DIR, "embeddings"), emb_mult, "vec_id")
+    embs.persist()
+    n_emb = embs.count()
+
+    docs = replicate(load_table(spark, SF_DIR, "documents"), doc_mult, "doc_id")
+    docs.persist()
+    n_doc = docs.count()
+
+    query = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+
+    results: dict[str, float] = {}
+
+    def brute_knn():
+        out = (
+            embs.crossJoin(F.broadcast(query))
+            .select(
+                "vec_id",
+                cosine_similarity("embedding", "query_embedding").alias("s"),
+            )
+            .orderBy(F.desc("s"), F.col("vec_id"))
+            .limit(10)
+        )
+        return out.count()
+
+    results["brute_knn_sec"], _ = timed(brute_knn)
+
+    planes = L.generate_planes(64)
+
+    def lsh_build():
+        idx = L.hash_table_df(embs, planes, id_col="vec_id")
+        idx.write.format("noop").mode("overwrite").save()
+        return None
+
+    results["lsh_index_build_sec"], _ = timed(lsh_build)
+
+    def exact_dedup():
+        return D.exact_dedup(docs).count()
+
+    results["exact_dedup_sec"], results["exact_dedup_survivors"] = timed(exact_dedup)
+
+    def minhash():
+        return D.minhash_near_dup_pairs(docs, jaccard_threshold=0.5).count()
+
+    results["minhash_sec"], results["minhash_pairs"] = timed(minhash)
+
+    print(
+        json.dumps(
+            {
+                "n_embeddings": n_emb,
+                "n_documents": n_doc,
+                **results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -252,6 +252,100 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_mod.ivf_search(index, query, query_vec, k=10)
 
 
+# IVF probe-search SEMANTICS, oracle-checked: training (KMeans) is the only
+# non-SQL stage, so this query freezes the centroid set to a deterministic
+# rule (the first nlist=20 embedding rows) and runs the full I2+I6 pipeline
+# — nearest-centroid assignment, top-nprobe probing, member gather, exact
+# cosine re-rank — identically in Spark and DuckDB.
+
+_IVF_PROBE_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings WHERE vec_id < 20
+),
+qv AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 11),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT cluster_id FROM (
+    SELECT c.cluster_id,
+           row_number() OVER (
+             ORDER BY {duck_euclidean('c.cvec', 'q.query_embedding')}, c.cluster_id
+           ) AS rn
+    FROM cents c, qv q
+  ) WHERE rn <= 5
+),
+pool AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probed p ON a.cluster_id = p.cluster_id
+)
+SELECT pool.vec_id,
+       {duck_cosine('pool.embedding', 'q.query_embedding')} AS similarity
+FROM pool, qv q
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+@register("ivf_probe_fixed_centroids", _IVF_PROBE_ORACLE)
+def ivf_probe_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF I2+I6 with a frozen, SQL-expressible centroid set: assignment by
+    argmin L2 (ties -> lowest cluster, reference indexes.py:273), top-5
+    probe (indexes.py:346-349), cosine re-rank top-10 (indexes.py:358-369).
+    KMeans *training* stays pytest-verified; every other IVF stage is
+    oracle-checked here."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    query = embs.filter(F.col("vec_id") == 11).select(
+        F.col("embedding").alias("query_embedding")
+    )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        euclidean_distance("embedding", "cvec"), F.col("cluster_id")
+    )
+    assign = (
+        embs.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+
+    # top-nprobe over the (tiny) centroid set: ORDER BY + LIMIT plans as
+    # TakeOrderedAndProject — no single-partition WindowExec needed.
+    probed = (
+        cents.crossJoin(F.broadcast(query))
+        .orderBy(
+            euclidean_distance("cvec", "query_embedding"), F.col("cluster_id")
+        )
+        .limit(5)
+        .select("cluster_id")
+    )
+
+    pool = (
+        embs.join(assign, "vec_id")
+        .join(F.broadcast(probed), "cluster_id")
+        .select("vec_id", "embedding")
+    )
+    return (
+        pool.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "query_embedding").alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector scalar functions V1-V3 (embedding.py:66-140), bit-exact pairs
 # ---------------------------------------------------------------------------
