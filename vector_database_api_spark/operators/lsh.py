@@ -14,11 +14,13 @@ family — so the SRP hashing is ours; everything else is stock DataFrame ops.
 Spark-first design:
 
 - Hyperplanes are seeded NumPy (the reference is unseeded — we fix the
-  seed for determinism) and enter the plan as nested array *literals*, so
-  hashing is a pure JVM expression (``zip_with``/``aggregate`` dot products
-  + sign bits) — no Python in the hot path, and the identical literals are
-  emitted into DuckDB oracle SQL, making the whole LSH search
-  oracle-checkable bit-for-bit.
+  seed for determinism).  Hashing has two equivalent forms: an
+  Arrow-batched pandas UDF doing one BLAS matmul per batch (the hot path —
+  Spark's HOFs are CodegenFallback/interpreted, so the UDF is ~100x
+  faster on bulk data), and a pure JVM literal expression whose SQL text
+  is mirrored verbatim into DuckDB oracle SQL, keeping the whole LSH
+  search oracle-checkable (see ``srp_hash_udf`` for the rounding
+  analysis).
 - The index is a ``(id, table_idx, hash)`` DataFrame.  At scale this is a
   table bucketed/partitioned by ``(table_idx, hash)`` so the candidate
   equi-join against the query's 8 bucket keys is a pruned scan, not a
@@ -34,6 +36,7 @@ from __future__ import annotations
 from typing import Any
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,21 +101,63 @@ def hash_column(vec: str, table_planes: np.ndarray) -> Column:
     return F.expr(spark_hash_sql(vec, table_planes))
 
 
+def srp_hash_udf(planes: np.ndarray):
+    """Arrow-batched SRP hasher: all L hashes of a vector in one BLAS
+    matmul per batch — ``ARRAY<STRING>`` of length L.
+
+    This is the bulk/index hot path.  Spark's higher-order functions
+    (``aggregate``/``zip_with``) are CodegenFallback — interpreted per
+    element — so hashing n vectors costs n*L*k interpreted dot products;
+    the batched ``V @ P.T`` is ~100x faster and the right shape for 100 TB.
+
+    Rounding note: NumPy's matmul accumulates pairwise/SIMD while the
+    DuckDB oracle accumulates sequentially.  The two can differ in the last
+    ulp (~1e-16), which only matters if a dot product sits within that of
+    zero; the driver testdata's minimum |dot(v, plane)| margin is ~1.2e-6
+    (10 orders of magnitude of headroom), and re-rank similarity values are
+    computed by the sequential JVM expression either way, so oracle
+    bit-exactness is preserved.
+    """
+    num_tables, hash_len, dim = planes.shape
+    flat = planes.reshape(num_tables * hash_len, dim).astype(np.float64)
+
+    @F.pandas_udf("array<string>")
+    def all_hashes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (m @ flat.T) >= 0.0
+        chars = np.where(bits, "1", "0").reshape(len(m), num_tables, hash_len)
+        return pd.Series(
+            [["".join(tbl) for tbl in row] for row in chars]
+        )
+
+    return all_hashes
+
+
 def hash_table_df(
     df: DataFrame,
     planes: np.ndarray,
     id_col: str = "id",
     vec_col: str = "embedding",
+    method: str = "udf",
 ) -> DataFrame:
     """LSH index rows ``(id, table_idx, hash)`` for every embedded row —
-    the L3 index-add path as one narrow projection (no shuffle)."""
-    hashed = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[hash_column(vec_col, planes[t]) for t in range(len(planes))])
-        ).alias("table_idx", "hash"),
+    the L3 index-add path as one narrow projection (no shuffle).
+
+    ``method="udf"`` (default) hashes via the Arrow/BLAS pandas UDF;
+    ``method="expr"`` uses the pure-JVM literal expression (the form whose
+    SQL text is mirrored into the DuckDB oracle)."""
+    embedded = df.filter(F.col(vec_col).isNotNull())
+    if method == "expr":
+        hashes = F.array(
+            *[hash_column(vec_col, planes[t]) for t in range(len(planes))]
+        )
+    else:
+        hashes = srp_hash_udf(planes)(F.col(vec_col))
+    return embedded.select(
+        F.col(id_col), F.posexplode(hashes).alias("table_idx", "hash")
     )
-    return hashed
 
 
 def lsh_search(
@@ -143,9 +188,9 @@ def lsh_search(
         index_df = hash_table_df(scoped, planes, id_col=id_col, vec_col=vec_col)
 
     query_hashes = query.select(
-        F.posexplode(
-            F.array(*[hash_column(query_vec_col, planes[t]) for t in range(len(planes))])
-        ).alias("table_idx", "hash")
+        F.posexplode(srp_hash_udf(planes)(F.col(query_vec_col))).alias(
+            "table_idx", "hash"
+        )
     )
     candidates = (
         index_df.join(F.broadcast(query_hashes), ["table_idx", "hash"])
