@@ -27,8 +27,10 @@ HEADLINE = [
     "knn_cosine_topk",
     "knn_filtered",
     "knn_euclidean_topk",
+    "knn_many_queries",
     "lsh_search_topk",
     "ivf_search_topk",
+    "ivf_probe_fixed_centroids",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
@@ -45,6 +47,11 @@ HEADLINE = [
     "embedding_near_dup_blocked",
     "dedup_keep_first",
     "dedup_exact_summary",
+    "q18_large_orders",
+    "top_supplier_per_nation",
+    "user_value_moving_avg",
+    "sampled_event_stats",
+    "ngram_jaccard_pairs",
 ]
 
 

@@ -35,10 +35,16 @@ def test_topk_is_take_ordered_not_global_sort(audits):
 
 
 def test_no_python_in_hot_paths(audits):
-    """Vector math, hashing, filtering: all JVM expressions — zero
-    Python/Arrow eval nodes anywhere in the scoring plans."""
+    """Vector math, scoring, filtering: all JVM expressions — zero
+    Python/Arrow eval nodes in the scoring plans.  Exception: LSH hashing
+    is deliberately an Arrow-batched pandas UDF (one BLAS matmul per
+    batch) because Spark's higher-order functions are CodegenFallback —
+    see lsh.srp_hash_udf; it must be the ONLY Python node in that plan."""
     for name, a in audits.items():
-        assert a["python_udfs"] == 0, name
+        if name == "lsh_search_topk":
+            assert a["python_udf_names"] <= {"all_hashes"}, a["python_udf_names"]
+        else:
+            assert a["python_udfs"] == 0, name
 
 
 def test_dimension_joins_broadcast(audits):

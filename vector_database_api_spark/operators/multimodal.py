@@ -32,6 +32,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "id string, modality string, content binary, meta map<string,string>"
@@ -39,6 +40,27 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "id string, modality string, feature array<float>"
 FRAME_SCHEMA = "id string, frame_idx int, frame binary"
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the driver ``documents``
+    table: UTF-8 text bytes as the opaque ``content`` BLOB, modality
+    assigned by ``doc_id % 3`` (0=image, 1=audio, 2=video), document
+    attributes as typed metadata.  Gives the multimodal operators a
+    reproducible corpus that the DuckDB oracle can reason about
+    (octet_length of the same text)."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
 
 
 def fake_decode(content: bytes) -> np.ndarray:

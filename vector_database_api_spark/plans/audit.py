@@ -17,6 +17,8 @@ loudly instead of silently costing a shuffle at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -38,4 +40,7 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
         and "PushedFilters: []" not in plan,
         "codegen_stages": plan.count("WholeStageCodegen"),
         "python_udfs": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "python_udf_names": set(
+            re.findall(r"(?:Batch|Arrow)EvalPython \[(\w+)", plan)
+        ),
     }

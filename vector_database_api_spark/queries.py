@@ -1164,3 +1164,258 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended surface round 2: N x M similarity join, analytic window frames,
+# deterministic sampling, exact n-gram Jaccard, additional TPC-H shapes.
+# ---------------------------------------------------------------------------
+
+_KNN_MANY_ORACLE = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {duck_cosine('e.embedding', 'q.qv')} AS similarity
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, similarity FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("knn_many_queries", _KNN_MANY_ORACLE)
+def knn_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N x M brute-force similarity JOIN (the batch form of reference
+    search_service.py:112-153, one row per (query, neighbor)): broadcast
+    the M query vectors against the corpus, score JVM-side, per-query
+    top-k via ranking window partitioned by query — the scalable shape
+    (corpus never shuffles; window state is k rows per query)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("similarity"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "vec_id", "similarity")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 140
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS total_price, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING-filtered aggregate feeding a two-level
+    FK join; the aggregate side shrinks first so the joins stay small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 140)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "top_supplier_per_nation",
+    """
+    SELECT n_name, s_name, s_acctbal FROM (
+      SELECT n.n_name, s.s_name, s.s_acctbal,
+             max(s.s_acctbal) OVER (PARTITION BY s.s_nationkey) AS max_bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE s_acctbal = max_bal
+    """,
+)
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated max: window max per partition + equality
+    keep (no comparison arithmetic, so doubles stay bit-exact)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    w = Window.partitionBy("s_nationkey")
+    return (
+        joined.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "user_value_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+           round(value - coalesce(lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS delta_prev
+    FROM events WHERE user_id < 20
+    """,
+)
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames over the event stream: per-user moving
+    average (ROWS frame) and lag delta, deterministic ordering by
+    (ts, event_id)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(frame), 4).alias("moving_avg"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "sampled_event_stats",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events WHERE event_id % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def sampled_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sampling (id mod — reproducible across engines
+    and runs, unlike Bernoulli RNG sampling) feeding an aggregate; the
+    sampling predicate pushes down to the scan."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 10 == 0
+    )
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, source,
+         {text_fns.duck_word_shingles('text', 3)} AS shingles
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       (CAST(len(a.shingles) AS DOUBLE) + CAST(len(b.shingles) AS DOUBLE)
+        - CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.id < b.id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      (CAST(len(a.shingles) AS DOUBLE) + CAST(len(b.shingles) AS DOUBLE)
+       - CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)) >= 0.6
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs with source blocking: the
+    pair expansion happens only within equal source values (shuffle on the
+    block key), and the integer-count division is bit-exact on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.expr(text_fns.spark_word_shingles("text", 3)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(
+        F.col("id").alias("id_a"), "source", F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), "source", F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    )
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "multimodal_frame_counts",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           least(8, greatest(octet_length(CAST(text AS BLOB)) // 1024, 1)) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1-to-N plumbing, oracle-checked end-to-end: build the
+    deterministic media table (text bytes as opaque BLOBs), frame-sample
+    every video row via mapInPandas (fixed-stride byte windows standing in
+    for decoded frames), count frames per id.  The oracle recomputes the
+    expected frame count from octet_length of the same text — proving the
+    binary round-trip, modality pruning, and expansion contract."""
+    from vector_database_api_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.media_from_documents(docs)
+    frames = mm.sample_frames(media)
+    return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract media rows via mapInPandas with the
+    deterministic fake codec (rows-only: sha256-seeded Gaussian features
+    are not SQL-expressible).  Real codecs plug in at the marked seam in
+    operators/multimodal.py::decode_image."""
+    from vector_database_api_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return mm.extract_features(mm.media_from_documents(docs))
