@@ -85,3 +85,17 @@ def test_embedding_near_dup_blocked(spark):
     # without blocking the cross-block duplicate surfaces too
     pairs_all = D.embedding_near_dup_pairs(df, threshold=0.95).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs_all} == {("a", "b"), ("a", "d"), ("b", "d")}
+
+
+def test_udf_shingles_equal_sql_shingles(spark, sf_dir):
+    """word_shingles_udf must produce byte-identical arrays to the SQL
+    spark_word_shingles form (which is what the DuckDB oracle mirrors)."""
+    from vector_database_api_spark.functions import text as T
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    both = docs.select(
+        F.expr(T.spark_word_shingles("text", 3)).alias("sql_form"),
+        T.word_shingles_udf(3)(F.col("text")).alias("udf_form"),
+    )
+    assert both.filter(F.col("sql_form") != F.col("udf_form")).count() == 0

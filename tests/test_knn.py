@@ -127,3 +127,31 @@ def test_tie_break_deterministic(spark):
         ).collect()
     ]
     assert got == ["a1", "m5", "z9"]
+
+
+def test_blas_knn_matches_exact_topk(spark, sf_dir):
+    """The BLAS scale path returns the same neighbors (ids) as the
+    bit-exact JVM expression path; scores agree to ~1e-12."""
+    import numpy as np
+
+    from vector_database_api_spark.operators.knn import (
+        knn_brute_force,
+        knn_brute_force_blas,
+    )
+    from vector_database_api_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    qrow = embs.filter(F.col("id") == "3").collect()[0]
+    qvec = np.asarray(qrow["embedding"], dtype=np.float64)
+    query = spark.createDataFrame(
+        [(list(float(x) for x in qrow["embedding"]),)],
+        "query_embedding array<float>",
+    )
+    exact = knn_brute_force(embs, query, k=10).collect()
+    blas = knn_brute_force_blas(embs, qvec, k=10).collect()
+    assert [r["id"] for r in exact] == [r["id"] for r in blas]
+    for e, b in zip(exact, blas):
+        assert abs(e["similarity"] - b["similarity"]) < 1e-12
+        assert abs(e["distance"] - b["distance"]) < 1e-12

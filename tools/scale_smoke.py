@@ -77,6 +77,19 @@ def main() -> None:
 
     results["brute_knn_sec"], _ = timed(brute_knn)
 
+    qvec = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    )
+
+    def brute_knn_blas():
+        from vector_database_api_spark.operators.knn import knn_brute_force_blas
+
+        return knn_brute_force_blas(embs, qvec, k=10, id_col="vec_id").count()
+
+    results["brute_knn_blas_sec"], _ = timed(brute_knn_blas)
+
     planes = L.generate_planes(64)
 
     def lsh_build():

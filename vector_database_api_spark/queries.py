@@ -1360,26 +1360,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key), and the integer-count division is bit-exact on both
     engines."""
     docs = load_table(spark, sf_dir, "documents")
+    # Arrow-batched shingler: exact string-equal twin of the SQL form used
+    # in the oracle (tests pin the equality); ~10x on bulk scans.
     sh = docs.select(
         F.col("doc_id").alias("id"),
         "source",
-        F.expr(text_fns.spark_word_shingles("text", 3)).alias("shingles"),
+        text_fns.word_shingles_udf(3)(F.col("text")).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    a = sh.select(
-        F.col("id").alias("id_a"), "source", F.col("shingles").alias("sh_a")
+    # Inverted-index shape: pairs sharing ZERO shingles (jaccard 0) never
+    # materialize, so the join output is proportional to actual overlap,
+    # not to block-size².  (All-pairs + array_intersect per pair was
+    # measured 18x slower at sf0.1.)  Oracle SQL is unchanged: its >= 0.6
+    # filter drops exactly the pairs this plan never builds.
+    # Shingle size rides along with each exploded row, so the heavy
+    # tokenize+shingle expression is evaluated once per doc and the
+    # Jaccard needs no extra joins after the pair count.
+    ex = sh.select(
+        "id",
+        "source",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
-    b = sh.select(
-        F.col("id").alias("id_b"), "source", F.col("shingles").alias("sh_b")
+    a = ex.select(
+        F.col("id").alias("id_a"), "source", "shingle", F.col("n_sh").alias("na")
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
-        "double"
+    b = ex.select(
+        F.col("id").alias("id_b"), "source", "shingle", F.col("n_sh").alias("nb")
     )
-    union = (
-        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
-    )
+    inter = F.col("n_inter").cast("double")
+    union = F.col("na").cast("double") + F.col("nb").cast("double") - inter
     return (
-        a.join(b, "source")
+        a.join(b, ["source", "shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
