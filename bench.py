@@ -52,6 +52,10 @@ HEADLINE = [
     "user_value_moving_avg",
     "sampled_event_stats",
     "ngram_jaccard_pairs",
+    "custkeys_both_statuses",
+    "conditional_agg_priorities",
+    "string_profile",
+    "multimodal_frame_counts",
 ]
 
 

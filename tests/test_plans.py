@@ -85,3 +85,34 @@ def test_column_pruning(spark, sf_dir):
         "l_discount",
         "l_shipdate",
     }
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing: two tables bucketed by the join key
+    into the same bucket count sort-merge-join with ZERO exchanges — the
+    layout that makes repeated big-table joins shuffle-free at 100 TB."""
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.select("doc_id", "source")
+    right = docs.select("doc_id", "n_chars")
+    for name, df in [("bkt_left", left), ("bkt_right", right)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "doc_id")
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

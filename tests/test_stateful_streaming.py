@@ -74,3 +74,63 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     assert got2[1] == (3, 9.0)
     assert got2[3] == (1, 7.0)
     assert 2 not in got2
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fingerprint": [r[0] for r in rows],
+                "doc_id": [r[1] for r in rows],
+                "text": [r[2] for r in rows],
+            }
+        )
+    )
+
+
+def _drain_dedup(spark, src, out_dir, ckpt):
+    from vector_database_api_spark.streaming.stateful import streaming_exact_dedup
+
+    stream = M.read_event_stream(
+        spark, src, "fingerprint bigint, doc_id bigint, text string"
+    )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r["fingerprint"], r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def test_streaming_dedup_suppresses_across_restarts(spark, tmp_path):
+    """First doc per fingerprint is emitted once; duplicates in the same
+    batch, later batches, and after a stream restart are all suppressed by
+    the checkpointed state cache."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    # single file per append => one micro-batch per drain (the file source
+    # may otherwise split part-files across batches)
+    _docs_df(
+        spark, [(100, 7, "alpha"), (100, 3, "alpha dup"), (200, 5, "beta")]
+    ).repartition(1).write.mode("append").parquet(src)
+    got1 = _drain_dedup(spark, src, str(tmp_path / "out1"), ckpt)
+    # in-batch dedup: lowest doc_id wins per fingerprint
+    assert got1 == [(100, 3), (200, 5)]
+
+    # restart with new data: old fingerprints suppressed, new ones emitted
+    _docs_df(
+        spark, [(100, 9, "alpha again"), (300, 1, "gamma")]
+    ).repartition(1).write.mode("append").parquet(src)
+    got2 = _drain_dedup(spark, src, str(tmp_path / "out2"), ckpt)
+    assert got2 == [(300, 1)]

@@ -1433,3 +1433,94 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return mm.extract_features(mm.media_from_documents(docs))
+
+
+@register(
+    "custkeys_both_statuses",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def custkeys_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set operation — beyond the reference's only
+    set op (LSH candidate UNION-DISTINCT, A4); plans as a left-semi join
+    after per-side aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+@register(
+    "custkeys_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def custkeys_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set operation — the set-algebra form of the
+    cascade/orphan anti-join (J3)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    holders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(holders.distinct()).distinct()
+
+
+@register(
+    "conditional_agg_priorities",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
+             AS avg_finished_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (filtered count / conditional avg with NULL
+    passthrough) — single-pass CASE-based aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+        ).alias("n_big"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+            4,
+        ).alias("avg_finished_price"),
+    )
+
+
+@register(
+    "string_profile",
+    """
+    SELECT doc_id,
+           upper(source) AS source_uc,
+           length(text) AS n_len,
+           substring(text, 1, 20) AS head,
+           replace(lang, 'en', 'english') AS lang_norm,
+           concat(source, ':', lang) AS src_lang
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (upper/length/substring/replace/concat) —
+    semantics identical across both engines, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.upper("source").alias("source_uc"),
+        F.length("text").alias("n_len"),
+        F.substring("text", 1, 20).alias("head"),
+        F.regexp_replace("lang", "en", "english").alias("lang_norm"),
+        F.concat_ws(":", "source", "lang").alias("src_lang"),
+    )

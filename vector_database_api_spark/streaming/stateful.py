@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -74,5 +75,52 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DEDUP_STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("fingerprint", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _emit_first_seen(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (fingerprint,) = key
+    seen = state.get[0] if state.exists else 0
+    chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+    n_new = sum(len(c) for c in chunks)
+    if seen == 0 and n_new > 0:
+        batch = pd.concat(chunks, ignore_index=True)
+        first = batch.sort_values("doc_id").iloc[0]
+        yield pd.DataFrame(
+            {
+                "fingerprint": [fingerprint],
+                "doc_id": [int(first["doc_id"])],
+                "text": [str(first["text"])],
+            }
+        )
+    state.update((seen + n_new,))
+
+
+def streaming_exact_dedup(docs: DataFrame, fingerprint_col: str = "fingerprint") -> DataFrame:
+    """Streaming exact dedup with a persistent cross-batch cache: the first
+    document per fingerprint is emitted, every later arrival (same batch or
+    any future batch, across restarts via the checkpointed state store) is
+    suppressed.  The streaming twin of ``dedup.exact_dedup`` — the shape a
+    continuous ingest pipeline needs so re-crawled duplicates never reach
+    the corpus.  Requires columns (fingerprint, doc_id, text)."""
+    return docs.groupBy(fingerprint_col).applyInPandasWithState(
+        _emit_first_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
