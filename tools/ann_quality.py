@@ -1,0 +1,110 @@
+"""ANN quality report: recall@k of LSH and IVF vs brute force at sf0.1,
+plus candidate-pool sizes — the quality/cost numbers an ANN benchmark
+publishes (the reference publishes none, BASELINE.md).
+
+Usage: python tools/ann_quality.py [n_queries] [k]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.operators import ivf as ivf_mod
+from vector_database_api_spark.operators import lsh as lsh_mod
+from vector_database_api_spark.operators.knn import knn_brute_force_blas
+from vector_database_api_spark.session import get_spark
+from vector_database_api_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ann-quality")
+
+    embs = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").cast("string").alias("id"), "embedding")
+        .persist()
+    )
+    n = embs.count()
+
+    planes = lsh_mod.generate_planes(64)
+    lsh_index = lsh_mod.hash_table_df(embs, planes).persist()
+    lsh_index.count()
+    # tuned-for-64d variant: shorter hashes => bigger buckets => recall up
+    planes_t = lsh_mod.generate_planes(64, hash_length=6)
+    lsh_index_t = lsh_mod.hash_table_df(embs, planes_t).persist()
+    lsh_index_t.count()
+    ivf_index = ivf_mod.build_ivf(embs)
+    ivf_index.index_df = ivf_index.index_df.persist()
+    ivf_index.index_df.count()
+
+    queries = embs.limit(n_queries).collect()
+    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = total = 0
+    for row in queries:
+        qvec = np.asarray(row["embedding"], dtype=np.float64)
+        qdf = spark.createDataFrame(
+            [([float(x) for x in row["embedding"]],)],
+            "query_embedding array<float>",
+        )
+        truth = {
+            r["id"]
+            for r in knn_brute_force_blas(embs, qvec, k=k).collect()
+        }
+        lsh_res = {
+            r["id"]
+            for r in lsh_mod.lsh_search(
+                embs, qdf, planes, k=k, index_df=lsh_index
+            ).collect()
+        }
+        ivf_res = {
+            r["id"]
+            for r in ivf_mod.ivf_search(ivf_index, qdf, qvec, k=k).collect()
+        }
+        lsh_t_res = {
+            r["id"]
+            for r in lsh_mod.lsh_search(
+                embs, qdf, planes_t, k=k, index_df=lsh_index_t
+            ).collect()
+        }
+        ivf_t_res = {
+            r["id"]
+            for r in ivf_mod.ivf_search(
+                ivf_index, qdf, qvec, k=k, nprobe=20
+            ).collect()
+        }
+        lsh_hits += len(truth & lsh_res)
+        ivf_hits += len(truth & ivf_res)
+        lsh_t_hits += len(truth & lsh_t_res)
+        ivf_t_hits += len(truth & ivf_t_res)
+        total += len(truth)
+
+    print(
+        json.dumps(
+            {
+                "n_vectors": n,
+                "n_queries": n_queries,
+                "k": k,
+                "lsh_recall_ref_params": round(lsh_hits / total, 4),
+                "ivf_recall_ref_params": round(ivf_hits / total, 4),
+                "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),
+                "ivf_recall_nprobe20": round(ivf_t_hits / total, 4),
+                "lsh_tables": len(planes),
+                "ivf_nlist": ivf_index.nlist,
+                "ivf_nprobe": ivf_index.nprobe,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

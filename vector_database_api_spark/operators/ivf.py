@@ -138,6 +138,7 @@ def ivf_search(
     chunks: DataFrame | None = None,
     id_col: str = "id",
     metadata_filters: dict[str, Any] | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Probe search (reference indexes.py:340-379).
 
@@ -151,7 +152,7 @@ def ivf_search(
     if not index.trained:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    probed = probe_clusters(index, query_vec)
+    probed = probe_clusters(index, query_vec, nprobe=nprobe)
     # cluster_id IN (...) over a table partitioned by cluster_id => Catalyst
     # partition pruning scans only the probed inverted lists.
     pool = index.index_df.filter(F.col("cluster_id").isin(probed))
