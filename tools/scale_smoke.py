@@ -99,6 +99,31 @@ def main() -> None:
 
     results["lsh_index_build_sec"], _ = timed(lsh_build)
 
+    from vector_database_api_spark.operators import ivf as IVF
+
+    ivf_holder = {}
+
+    def ivf_build():
+        index = IVF.build_ivf(embs, id_col="vec_id")
+        index.index_df = index.index_df.persist()
+        index.index_df.count()
+        ivf_holder["index"] = index
+        return None
+
+    results["ivf_build_sec"], _ = timed(ivf_build)
+
+    import numpy as np
+
+    def ivf_probe():
+        qdf = spark.createDataFrame(
+            [([float(x) for x in qvec],)], "query_embedding array<float>"
+        )
+        return IVF.ivf_search(
+            ivf_holder["index"], qdf, np.asarray(qvec, dtype=np.float64), k=10
+        ).count()
+
+    results["ivf_probe_search_sec"], _ = timed(ivf_probe)
+
     def exact_dedup():
         return D.exact_dedup(docs).count()
 
