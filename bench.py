@@ -56,6 +56,8 @@ HEADLINE = [
     "conditional_agg_priorities",
     "string_profile",
     "multimodal_frame_counts",
+    "time_functions_profile",
+    "pivot_returnflag_revenue",
 ]
 
 

@@ -1524,3 +1524,58 @@ def string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("lang", "en", "english").alias("lang_norm"),
         F.concat_ws(":", "source", "lang").alias("src_lang"),
     )
+
+
+@register(
+    "time_functions_profile",
+    """
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE extract(year FROM o_orderdate) = 1995
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def time_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface: date_trunc bucketing + extract filtering —
+    the batch twin of the streaming tumbling window."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "pivot_returnflag_revenue",
+    """
+    SELECT extract(year FROM l_shipdate) AS ship_year,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS rev_a,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS rev_n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS rev_r
+    FROM lineitem GROUP BY extract(year FROM l_shipdate)
+    """,
+)
+def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): revenue per ship-year split by return
+    flag via df.pivot — Catalyst rewrites it to the same single-pass
+    conditional aggregation the oracle states explicitly."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("bigint")
+    )
+    out = (
+        li.groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return out.select(
+        "ship_year",
+        F.col("A").alias("rev_a"),
+        F.col("N").alias("rev_n"),
+        F.col("R").alias("rev_r"),
+    )
