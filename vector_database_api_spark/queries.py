@@ -1579,3 +1579,28 @@ def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("rev_n"),
         F.col("R").alias("rev_r"),
     )
+
+
+@register(
+    "array_functions_profile",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component,
+           CAST(list_min(embedding) AS DOUBLE) AS min_component
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def array_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the vector column: length, element
+    access, min/max — exact float32→double casts on both engines (no
+    accumulation, so bit-exact without rounding)."""
+    embs = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return embs.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+    )
