@@ -58,6 +58,17 @@ HEADLINE = [
     "multimodal_frame_counts",
     "time_functions_profile",
     "pivot_returnflag_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "full_outer_order_status",
+    "ranking_window_profile",
+    "orders_above_cust_avg",
+    "simhash_near_dup",
+    "label_centroid_components",
+    "acctbal_percentiles",
+    "grouping_sets_lineitem",
+    "tfidf_top_terms",
 ]
 
 

@@ -69,6 +69,41 @@ def test_simhash_properties(spark):
     assert ham(got[1], got[3]) < ham(got[1], got[4])
 
 
+def test_simhash_near_dup_pairs_matches_brute_force(spark):
+    """The banded join must reproduce brute-force all-pairs exactly for
+    max_hamming <= bands-1 (lossless pigeonhole guarantee)."""
+    import pytest
+
+    rows = [
+        (1, "spark window merge join table"),
+        (2, "spark window merge join table"),  # hamming 0 pair with 1
+        (3, "spark window merge join chart"),  # maybe-near
+        (4, "zzz qqq vvv kkk www"),  # far
+        (5, "spark window merge join table"),  # hamming 0 with 1, 2
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sigs = {r["id"]: r["simhash"] for r in D.simhash(df).collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    want = sorted(
+        (a, b, ham(sigs[a], sigs[b]))
+        for a in sigs
+        for b in sigs
+        if a < b and ham(sigs[a], sigs[b]) <= 3
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_dup_pairs(df, bands=4, max_hamming=3).collect()
+    )
+    assert got == want
+    assert (1, 2, 0) in got and (1, 5, 0) in got and (2, 5, 0) in got
+
+    with pytest.raises(ValueError):
+        D.simhash_near_dup_pairs(df, bands=4, max_hamming=4)
+
+
 def test_embedding_near_dup_blocked(spark):
     rows = [
         ("a", [1.0, 0.0, 0.0], "x"),

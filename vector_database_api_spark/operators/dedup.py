@@ -241,6 +241,93 @@ def duck_simhash_sql(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs with SimHash Hamming distance <=
+    ``max_hamming``, found by a banded equi-join instead of all-pairs.
+
+    With ``bands`` equal-width bands, any pair within ``bands - 1``
+    differing bits shares at least one identical band (pigeonhole), so for
+    ``max_hamming <= bands - 1`` the banded join is LOSSLESS: it returns
+    exactly the brute-force all-pairs answer while shuffling only on
+    (band_idx, band_value).  The oracle exploits this — DuckDB brute-forces
+    all pairs and the results must match bit-for-bit.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding is lossy for max_hamming={max_hamming} > bands-1={bands - 1}"
+        )
+    bits = min(bits, 60)
+    width = bits // bands
+    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", b * width + 1, width) for b in range(bands)]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {bits}), 0L, (acc, i) -> acc + "
+        f"(CASE WHEN substring(sig_a, i, 1) <> substring(sig_b, i, 1) "
+        f"THEN 1L ELSE 0L END))"
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def duck_simhash_near_dup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> str:
+    """Brute-force all-pairs oracle for :func:`simhash_near_dup_pairs` —
+    the banded Spark plan must reproduce this exactly (see losslessness
+    note there)."""
+    bits = min(bits, 60)
+    sig = duck_simhash_sql(table=table, text_col=text_col, id_col=id_col, bits=bits)
+    return f"""
+    WITH sigs AS ({sig}),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(list_sum(list_transform(generate_series(1, {bits}), i ->
+               CASE WHEN substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)
+               THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b ON a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup (cosine within blocking keys)
 # ---------------------------------------------------------------------------

@@ -1604,3 +1604,364 @@ def array_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("max_component"),
         F.array_min("embedding").cast("double").alias("min_component"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the canonical
+    predicate-pushdown query (all four predicates reach the parquet scan,
+    no shuffle except the single-row final agg).  Revenue is summed in
+    exact DECIMAL (prices are exact cents, discounts exact hundredths) so
+    the result is independent of partitioning/summation order — the
+    100 TB-safe way to aggregate money."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 3-way join (broadcast customer dim), filtered
+    fact scan, grouped revenue, top-20 (TakeOrderedAndProject).  Exact
+    DECIMAL revenue: order-independent, so the top-20 cutoff cannot flip
+    on summation-order noise."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                   ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+                 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim broadcast join + conditional-aggregate
+    ratio (single pass, two accumulators).  Both sums are exact DECIMAL;
+    the one double division at the end is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    zero = F.lit(0).cast("decimal(22,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "full_outer_order_status",
+    """
+    WITH f AS (SELECT o_custkey, count(*) AS n_finished FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         o AS (SELECT o_custkey, count(*) AS n_open FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+    SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+           coalesce(n_finished, 0) AS n_finished,
+           coalesce(n_open, 0) AS n_open
+    FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+    """,
+)
+def full_outer_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN of two aggregates with NULL-coalescing — the outer
+    join shape the reference lacks entirely (SURVEY §2.11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    joined = f.alias("f").join(
+        o.alias("o"), F.col("f.o_custkey") == F.col("o.o_custkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("f.o_custkey"), F.col("o.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_finished"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+    )
+
+
+@register(
+    "ranking_window_profile",
+    """
+    SELECT c_custkey, c_mktsegment,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           lag(c_acctbal, 1) OVER w AS prev_bal,
+           lead(c_acctbal, 1) OVER w AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def ranking_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface the reference lacks (SURVEY §2.11):
+    dense_rank / ntile / percent_rank / cume_dist / lag / lead over a
+    deterministic total order.  percent_rank and cume_dist are exact
+    rationals of row counts — identical in both engines without rounding;
+    rounded anyway for defense in depth."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lag("c_acctbal", 1).over(w).alias("prev_bal"),
+        F.lead("c_acctbal", 1).over(w).alias("next_bal"),
+    )
+
+
+@register(
+    "orders_above_cust_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (orders 50% above their
+    customer's average) — expressed as a window aggregate so the plan is
+    one shuffle on the correlation key instead of a per-row subquery."""
+    w = Window.partitionBy("o_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "simhash_near_dup",
+    dedup_mod.duck_simhash_near_dup_sql(max_hamming=3),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 4-band LSH join.  Banding with 4 bands
+    over 60 bits is provably lossless at Hamming <= 3 (pigeonhole), so the
+    DuckDB oracle brute-forces ALL pairs and this banded plan must match
+    it exactly — the banded join shuffles on (band_idx, band_val) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_mod.simhash_near_dup_pairs(docs, bands=4, max_hamming=3)
+
+
+@register(
+    "label_centroid_components",
+    """
+    SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS avg_component
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the distributed 'average vector'
+    pattern): posexplode -> groupBy (label, position) -> avg.  One shuffle
+    keyed by (label, pos); at 100 TB this is the map-side-combinable way
+    to average vectors — no collect, no per-group array building."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    exploded = embs.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("avg_component"))
+    )
+
+
+@register(
+    "acctbal_percentiles",
+    """
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.50) AS p50,
+           quantile_cont(c_acctbal, 0.90) AS p90,
+           median(c_acctbal) AS med
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per segment.  Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the (p*(n-1))-interpolation
+    definition, so values match bit-for-bit (verified — no rounding
+    needed).  At scale this is a single shuffle; the approx_percentile
+    sketch is the >memory escape hatch (different algorithm, so it gets a
+    rows-only check elsewhere)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.25).alias("p25"),
+        F.percentile("c_acctbal", 0.50).alias("p50"),
+        F.percentile("c_acctbal", 0.90).alias("p90"),
+        F.median("c_acctbal").alias("med"),
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (explicit multi-granularity aggregate — the general
+    form of rollup/cube).  Catalyst expands to a single Expand + one
+    aggregation pass: one shuffle for all three granularities instead of
+    three separate jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id < 200
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 200),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, fully distributed: explode ->
+    (doc, term) counts -> document frequency -> broadcast scalar N ->
+    score -> per-doc ranking window.  The MLlib HashingTF path hashes
+    terms (not oracle-checkable); this explicit form is, and its shuffles
+    are all keyed aggregations that map-side combine."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
