@@ -69,6 +69,17 @@ def test_simhash_properties(spark):
     assert ham(got[1], got[3]) < ham(got[1], got[4])
 
 
+def test_simhash_udf_equals_hof(spark, sf_dir):
+    """The vectorized pandas-UDF SimHash must be bit-identical to the
+    pure-expression form (integer votes, same md5 bytes)."""
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    hof = {r["id"]: r["simhash"] for r in D.simhash(docs, compute="hof").collect()}
+    udf = {r["id"]: r["simhash"] for r in D.simhash(docs, compute="udf").collect()}
+    assert hof == udf
+
+
 def test_simhash_near_dup_pairs_matches_brute_force(spark):
     """The banded join must reproduce brute-force all-pairs exactly for
     max_hamming <= bands-1 (lossless pigeonhole guarantee)."""

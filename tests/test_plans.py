@@ -23,6 +23,9 @@ def audits(spark, sf_dir):
         "q1_pricing_summary",
         "q3_top_orders",
         "q5_nation_revenue",
+        "q10_returned_items",
+        "tfidf_top_terms",
+        "simhash_near_dup",
     ]
     return {n: audit_plan(q.spark_queries()[n](spark, sf_dir)) for n in names}
 
@@ -30,7 +33,13 @@ def audits(spark, sf_dir):
 def test_topk_is_take_ordered_not_global_sort(audits):
     """ORDER BY sim DESC LIMIT k must plan as TakeOrderedAndProject
     (per-partition heap + merge), never a full sort."""
-    for name in ("knn_cosine_topk", "knn_filtered", "lsh_search_topk", "q3_top_orders"):
+    for name in (
+        "knn_cosine_topk",
+        "knn_filtered",
+        "lsh_search_topk",
+        "q3_top_orders",
+        "q10_returned_items",
+    ):
         assert audits[name]["take_ordered_topk"], name
 
 
@@ -58,6 +67,30 @@ def test_dimension_joins_broadcast(audits):
 def test_filters_reach_parquet_scan(spark, sf_dir):
     plan = explain_str(q.spark_queries()["point_lookup"](spark, sf_dir))
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6's four range predicates must all reach the parquet scan —
+    the canonical pushdown proof (row groups skip via min/max stats)."""
+    plan = explain_str(q.spark_queries()["q6_forecast_revenue"](spark, sf_dir))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must plan as one Expand + one aggregation pass, not
+    one job per granularity."""
+    plan = explain_str(q.spark_queries()["grouping_sets_lineitem"](spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    # single scan of lineitem, not three (formatted explain prints each
+    # node twice: once in the tree, once in the details section)
+    assert plan.count("Scan parquet") <= 2
 
 
 def test_q1_partial_aggregation(spark, sf_dir):
