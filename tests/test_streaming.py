@@ -106,6 +106,52 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join, drained with
+    availableNow, must equal the batch range_join on the same data."""
+    from vector_database_api_spark.operators import joins as batch_joins
+    from vector_database_api_spark.streaming import joins as stream_joins
+
+    src = str(tmp_path / "events2")
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [7, 7, 7, 8, 8, 9],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 10:00",  # 1: pairs with 2 (5 min)
+                        "2024-01-01 10:05",  # 2
+                        "2024-01-01 11:00",  # 3: too far from 1,2
+                        "2024-01-01 10:00",  # 4: pairs with 5 (10 min exactly)
+                        "2024-01-01 10:10",  # 5
+                        "2024-01-01 10:00",  # 6: alone on its key
+                    ]
+                ),
+            }
+        )
+    )
+    events.write.mode("append").parquet(src)
+
+    batch = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in batch_joins.range_join(
+            spark.read.parquet(src), spark.read.parquet(src), on="user_id"
+        ).collect()
+    }
+    assert batch == {(7, 1, 2), (8, 4, 5)}
+
+    stream = M.read_event_stream(spark, src, events.schema)
+    joined = stream_joins.stream_stream_interval_join(stream, stream)
+    q = M.run_stream_to_memory(joined, "ss_join", output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == batch
+
+
 def test_embedder_deterministic(spark):
     df = spark.createDataFrame([("hello",), ("hello",), ("world",)], "text string")
     from vector_database_api_spark.functions.embedding import embed_text
