@@ -69,6 +69,9 @@ HEADLINE = [
     "acctbal_percentiles",
     "grouping_sets_lineitem",
     "tfidf_top_terms",
+    "regexp_profile",
+    "unpivot_order_metrics",
+    "value_histogram",
 ]
 
 

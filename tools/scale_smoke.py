@@ -141,6 +141,29 @@ def main() -> None:
 
     results["minhash_after_exact_sec"], results["minhash_pairs"] = timed(minhash)
 
+    # SimHash near-dup follows the same pipeline order (exact dedup first);
+    # the banded join + codegen Hamming verify should stay near-linear in
+    # survivor count.
+    def simhash_pairs():
+        return D.simhash_near_dup_pairs(survivors).count()
+
+    results["simhash_after_exact_sec"], results["simhash_pairs"] = timed(
+        simhash_pairs
+    )
+
+    # Per-label centroids over the replicated embeddings: posexplode ->
+    # (label, pos) aggregate; the shuffle carries one row per (label, pos)
+    # per partition after map-side combine.
+    def centroids():
+        return (
+            embs.select("label", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .count()
+        )
+
+    results["label_centroids_sec"], _ = timed(centroids)
+
     print(
         json.dumps(
             {

@@ -39,8 +39,16 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
         "pushed_filters": "PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         "codegen_stages": plan.count("WholeStageCodegen"),
-        "python_udfs": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "python_udfs": len(
+            set(re.findall(r"\((\d+)\) (?:Batch|Arrow)EvalPython", plan))
+            # simple-mode plans have no numbered nodes; fall back to raw count
+            or re.findall(r"(?:Batch|Arrow)EvalPython \[", plan)
+        ),
         "python_udf_names": set(
-            re.findall(r"(?:Batch|Arrow)EvalPython \[(\w+)", plan)
+            re.findall(
+                r"(?:Batch|Arrow)EvalPython(?: \[| \(\d+\)\n(?:.*\n)*?"
+                r"Arguments: \[)(\w+)\(",
+                plan,
+            )
         ),
     }

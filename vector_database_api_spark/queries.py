@@ -1965,3 +1965,83 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+@register(
+    "regexp_profile",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+') AS cust_digits,
+           regexp_replace(c_name, '^Customer#0*', '') AS short_name,
+           CASE WHEN regexp_matches(c_name, '00$') THEN 1 ELSE 0 END
+             AS ends_double_zero
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def regexp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface (extract/replace/match) — absent from the
+    reference (SURVEY §2.11); patterns restricted to the RE2-and-Java
+    common subset so both engines agree."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_digits"),
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("short_name"),
+        F.when(F.col("c_name").rlike("00$"), 1).otherwise(0).alias(
+            "ends_double_zero"
+        ),
+    )
+
+
+@register(
+    "unpivot_order_metrics",
+    """
+    SELECT * FROM (
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderstatus
+    ) UNPIVOT (val FOR metric IN (n_orders, total))
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long reshape, the inverse of pivot): per-status
+    metrics melted to (status, metric, val) rows.  Narrow projection —
+    no extra shuffle beyond the aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over event values (clamped to 10 buckets) —
+    pure-arithmetic bucketing, one map-side-combinable aggregation; the
+    distributed profiling primitive for numeric columns."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(0)),
+        F.lit(9),
+    ).alias("bucket")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
