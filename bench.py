@@ -72,6 +72,14 @@ HEADLINE = [
     "regexp_profile",
     "unpivot_order_metrics",
     "value_histogram",
+    "near_dup_keep_canonical",
+    "chunk_documents_windows",
+    "q4_priority_semi",
+    "q7_nation_volume",
+    "q13_custdist",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

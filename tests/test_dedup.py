@@ -145,3 +145,48 @@ def test_udf_shingles_equal_sql_shingles(spark, sf_dir):
         T.word_shingles_udf(3)(F.col("text")).alias("udf_form"),
     )
     assert both.filter(F.col("sql_form") != F.col("udf_form")).count() == 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    clique 10-11-12, isolated pair 20-21."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2),
+            (2, 3),
+            (3, 4),
+            (10, 11),
+            (11, 12),
+            (10, 12),
+            (20, 21),
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.component for r in D.connected_components(edges).collect()}
+    assert got == {
+        1: 1,
+        2: 1,
+        3: 1,
+        4: 1,
+        10: 10,
+        11: 10,
+        12: 10,
+        20: 20,
+        21: 20,
+    }
+
+
+def test_connected_components_direction_agnostic(spark):
+    """Edges given with arbitrary (src, dst) order produce identical
+    labels — the graph is undirected."""
+    fwd = spark.createDataFrame([(5, 9), (9, 7)], "id_a bigint, id_b bigint")
+    rev = spark.createDataFrame([(9, 5), (7, 9)], "id_a bigint, id_b bigint")
+    as_dict = lambda df: {  # noqa: E731
+        r.id: r.component for r in D.connected_components(df).collect()
+    }
+    assert as_dict(fwd) == as_dict(rev) == {5: 5, 7: 5, 9: 5}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert D.connected_components(edges).count() == 0

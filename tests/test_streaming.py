@@ -131,7 +131,11 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
             }
         )
     )
-    events.write.mode("append").parquet(src)
+    # single file => one micro-batch: the file source (maxFilesPerTrigger=1)
+    # otherwise splits part-files into separate batches in listing order,
+    # and the advancing watermark can evict one side's buffered rows before
+    # the file holding the matching row arrives
+    events.repartition(1).write.mode("append").parquet(src)
 
     batch = {
         (r["user_id"], r["id_a"], r["id_b"])

@@ -399,6 +399,121 @@ def duck_simhash_near_dup_sql(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node in the undirected pair graph;
+    ``component`` is the minimum node id reachable from ``id``.
+
+    This turns near-duplicate PAIRS into near-duplicate CLUSTERS — the
+    step a real dedup pipeline needs between pair generation
+    (:func:`minhash_near_dup_pairs` / :func:`simhash_near_dup_pairs`) and
+    canonical-row selection ("keep one doc per cluster").  The reference
+    has no graph surface at all (SURVEY §2.11).
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round every node (a) takes the min of its own label and its
+    neighbors' labels (one shuffle: edge ⋈ label, groupBy dst, min), then
+    (b) path-compresses by replacing its label with its LABEL's label
+    (one self-join on the label table) — the pointer-jumping step that
+    turns O(diameter) convergence into O(log diameter).  Long near-dup
+    chains (a~b~c~... with drifting similarity) are common in real
+    corpora, so diameter is not bounded by clique size.  Lineage is
+    truncated every round with ``localCheckpoint`` so plans stay flat.
+    Same primitive family as alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14);
+    every step is a keyed join/groupBy, so it scales with the cluster.
+
+    Invariant: a node's label is always the id of some node in its own
+    component and only ever decreases, so the fixpoint (no change in a
+    round) is exactly component = min reachable id.
+    """
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("comp").alias("nbr_comp"))
+            .groupBy("id")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.withColumnRenamed("comp", "old")
+            .join(nbr_min, "id", "left")
+            .select(
+                "id",
+                "old",
+                F.least(F.col("old"), F.coalesce("nbr_comp", "old")).alias("mid"),
+            )
+            # checkpoint before the self-join below: without it the
+            # subtree is inlined once per reference and plans grow
+            # multiplicatively across rounds (measured: round times
+            # explode past 80 s by round 10 on a 700-node graph)
+            .localCheckpoint()
+        )
+        # pointer jump through THIS round's labels: comp <- mid(mid(v)).
+        # Jumping through the stale pre-step labels compresses nothing
+        # (measured: same round count as plain propagation).
+        lookup = stepped.select(
+            F.col("id").alias("mid"), F.col("mid").alias("jumped")
+        )
+        new_labels = (
+            stepped.join(lookup, "mid", "left")
+            .select(
+                "id",
+                "old",
+                F.least(F.col("mid"), F.coalesce("jumped", "mid")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("comp") != F.col("old")).count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def duck_connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`connected_components`: recursive CTE
+    enumerating (node, reachable-node) pairs over the bidirected edge set,
+    then min per node.  Exact fixpoint — UNION dedups, so recursion
+    terminates on the finite closure."""
+    return f"""
+    WITH RECURSIVE p AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup (cosine within blocking keys)
 # ---------------------------------------------------------------------------
 

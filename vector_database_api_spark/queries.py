@@ -2045,3 +2045,331 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering + document chunking (pipeline completions)
+# ---------------------------------------------------------------------------
+
+from vector_database_api_spark.operators import chunking as chunking_mod  # noqa: E402
+
+
+@register(
+    "near_dup_components",
+    dedup_mod.duck_connected_components_sql(
+        dedup_mod.duck_simhash_near_dup_sql(max_hamming=3)
+    ),
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> clusters: distributed min-label propagation
+    over the SimHash pair edges (dedup.connected_components).  Oracle is
+    DuckDB's recursive-CTE transitive closure over the identical brute
+    force pair set — labels must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_mod.simhash_near_dup_pairs(docs, bands=4, max_hamming=3)
+    return dedup_mod.connected_components(pairs)
+
+
+@register(
+    "near_dup_keep_canonical",
+    f"""
+    WITH comp AS ({dedup_mod.duck_connected_components_sql(
+        dedup_mod.duck_simhash_near_dup_sql(max_hamming=3)
+    )})
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           CASE WHEN c.id IS NULL OR c.component = d.doc_id THEN 1 ELSE 0 END
+             AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def near_dup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup DECISION: every document annotated with
+    its cluster and keep/drop — keep the minimum doc_id per cluster,
+    keep everything that has no near-duplicate.  The cluster table is tiny
+    next to the corpus, so the decision join broadcasts at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_mod.simhash_near_dup_pairs(docs, bands=4, max_hamming=3)
+    comp = dedup_mod.connected_components(pairs)
+    return (
+        docs.join(F.broadcast(comp), docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            F.when(
+                F.col("id").isNull() | (F.col("component") == F.col("doc_id")), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+@register(
+    "chunk_documents_windows",
+    chunking_mod.duck_chunk_documents_sql(chunk_size=120, overlap=20),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document -> overlapping chunk windows (reference's Document->Chunk
+    containment, app/models.py:21-34, as a distributed fan-out operator;
+    see operators/chunking.py).  Pure codegen: sequence + posexplode +
+    substring, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking_mod.chunk_documents(docs, chunk_size=120, overlap=20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H widening: q4/q7/q13/q17/q19/q22 shapes (adapted to driver columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_semi",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join with a
+    non-equi residual (late shipment), then a small groupBy.  The semi
+    join keeps the orders side un-duplicated — no fan-out, one shuffle
+    on l_orderkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two-sided dimension join — nation joined
+    through BOTH the supplier and the customer leg, disjunctive pair
+    filter, yearly DECIMAL-exact volume rollup.  All four dimensions
+    broadcast; lineitem (the only big table) shuffles once for the
+    l_orderkey join with orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side residual predicate
+    (customers with zero qualifying orders must survive with count 0),
+    then a second aggregation over the first's result — the canonical
+    'distribution of group sizes' query."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    ) ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate-then-join — the rewrite
+    Catalyst itself applies to correlated scalar subqueries.  The
+    per-part aggregate is map-side combinable; the final sum is exact
+    DECIMAL before one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.  Catalyst
+    extracts the common l_quantity/p_size bounds as pushed-down range
+    filters on each scan (disjunction factoring), then evaluates the
+    residual OR after the broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return joined.filter(
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH pos AS (
+      SELECT count(*) AS n_pos,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate as threshold + NOT EXISTS
+    anti join + grouped rollup.  The above-average test is computed as
+    ``bal * n > total`` in exact DECIMAL/integer arithmetic so both
+    engines agree bit-for-bit (a floating avg threshold could flip
+    borderline rows per summation order).  The single-row aggregate
+    broadcasts; the anti join shuffles on custkey once."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum(bal).alias("total_pos")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n_pos") > F.col("total_pos"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
