@@ -80,6 +80,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "pq_search_topk",
 ]
 
 

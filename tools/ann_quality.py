@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
+from vector_database_api_spark.operators import pq as pq_mod
 from vector_database_api_spark.operators.knn import knn_brute_force_blas
 from vector_database_api_spark.session import get_spark
 from vector_database_api_spark.sources.tables import load_table
@@ -47,9 +48,16 @@ def main() -> None:
     ivf_index = ivf_mod.build_ivf(embs)
     ivf_index.index_df = ivf_index.index_df.persist()
     ivf_index.index_df.count()
+    pq_index = pq_mod.build_pq(embs, m=8, k=16, seed=42)
+    pq_index.codes_df = pq_index.codes_df.persist()
+    pq_index.codes_df.count()
+    # tuned: finer subspaces (dsub=2) lift recall at still-16x compression
+    pq_index_t = pq_mod.build_pq(embs, m=32, k=16, seed=42)
+    pq_index_t.codes_df = pq_index_t.codes_df.persist()
+    pq_index_t.codes_df.count()
 
     queries = embs.limit(n_queries).collect()
-    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = total = 0
+    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = total = 0
     for row in queries:
         qvec = np.asarray(row["embedding"], dtype=np.float64)
         qdf = spark.createDataFrame(
@@ -82,10 +90,18 @@ def main() -> None:
                 ivf_index, qdf, qvec, k=k, nprobe=20
             ).collect()
         }
+        pq_res = {
+            r["id"] for r in pq_mod.pq_search(pq_index, qvec, k=k).collect()
+        }
+        pq_t_res = {
+            r["id"] for r in pq_mod.pq_search(pq_index_t, qvec, k=k).collect()
+        }
         lsh_hits += len(truth & lsh_res)
         ivf_hits += len(truth & ivf_res)
         lsh_t_hits += len(truth & lsh_t_res)
         ivf_t_hits += len(truth & ivf_t_res)
+        pq_hits += len(truth & pq_res)
+        pq_t_hits += len(truth & pq_t_res)
         total += len(truth)
 
     print(
@@ -98,6 +114,8 @@ def main() -> None:
                 "ivf_recall_ref_params": round(ivf_hits / total, 4),
                 "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),
                 "ivf_recall_nprobe20": round(ivf_t_hits / total, 4),
+                "pq_recall_m8_k16": round(pq_hits / total, 4),
+                "pq_recall_m32_k16": round(pq_t_hits / total, 4),
                 "lsh_tables": len(planes),
                 "ivf_nlist": ivf_index.nlist,
                 "ivf_nprobe": ivf_index.nprobe,

@@ -2373,3 +2373,43 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (memory-scale ANN serving; see operators/pq.py)
+# ---------------------------------------------------------------------------
+
+from vector_database_api_spark.operators import pq as pq_mod  # noqa: E402
+
+
+def _cached_pq_index(spark: SparkSession, sf_dir: str):
+    key = ("pq", sf_dir)
+    if key not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        )
+        index = pq_mod.build_pq(embs, m=8, k=16, seed=42)
+        index.codes_df = index.codes_df.persist()
+        index.codes_df.count()
+        _SERVING_INDEXES[key] = index
+    return _SERVING_INDEXES[key]
+
+
+@register("pq_search_topk", None)
+def pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (8 subspaces x 16 codes) ADC top-10 for vec_id=9's embedding:
+    the memory-scale serving path — codes are 8 bytes/vector (32x smaller
+    than raw float32), scoring is a lookup-table gather per Arrow batch.
+    Rows-only check (codebook k-means is not SQL-expressible); exactness
+    of the ADC arithmetic and recall vs brute force are pytest-verified
+    in tests/test_pq.py."""
+    import numpy as np
+
+    index = _cached_pq_index(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 9)
+        .select("embedding")
+        .collect()[0]
+    )
+    return pq_mod.pq_search(index, np.array(qrow["embedding"], dtype=np.float64), k=10)
