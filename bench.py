@@ -81,6 +81,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "pq_search_topk",
+    "ivfpq_search_topk",
 ]
 
 

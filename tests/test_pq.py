@@ -77,3 +77,37 @@ def test_recall_vs_brute_force(index, embs, spark):
 def test_dim_must_divide(embs):
     with pytest.raises(ValueError):
         PQ.build_pq(embs, m=7, k=16)
+
+
+def test_ivfpq_subset_of_probed_clusters(index, embs, spark):
+    """IVF+PQ results come only from probed clusters, ranked by the same
+    ADC score as full-corpus PQ (scores must agree row-for-row)."""
+    from vector_database_api_spark.operators import ivf as ivf_mod
+
+    ivf_index = ivf_mod.build_ivf(embs)
+    row = embs.orderBy("id").first()
+    q = np.asarray(row["embedding"], dtype=np.float64)
+    got = PQ.ivfpq_search(ivf_index, index, q, k=10, nprobe=20).collect()
+    assert 0 < len(got) <= 10
+
+    probed = set(ivf_mod.probe_clusters(ivf_index, q, nprobe=20))
+    cluster_of = {
+        r["id"]: r["cluster_id"] for r in ivf_index.index_df.collect()
+    }
+    full_scores = {
+        r["id"]: r["similarity"]
+        for r in PQ.pq_search(index, q, k=embs.count()).collect()
+    }
+    for r in got:
+        assert cluster_of[r["id"]] in probed
+        assert abs(r["similarity"] - full_scores[r["id"]]) < 1e-12
+
+
+def test_ivfpq_untrained_returns_empty(index, embs, spark):
+    from vector_database_api_spark.operators import ivf as ivf_mod
+
+    tiny = embs.limit(5)
+    untrained = ivf_mod.build_ivf(tiny)
+    assert not untrained.trained
+    q = np.ones(64)
+    assert PQ.ivfpq_search(untrained, index, q, k=5).count() == 0

@@ -195,3 +195,39 @@ def pq_search(
         .orderBy(F.desc("similarity"), F.col("id"))
         .limit(k)
     )
+
+
+def ivfpq_search(
+    ivf_index,
+    pq_index: PQIndex,
+    query_vec: np.ndarray,
+    k: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF+PQ: probe the top-nprobe IVF clusters (partition pruning over
+    the assignment table, ivf.py:156-159), then ADC-score ONLY the probed
+    members' codes — the FAISS-style composition where scan cost is
+    bounded by nprobe/nlist and memory by m bytes/vector.  The candidate
+    restriction is a broadcast-able semi-join on id (cluster membership is
+    a projection of the IVF index table, tiny next to the corpus).
+
+    Returns (id, similarity) ranked by quantized cosine, deterministic
+    id tie-break; untrained IVF => empty (reference indexes.py:343-344).
+    """
+    from vector_database_api_spark.operators.ivf import probe_clusters
+
+    spark = pq_index.codes_df.sparkSession
+    if not ivf_index.trained:
+        return spark.createDataFrame([], "id string, similarity double")
+    probed = probe_clusters(ivf_index, query_vec, nprobe=nprobe)
+    member_ids = ivf_index.index_df.filter(
+        F.col("cluster_id").isin(probed)
+    ).select("id")
+    pool = PQIndex(
+        codebooks=pq_index.codebooks,
+        codes_df=pq_index.codes_df.join(F.broadcast(member_ids), "id", "left_semi"),
+        m=pq_index.m,
+        k=pq_index.k,
+        dim=pq_index.dim,
+    )
+    return pq_search(pool, query_vec, k=k)

@@ -2413,3 +2413,39 @@ def pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     return pq_mod.pq_search(index, np.array(qrow["embedding"], dtype=np.float64), k=10)
+
+
+@register("ivfpq_search_topk", None)
+def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition: probe top-20 clusters, ADC-score only their
+    members' codes (operators/pq.py::ivfpq_search) — scan bounded by
+    nprobe/nlist, memory by m bytes/vector.  Rows-only; invariants
+    (probed-cluster containment, score parity with full PQ) are
+    pytest-verified in tests/test_pq.py."""
+    import numpy as np
+
+    ivf_index = _cached_ivf_index_embeddings(spark, sf_dir)
+    pq_index = _cached_pq_index(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 9)
+        .select("embedding")
+        .collect()[0]
+    )
+    return pq_mod.ivfpq_search(
+        ivf_index, pq_index, np.array(qrow["embedding"], dtype=np.float64),
+        k=10, nprobe=20,
+    )
+
+
+def _cached_ivf_index_embeddings(spark: SparkSession, sf_dir: str):
+    key = ("ivf-embs", sf_dir)
+    if key not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("string").alias("id"), "embedding"
+        )
+        index = ivf_mod.build_ivf(embs)
+        index.index_df = index.index_df.persist()
+        index.index_df.count()
+        _SERVING_INDEXES[key] = index
+    return _SERVING_INDEXES[key]

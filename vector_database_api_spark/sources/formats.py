@@ -1,0 +1,125 @@
+"""File-format sources and sinks beyond the driver's parquet.
+
+The reference has no storage formats at all — everything lives in
+in-process dicts (app/database/storage.py:20-26).  A 100 TB engine lives
+or dies by its table layout, so this module makes the layout decisions
+explicit and testable:
+
+- **Readers** for parquet / csv / json / orc with explicit schema
+  (schema inference is a full extra pass over the data — never at scale).
+- **Partitioned writer**: hive-style ``partitionBy`` layout so equality
+  predicates on the partition key become directory pruning (the on-disk
+  analogue of the reference's per-library dict scoping,
+  app/database/storage.py:242-249).
+- **Bucketed writer**: ``bucketBy`` on the join key so repeated big-table
+  joins skip their shuffle entirely (proven shuffle-free in
+  tests/test_plans.py::test_bucketed_tables_join_without_shuffle).
+- **Small-file compaction**: streaming ingestion (M1) appends one file
+  per micro-batch per partition; compaction rewrites a table to
+  size-targeted files.  At 100 TB uncompacted small files dominate task
+  scheduling and NameNode/listing overhead — this is maintenance you
+  schedule, not an option you set.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+READ_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched reader.  ``schema`` is required for csv/json:
+    inference reads the data twice and silently widens types (a '1' in a
+    later file turns the column into string) — at scale schemas are
+    declared, never discovered."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(f"{fmt} requires an explicit schema (no inference)")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        # quoted newlines inside text fields: without multiLine the reader
+        # treats every physical line as a record and silently drops rows
+        options.setdefault("multiLine", "true")
+    return reader.options(**options).load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout write: one directory per partition value.  Equality
+    filters on ``partition_cols`` then prune directories at planning time
+    (PartitionFilters in the scan, not data filters)."""
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed + sorted layout (requires saveAsTable: bucketing metadata
+    lives in the catalog).  Two tables bucketed the same way sort-merge
+    join with zero Exchange."""
+    (
+        df.write.format(fmt)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema=None,
+) -> int:
+    """Rewrite a table directory to ~``target_file_bytes`` files; returns
+    the file count written.  Uses the table's current on-disk size (from
+    the files scan) to choose the repartition width — no driver-side data
+    movement, one distributed shuffle-free coalesce when shrinking.
+
+    In-place rewrite via an adjacent temp dir + atomic-ish swap: at 100 TB
+    this would be a transactional overwrite (Delta/Iceberg rewrite
+    action); plain parquet has no transaction, so the swap window is the
+    documented trade-off.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    df = read_files(spark, path, fmt=fmt, schema=schema)
+    size_bytes = sum(
+        f.stat().st_size
+        for f in Path(path).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size_bytes / target_file_bytes))
+    tmp = tempfile.mkdtemp(dir=str(Path(path).parent), prefix="_compact_")
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
