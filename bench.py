@@ -82,6 +82,9 @@ HEADLINE = [
     "q22_idle_customers",
     "pq_search_topk",
     "ivfpq_search_topk",
+    "string_agg_nation_names",
+    "multi_distinct_order_stats",
+    "stratified_event_sample",
 ]
 
 

@@ -147,9 +147,13 @@ def test_udf_shingles_equal_sql_shingles(spark, sf_dir):
     assert both.filter(F.col("sql_form") != F.col("udf_form")).count() == 0
 
 
-def test_connected_components_chain_and_clique(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["driver", "distributed"])
+def test_connected_components_chain_and_clique(spark, strategy):
     """Chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
-    clique 10-11-12, isolated pair 20-21."""
+    clique 10-11-12, isolated pair 20-21 — same answer on both paths."""
     edges = spark.createDataFrame(
         [
             (1, 2),
@@ -162,7 +166,10 @@ def test_connected_components_chain_and_clique(spark):
         ],
         "id_a bigint, id_b bigint",
     )
-    got = {r.id: r.component for r in D.connected_components(edges).collect()}
+    got = {
+        r.id: r.component
+        for r in D.connected_components(edges, strategy=strategy).collect()
+    }
     assert got == {
         1: 1,
         2: 1,
@@ -190,3 +197,30 @@ def test_connected_components_direction_agnostic(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert D.connected_components(edges).count() == 0
+
+
+def test_connected_components_strategies_agree(spark):
+    """Seeded random graph: driver union-find and distributed propagation
+    must label every node identically."""
+    import random
+
+    rng = random.Random(7)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    drv = {
+        r.id: r.component
+        for r in D.connected_components(edges, strategy="driver").collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in D.connected_components(edges, strategy="distributed").collect()
+    }
+    assert drv == dist

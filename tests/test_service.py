@@ -107,3 +107,57 @@ def test_search_by_embedding_matches_text(engine):
     by_text = [r["id"] for r in engine.search("libA", query_text=text).collect()]
     by_vec = [r["id"] for r in engine.search("libA", query_embedding=vec).collect()]
     assert by_text == by_vec
+
+
+def test_pq_index_search(engine):
+    """PQ extension type: build, filtered search, result-schema parity."""
+    engine.index_library("libA", "pq")
+    got = engine.search(
+        "libA", query_text="python document number 0 about python", k=5
+    ).collect()
+    assert len(got) == 5
+    assert got[0]["id"] == "c00"  # own text still ranks first post-quantization
+    assert {"id", "similarity", "distance"} <= set(got[0].asDict())
+
+    only_ml = engine.search(
+        "libA",
+        query_text="ml document number 1 about ml",
+        k=100,
+        metadata_filters={"topic": "ml"},
+    ).collect()
+    ids = {r["id"] for r in only_ml}
+    assert ids and all(int(i[1:]) % 3 == 1 for i in ids)  # topic=ml rows only
+
+
+def test_pq_index_mutations(engine):
+    engine.index_library("libA", "pq")
+    idx_before = {
+        r["id"] for r in engine.spark.read.parquet(
+            engine._index_dir("pq", "libA")
+        ).collect()
+    }
+    assert "c03" in idx_before
+
+    engine.delete_chunks("libA", ["c03"])
+    idx_after = {
+        r["id"] for r in engine.spark.read.parquet(
+            engine._index_dir("pq", "libA")
+        ).collect()
+    }
+    assert idx_after == idx_before - {"c03"}
+
+    # text update re-encodes with frozen codebooks; the row whose text now
+    # matches the query should win the search
+    engine.update_chunk_texts("libA", {"c06": "unique needle phrase xyz"})
+    got = engine.search("libA", query_text="unique needle phrase xyz", k=3).collect()
+    assert got[0]["id"] == "c06"
+
+
+def test_index_switch_drops_pq(engine):
+    import os
+
+    engine.index_library("libA", "pq")
+    assert os.path.isdir(engine._index_dir("pq", "libA"))
+    engine.index_library("libA", "lsh")
+    assert not os.path.isdir(engine._index_dir("pq", "libA"))
+    assert os.path.isdir(engine._index_dir("lsh", "libA"))

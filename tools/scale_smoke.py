@@ -124,6 +124,29 @@ def main() -> None:
 
     results["ivf_probe_search_sec"], _ = timed(ivf_probe)
 
+    # PQ: encode the full replicated corpus (Arrow/BLAS batches), then one
+    # ADC search — codes are m bytes/vector, so the scored table is ~32x
+    # smaller than the raw embeddings it replaces.
+    from vector_database_api_spark.operators import pq as PQ
+
+    pq_holder = {}
+
+    def pq_encode():
+        index = PQ.build_pq(embs, id_col="vec_id", m=8, k=16, seed=42)
+        index.codes_df = index.codes_df.persist()
+        index.codes_df.count()
+        pq_holder["index"] = index
+        return None
+
+    results["pq_encode_sec"], _ = timed(pq_encode)
+
+    def pq_adc():
+        return PQ.pq_search(
+            pq_holder["index"], np.asarray(qvec, dtype=np.float64), k=10
+        ).count()
+
+    results["pq_adc_search_sec"], _ = timed(pq_adc)
+
     def exact_dedup():
         return D.exact_dedup(docs).count()
 

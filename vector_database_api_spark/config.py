@@ -21,6 +21,10 @@ class EngineConfig:
     ivf_nlist: int = 100
     ivf_nprobe: int = 5
     ivf_kmeans_max_iter: int = 10
+    # PQ (engine extension, operators/pq.py; m=16 on 64-d => dsub=4,
+    # 16 B/vector — the measured recall/compression middle ground, PLANS.md)
+    pq_m: int = 16
+    pq_k: int = 16
     # search
     default_k: int = 5
     max_k: int = 100

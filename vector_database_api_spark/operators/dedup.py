@@ -408,6 +408,8 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 50,
+    strategy: str = "auto",
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node in the undirected pair graph;
     ``component`` is the minimum node id reachable from ``id``.
@@ -434,7 +436,25 @@ def connected_components(
     Invariant: a node's label is always the id of some node in its own
     component and only ever decreases, so the fixpoint (no change in a
     round) is exactly component = min reachable id.
+
+    ``strategy``: the near-dup pair graph is orders of magnitude smaller
+    than the corpus (only rows WITH a near-duplicate appear), so
+    ``"auto"`` runs driver-side union-find when the edge count fits
+    comfortably (``driver_edge_threshold``) — one O(E α(E)) pass instead
+    of ~12 distributed rounds of job-scheduling overhead — and the
+    distributed loop above it.  Both produce the identical min-label
+    result (tested); ``"distributed"`` / ``"driver"`` force a path.
     """
+    if strategy not in ("auto", "distributed", "driver"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "distributed":
+        edges = edges.persist()  # threshold count + collect share one pass
+        n_edges = edges.count()
+        if strategy == "driver" or n_edges <= driver_edge_threshold:
+            try:
+                return _driver_union_find(edges, src_col, dst_col)
+            finally:
+                edges.unpersist()
     bidir = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -489,6 +509,45 @@ def connected_components(
             break
     bidir.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def _driver_union_find(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Union-find with path compression + union-by-min over a collected
+    edge list; labels = min id per component, identical to the
+    distributed fixpoint.  Only reached via the documented threshold —
+    the edge list (two longs per near-dup pair) fits on the driver by
+    precondition."""
+    spark = edges.sparkSession
+    rows = edges.select(src_col, dst_col).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: smaller id becomes the root, so the final
+            # root IS the component's min id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(v, find(v)) for v in parent]
+    schema = edges.select(
+        F.col(src_col).alias("id"), F.col(src_col).alias("component")
+    ).schema
+    return spark.createDataFrame(out, schema)
 
 
 def duck_connected_components_sql(pairs_sql: str) -> str:

@@ -130,7 +130,22 @@ def build_pq(
         ]
     )
 
-    cb = codebooks  # closure into the encode UDF
+    codes_df = encode_codes(df, codebooks, id_col=id_col, vec_col=vec_col)
+    return PQIndex(codebooks=codebooks, codes_df=codes_df, m=m, k=k, dim=dim)
+
+
+def encode_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode rows against FROZEN codebooks (the incremental-add path:
+    like IVF's frozen-centroid assignment, ivf.py:187-200, new vectors
+    are coded without retraining).  One Arrow batch = three BLAS matmuls
+    per subspace."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
 
     @F.pandas_udf("array<smallint>")
     def encode(vecs: pd.Series) -> pd.Series:
@@ -149,10 +164,9 @@ def build_pq(
             codes[:, j] = d2.argmin(axis=1).astype(np.int16)
         return pd.Series(list(codes))
 
-    codes_df = df.filter(F.col(vec_col).isNotNull()).select(
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes")
     )
-    return PQIndex(codebooks=codebooks, codes_df=codes_df, m=m, k=k, dim=dim)
 
 
 def reconstruct(index: PQIndex, codes: np.ndarray) -> np.ndarray:

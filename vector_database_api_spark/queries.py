@@ -2449,3 +2449,76 @@ def _cached_ivf_index_embeddings(spark: SparkSession, sf_dir: str):
         index.index_df.count()
         _SERVING_INDEXES[key] = index
     return _SERVING_INDEXES[key]
+
+
+@register(
+    "string_agg_nation_names",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM customer WHERE c_custkey <= 80
+    GROUP BY c_nationkey
+    """,
+)
+def string_agg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list is
+    order-nondeterministic under parallelism, so the deterministic form is
+    array_sort before join — the distributed equivalent of DuckDB's
+    string_agg(... ORDER BY ...)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 80)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "multi_distinct_order_stats",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def multi_distinct_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass — Catalyst plans this as
+    a single Expand (one shuffle) rather than one job per distinct
+    column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "stratified_event_sample",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE (CASE WHEN event_type = 'click' THEN event_id % 10 < 1
+                ELSE event_id % 10 < 5 END)
+    GROUP BY event_type
+    """,
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (downsample the dominant class) via
+    deterministic id-mod predicates — reproducible across engines and
+    runs, unlike rand()-based sampleBy; the predicate pushes to the
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.when(
+        F.col("event_type") == "click", F.col("event_id") % 10 < 1
+    ).otherwise(F.col("event_id") % 10 < 5)
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

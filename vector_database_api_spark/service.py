@@ -20,6 +20,8 @@ Storage: a warehouse directory of parquet tables —
     {warehouse}/lsh_index/{library_id}/ (id, table_idx, hash)
     {warehouse}/ivf_index/{library_id}/ (id, cluster_id, embedding)
     {warehouse}/ivf_centroids/{library_id}.npy
+    {warehouse}/pq_index/{library_id}/  (id, codes)           [extension]
+    {warehouse}/pq_codebooks/{library_id}.npy                 [extension]
 
 Mutations are atomic directory overwrites (snapshot isolation — the
 capability the reference gets from ReadWriteLock).  On a production
@@ -40,9 +42,14 @@ from vector_database_api_spark.config import DEFAULT_CONFIG, EngineConfig
 from vector_database_api_spark.functions.embedding import make_embedder, text_to_vector
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
+from vector_database_api_spark.operators import pq as pq_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
 
+# reference parity: IndexManager accepts exactly lsh|ivf (indexes.py:408-422)
 VALID_INDEX_TYPES = ("lsh", "ivf")
+# engine extension: product quantization (operators/pq.py) — not in the
+# reference; kept out of VALID_INDEX_TYPES so parity docs stay honest
+ALL_INDEX_TYPES = VALID_INDEX_TYPES + ("pq",)
 
 
 class VectorEngine:
@@ -73,9 +80,14 @@ class VectorEngine:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{library_id}.npy")
 
+    def _pq_codebooks_path(self, library_id: str) -> str:
+        d = os.path.join(self.warehouse, "pq_codebooks")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{library_id}.npy")
+
     def _index_meta(self, library_id: str) -> tuple[str, str] | None:
         """(index_type, path) of the library's built index, if any."""
-        for kind in VALID_INDEX_TYPES:
+        for kind in ALL_INDEX_TYPES:
             path = self._index_dir(kind, library_id)
             if os.path.isdir(path):
                 return kind, path
@@ -108,12 +120,21 @@ class VectorEngine:
         """Deterministic full (re)build of the library's index table
         (IndexManager.rebuild_index, indexes.py:437-452) — INSERT OVERWRITE
         of a recompute from the chunks table."""
-        if index_type not in VALID_INDEX_TYPES:
+        if index_type not in ALL_INDEX_TYPES:
             # parity: reference raises on anything but lsh/ivf
-            # (indexes.py:408-422; 'flat' in the README is invalid there too)
+            # (indexes.py:408-422; 'flat' in the README is invalid there too);
+            # 'pq' is this engine's documented extension
             raise ValueError(f"Unknown index type: {index_type}")
         chunks = self.chunks(library_id).filter(F.col("embedding").isNotNull())
-        if index_type == "lsh":
+        if index_type == "pq":
+            index = pq_mod.build_pq(
+                chunks, m=self.config.pq_m, k=self.config.pq_k, seed=self.config.seed
+            )
+            index.codes_df.write.mode("overwrite").parquet(
+                self._index_dir("pq", library_id)
+            )
+            np.save(self._pq_codebooks_path(library_id), index.codebooks)
+        elif index_type == "lsh":
             planes = lsh_mod.generate_planes(
                 self.config.embedding_dim, config=self.config
             )
@@ -139,14 +160,16 @@ class VectorEngine:
                 os.makedirs(ivf_dir, exist_ok=True)
                 with open(os.path.join(ivf_dir, "_UNTRAINED"), "w") as f:
                     f.write("")
-        # dropping the other index type mirrors index switching in the
+        # dropping the other index types mirrors index switching in the
         # reference tests (test_basic.py:244-268: lsh -> ivf -> lsh)
-        other = "ivf" if index_type == "lsh" else "lsh"
-        other_dir = self._index_dir(other, library_id)
-        if os.path.isdir(other_dir):
-            import shutil
+        for other in ALL_INDEX_TYPES:
+            if other == index_type:
+                continue
+            other_dir = self._index_dir(other, library_id)
+            if os.path.isdir(other_dir):
+                import shutil
 
-            shutil.rmtree(other_dir)
+                shutil.rmtree(other_dir)
 
     # -- mutation maintenance (M2/M3; chunk_service.py:81-134) ---------
 
@@ -159,7 +182,7 @@ class VectorEngine:
         meta = self._index_meta(library_id)
         if meta is not None:
             kind, path = meta
-            if kind == "lsh":
+            if kind in ("lsh", "pq"):
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
                 kept.write.mode("overwrite").parquet(path)
@@ -195,7 +218,18 @@ class VectorEngine:
         meta = self._index_meta(library_id)
         if meta is not None:
             kind, path = meta
-            if kind == "lsh":
+            if kind == "pq":
+                # re-encode with FROZEN codebooks (like IVF's frozen
+                # centroids: incremental adds never retrain)
+                codebooks = np.load(self._pq_codebooks_path(library_id))
+                changed = self.chunks(library_id).filter(F.col("id").isin(ids))
+                fresh = pq_mod.encode_codes(changed, codebooks)
+                idx = self.spark.read.parquet(path)
+                merged = (
+                    idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
+                ).localCheckpoint()
+                merged.write.mode("overwrite").parquet(path)
+            elif kind == "lsh":
                 planes = lsh_mod.generate_planes(
                     self.config.embedding_dim, config=self.config
                 )
@@ -275,6 +309,32 @@ class VectorEngine:
                 chunks, query, k=k, metadata_filters=metadata_filters
             )
         kind, path = meta
+        if kind == "pq":
+            from vector_database_api_spark.operators.filters import (
+                apply_metadata_filters,
+            )
+
+            codebooks = np.load(self._pq_codebooks_path(library_id))
+            codes_df = self.spark.read.parquet(path)
+            if metadata_filters:
+                filtered_ids = apply_metadata_filters(
+                    chunks, metadata_filters
+                ).select("id")
+                codes_df = codes_df.join(filtered_ids, "id", "left_semi")
+            index = pq_mod.PQIndex(
+                codebooks=codebooks,
+                codes_df=codes_df,
+                m=codebooks.shape[0],
+                k=codebooks.shape[1],
+                dim=codebooks.shape[0] * codebooks.shape[2],
+            )
+            scored = pq_mod.pq_search(index, np.asarray(query_embedding, dtype=np.float64), k=k)
+            # cosine -> euclidean on unit vectors: d = sqrt(2 - 2cos),
+            # keeping the service result schema (id, similarity, distance)
+            return scored.withColumn(
+                "distance",
+                F.sqrt(F.greatest(F.lit(2.0) - 2.0 * F.col("similarity"), F.lit(0.0))),
+            )
         if kind == "lsh":
             planes = lsh_mod.generate_planes(
                 self.config.embedding_dim, config=self.config
