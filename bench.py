@@ -85,6 +85,11 @@ HEADLINE = [
     "string_agg_nation_names",
     "multi_distinct_order_stats",
     "stratified_event_sample",
+    "trailing_range_window",
+    "q8_market_share",
+    "q15_top_supplier",
+    "paginated_orders",
+    "multimodal_image_stats",
 ]
 
 

@@ -58,3 +58,70 @@ def test_fake_codec_stable():
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
     assert a.dtype == np.float32 and a.shape == (32,)
+
+
+def test_raw_gray_roundtrip():
+    import numpy as np
+
+    from vector_database_api_spark.operators.multimodal import (
+        decode_raw_gray,
+        encode_raw_gray,
+    )
+
+    arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert (decode_raw_gray(encode_raw_gray(arr)) == arr).all()
+
+
+def test_raw_gray_corrupt_raises():
+    import pytest as _pytest
+
+    from vector_database_api_spark.operators.multimodal import decode_raw_gray
+
+    with _pytest.raises(ValueError, match="header"):
+        decode_raw_gray(b"\x00")
+    with _pytest.raises(ValueError, match="pixels"):
+        decode_raw_gray(b"\x00\x02\x00\x02abc")  # 2x2 declared, 3 bytes
+
+
+def test_resize_nearest_exact():
+    import numpy as np
+
+    from vector_database_api_spark.operators.multimodal import resize_nearest
+
+    arr = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = resize_nearest(arr, 4, 4)
+    assert (
+        up
+        == np.array(
+            [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]],
+            dtype=np.uint8,
+        )
+    ).all()
+    down = resize_nearest(up, 2, 2)
+    assert (down == arr).all()
+
+
+def test_raw_gray_feature_pipeline(spark, sf_dir):
+    import numpy as np
+
+    from vector_database_api_spark.operators.multimodal import (
+        decode_raw_gray,
+        media_raw_gray_from_documents,
+        raw_gray_features,
+        resize_nearest,
+    )
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_raw_gray_from_documents(docs)
+    feats = raw_gray_features(media).collect()
+    assert len(feats) == 50
+
+    # spot-check one row end-to-end against local numpy
+    row = media.filter("id = '1'").collect()[0]
+    img = decode_raw_gray(bytes(row["content"]))
+    small = resize_nearest(img, 16, 16).astype(np.float64)
+    got = [f for f in feats if f["id"] == "1"][0]
+    assert got["h"] == img.shape[0] and got["w"] == img.shape[1]
+    assert got["mean_px"] == pytest.approx(float(small.mean()))
+    assert got["std_px"] == pytest.approx(float(small.std()))

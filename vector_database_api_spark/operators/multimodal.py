@@ -130,3 +130,106 @@ def sample_frames(
             )
 
     return media.filter("modality = 'video'").mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RAW-GRAY: a fully-specified in-repo media format, so decode/resize are
+# REAL code (header parse + numpy), not stubs — only external codecs
+# (JPEG/PNG/WAV) stay behind the decode_image seam above.
+#
+#   content = uint16_be height | uint16_be width | height*width pixel bytes
+# ---------------------------------------------------------------------------
+
+RAW_GRAY_HEADER = 4
+
+
+def encode_raw_gray(arr: np.ndarray) -> bytes:
+    """Serialize a (h, w) uint8 array into the RAW-GRAY byte format."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return struct.pack(">HH", h, w) + a.tobytes()
+
+
+def decode_raw_gray(content: bytes) -> np.ndarray:
+    """Parse RAW-GRAY bytes back to the (h, w) uint8 array.  Truncated
+    payloads raise — corrupt rows should fail loudly, not yield garbage."""
+    import struct
+
+    if len(content) < RAW_GRAY_HEADER:
+        raise ValueError("RAW-GRAY: missing header")
+    h, w = struct.unpack(">HH", content[:RAW_GRAY_HEADER])
+    body = content[RAW_GRAY_HEADER:]
+    if len(body) != h * w:
+        raise ValueError(f"RAW-GRAY: expected {h * w} pixels, got {len(body)}")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (the real arithmetic a
+    media pipeline runs after decode; no interpolation libraries)."""
+    h, w = arr.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def media_raw_gray_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic RAW-GRAY media table from the driver documents:
+    pixel bytes are the UTF-8 text tiled to h*w, dimensions derived from
+    doc attributes — every byte reproducible from the parquet inputs."""
+    from pyspark.sql.types import BinaryType
+
+    @F.udf(BinaryType())
+    def to_raw_gray(doc_id: int, text: str) -> bytes:
+        h = 8 + int(doc_id) % 9
+        w = 8 + len(text) % 9
+        pix = np.frombuffer(
+            (text.encode("utf-8") * (h * w // max(len(text), 1) + 1))[: h * w],
+            dtype=np.uint8,
+        ).reshape(h, w)
+        return encode_raw_gray(pix)
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("image").alias("modality"),
+        to_raw_gray("doc_id", "text").alias("content"),
+        F.create_map(F.lit("format"), F.lit("raw-gray")).alias("meta"),
+    )
+
+
+RAW_FEATURE_SCHEMA = (
+    "id string, h int, w int, mean_px double, std_px double, p50_px double"
+)
+
+
+def raw_gray_features(
+    media: DataFrame, resize_to: tuple[int, int] = (16, 16)
+) -> DataFrame:
+    """decode -> resize -> stats, one Arrow batch at a time (mapInPandas,
+    zero shuffle): the real multimodal feature-extraction shape with the
+    real RAW-GRAY codec."""
+    out_h, out_w = resize_to
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                img = decode_raw_gray(bytes(content))
+                small = resize_nearest(img, out_h, out_w).astype(np.float64)
+                rows.append(
+                    (
+                        rid,
+                        img.shape[0],
+                        img.shape[1],
+                        float(small.mean()),
+                        float(small.std()),
+                        float(np.median(small)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "h", "w", "mean_px", "std_px", "p50_px"]
+            )
+
+    return media.mapInPandas(run, RAW_FEATURE_SCHEMA)

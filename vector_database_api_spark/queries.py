@@ -2522,3 +2522,181 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "trailing_range_window",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_sum
+    FROM events WHERE user_id < 50
+    """,
+)
+def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time (trailing 10-minute sum per
+    user) — the batch twin of a sliding streaming aggregate.  Both
+    engines frame over integer epoch-microseconds, so tie groups and
+    boundary rows agree exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                               ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: seven-table join (nation twice, region gate on the
+    customer leg), ratio of conditional to total DECIMAL volume per year.
+    Every dimension broadcasts; lineitem shuffles once for the orders
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    cond = F.when(
+        F.col("nation") == "NATION_5", F.col("volume")
+    ).otherwise(F.lit("0.00").cast("decimal(18,2)"))
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(cond).cast("double") / F.sum("volume").cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-max subquery (argmax with
+    ties kept).  The max over exact DECIMAL revenue makes the equality
+    reliable cross-engine; the one-row max broadcasts back."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "paginated_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (absent from the reference, SURVEY §2.11): deterministic
+    ORDER BY with tie-break + OFFSET/LIMIT.  Spark plans the combination
+    as a single global-limit(60) then drop(40) — bounded driver transfer,
+    not a full sort output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register("multimodal_image_stats", None)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-GRAY media pipeline: documents -> encoded binary images ->
+    decode -> nearest-neighbor resize -> per-image stats, all inside one
+    mapInPandas stage (operators/multimodal.py).  Rows-only check; the
+    codec, resize arithmetic, and feature math are pytest-verified
+    end-to-end in tests/test_multimodal.py."""
+    from vector_database_api_spark.operators.multimodal import (
+        media_raw_gray_from_documents,
+        raw_gray_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return raw_gray_features(media_raw_gray_from_documents(docs))
