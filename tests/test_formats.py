@@ -65,3 +65,17 @@ def test_compaction_reduces_file_count(docs, spark, tmp_path):
     after = len([f for f in Path(path).glob("part-*")])
     assert written == 1 and after == 1
     assert FMT.read_files(spark, path).count() == docs.count()
+
+
+def test_json_tolerant_quarantines_corrupt_rows(spark, tmp_path):
+    path = tmp_path / "feed.jsonl"
+    path.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "this is not json\n"
+        '{"id": 2, "v": 20.0}\n'
+        '{"id": "oops", "v": []}\n'
+    )
+    df = FMT.read_json_tolerant(spark, str(path), "id bigint, v double")
+    clean, bad = FMT.split_quarantine(df)
+    assert {(r["id"], r["v"]) for r in clean.collect()} == {(1, 10.5), (2, 20.0)}
+    assert bad.count() == 2  # the non-json line and the type-mismatch line

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from vector_database_api_spark.functions.embedding import text_to_vector
 from vector_database_api_spark.operators import lsh as L
@@ -165,3 +166,72 @@ def test_embedder_deterministic(spark):
     assert out[0]["e"] != out[2]["e"]
     assert len(out[0]["e"]) == DIM
     assert abs(float(np.linalg.norm(out[0]["e"])) - 1.0) < 1e-5
+
+
+def test_incremental_pq_equals_batch_encode(spark, tmp_path):
+    """Streaming PQ maintenance (frozen codebooks) must produce the same
+    codes as a one-shot batch encode of the same rows."""
+    import numpy as np
+
+    from vector_database_api_spark.operators import pq as PQ
+    from vector_database_api_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir="/root/testdata/sf0.001", name="embeddings")
+    base = embs.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("libS").alias("library_id"),
+        F.col("vec_id").cast("string").alias("document_id"),
+        F.lit("t").alias("text"),
+        F.col("embedding"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    index = PQ.build_pq(base, m=8, k=16, seed=42)
+
+    src = str(tmp_path / "src")
+    base.repartition(1).write.mode("append").parquet(src)
+    stream = M.read_chunk_stream(spark, src)
+    q = M.incremental_pq_maintenance(
+        stream,
+        index.codebooks,
+        str(tmp_path / "chunks"),
+        str(tmp_path / "codes"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["id"]: list(r["codes"])
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    batch = {r["id"]: list(r["codes"]) for r in index.codes_df.collect()}
+    assert streamed == batch
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream enriched with a broadcast static dimension: every output
+    row carries its dimension attributes; unmatched keys survive (left)."""
+    src = str(tmp_path / "ev")
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "user_id": [10, 20, 99],
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    events.repartition(1).write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "basic")], "user_id bigint, tier string"
+    )
+    stream = M.read_event_stream(
+        spark, src, "event_id bigint, user_id bigint, value double"
+    )
+    enriched = M.stream_static_enrich(stream, dim, "user_id", ["tier"])
+    q = M.run_stream_to_memory(enriched, "enriched_events")
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    assert got == {1: "gold", 2: "basic", 3: None}

@@ -123,3 +123,38 @@ def compact_small_files(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def read_json_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE json read with corrupt-row capture: malformed lines land
+    in ``corrupt_col`` instead of failing the job or being silently
+    dropped.  At 100 TB some fraction of any feed is malformed; the
+    pipeline decision (quarantine vs fail) must be explicit, so this
+    returns ALL rows and the caller splits on ``corrupt_col IS NULL``.
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split of a tolerant read.  Spark requires
+    caching before filtering on the corrupt column (the raw record is
+    only retained while the batch is materialized)."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad

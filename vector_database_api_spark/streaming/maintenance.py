@@ -130,3 +130,55 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_pq_maintenance(
+    chunk_stream: DataFrame,
+    codebooks,
+    chunks_dir: str,
+    codes_dir: str,
+    checkpoint_dir: str,
+    embedding_dim: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """M1 for the PQ extension index: per micro-batch — embed missing
+    embeddings, append chunks, encode against the FROZEN codebooks
+    (pq.encode_codes; incremental adds never retrain, matching IVF's
+    frozen-centroid posture), append to the codes table.  Streaming codes
+    equal a batch re-encode of the same rows because encoding is a pure
+    function of (vector, codebooks) — tested."""
+    from vector_database_api_spark.operators.pq import encode_codes
+
+    embedder = make_embedder(embedding_dim)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn(
+            "embedding",
+            F.coalesce(F.col("embedding"), embedder(F.col("text"))),
+        )
+        batch.persist()
+        batch.write.mode("append").parquet(chunks_dir)
+        encode_codes(batch, codebooks).write.mode("append").parquet(codes_dir)
+        batch.unpersist()
+
+    writer = chunk_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a slowly-changing
+    dimension.  The static side is broadcast to every micro-batch task
+    and RE-RESOLVED per batch (Spark re-plans the static relation each
+    trigger, so a refreshed dimension table is picked up without
+    restarting the stream) — no state store involved, unlike
+    stream-stream joins."""
+    return events.join(F.broadcast(dim.select(on, *dim_cols)), on, "left")
