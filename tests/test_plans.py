@@ -152,3 +152,34 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_left", "bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_new_tpch_joins_broadcast(spark, sf_dir):
+    """q7/q8: every dimension leg broadcasts — lineitem shuffles only for
+    the orders equi-join."""
+    from vector_database_api_spark.plans.audit import audit_plan
+
+    a7 = audit_plan(q.spark_queries()["q7_nation_volume"](spark, sf_dir))
+    assert a7["broadcast_joins"] >= 4
+    assert a7["python_udfs"] == 0
+    a8 = audit_plan(q.spark_queries()["q8_market_share"](spark, sf_dir))
+    assert a8["broadcast_joins"] >= 6
+    assert a8["python_udfs"] == 0
+
+
+def test_pagination_is_bounded_limit_not_full_sort(spark, sf_dir):
+    """OFFSET+LIMIT must plan as TakeOrderedAndProject with offset (heap
+    of offset+limit rows per partition), not a global sort."""
+    plan = explain_str(q.spark_queries()["paginated_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "TakeOrdered" in plan
+
+
+def test_trailing_range_window_single_shuffle(spark, sf_dir):
+    """The RANGE-frame query needs exactly one exchange (hash by user_id)
+    before the window sort."""
+    from vector_database_api_spark.plans.audit import audit_plan
+
+    a = audit_plan(q.spark_queries()["trailing_range_window"](spark, sf_dir))
+    assert a["shuffles"] <= 2  # formatted explain may count AQE wrapper
+    assert a["python_udfs"] == 0

@@ -511,16 +511,13 @@ def connected_components(
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
-def _driver_union_find(
-    edges: DataFrame, src_col: str, dst_col: str
-) -> DataFrame:
-    """Union-find with path compression + union-by-min over a collected
-    edge list; labels = min id per component, identical to the
-    distributed fixpoint.  Only reached via the documented threshold —
-    the edge list (two longs per near-dup pair) fits on the driver by
-    precondition."""
-    spark = edges.sparkSession
-    rows = edges.select(src_col, dst_col).collect()
+def union_find_labels(pairs) -> dict:
+    """Pure union-find kernel (path compression + union-by-min) over an
+    iterable of (a, b) pairs; returns {node: min id reachable}.  The
+    union-by-min rule keeps the smaller id as the root, so the final root
+    IS the component's minimum — identical to the distributed fixpoint.
+    Property-tested against brute-force reachability in
+    tests/test_properties.py."""
     parent: dict = {}
 
     def find(x):
@@ -531,23 +528,30 @@ def _driver_union_find(
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r[0], r[1]
+    for a, b in pairs:
         for v in (a, b):
             if v not in parent:
                 parent[v] = v
         ra, rb = find(a), find(b)
         if ra != rb:
-            # union by min: smaller id becomes the root, so the final
-            # root IS the component's min id
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    out = [(v, find(v)) for v in parent]
+    return {v: find(v) for v in parent}
+
+
+def _driver_union_find(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Driver-side path: collect the (small, by precondition) edge list,
+    run the pure kernel, ship labels back as a DataFrame."""
+    spark = edges.sparkSession
+    rows = edges.select(src_col, dst_col).collect()
+    labels = union_find_labels((r[0], r[1]) for r in rows)
     schema = edges.select(
         F.col(src_col).alias("id"), F.col(src_col).alias("component")
     ).schema
-    return spark.createDataFrame(out, schema)
+    return spark.createDataFrame(list(labels.items()), schema)
 
 
 def duck_connected_components_sql(pairs_sql: str) -> str:
