@@ -88,6 +88,13 @@ HEADLINE = [
     "trailing_range_window",
     "q8_market_share",
     "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q16_supplier_part_counts",
+    "q20_heavy_share_suppliers",
+    "q21_late_sole_suppliers",
     "paginated_orders",
     "multimodal_image_stats",
 ]

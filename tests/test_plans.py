@@ -183,3 +183,25 @@ def test_trailing_range_window_single_shuffle(spark, sf_dir):
     a = audit_plan(q.spark_queries()["trailing_range_window"](spark, sf_dir))
     assert a["shuffles"] <= 2  # formatted explain may count AQE wrapper
     assert a["python_udfs"] == 0
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """q2/q9/q16/q20/q21 (adapted TPC-H completion): every dimension leg
+    broadcasts, nothing falls back to a Python UDF, and the decorrelated
+    q21 pipeline keeps its shuffle count bounded (fact exchange reused
+    across both aggregation levels)."""
+    from vector_database_api_spark.plans.audit import audit_plan
+
+    qs = q.spark_queries()
+    a2 = audit_plan(qs["q2_min_cost_supplier"](spark, sf_dir))
+    assert a2["broadcast_joins"] >= 4
+    assert a2["take_ordered_topk"]  # ORDER BY + LIMIT 100 is a top-k
+    a9 = audit_plan(qs["q9_product_profit"](spark, sf_dir))
+    assert a9["broadcast_joins"] >= 3
+    a16 = audit_plan(qs["q16_supplier_part_counts"](spark, sf_dir))
+    assert a16["broadcast_joins"] >= 2  # anti-join + part join both broadcast
+    a21 = audit_plan(qs["q21_late_sole_suppliers"](spark, sf_dir))
+    assert a21["broadcast_joins"] >= 1
+    assert a21["take_ordered_topk"]
+    for audit in (a2, a9, a16, a21):
+        assert audit["python_udfs"] == 0
