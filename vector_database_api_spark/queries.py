@@ -2738,15 +2738,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dimension (supplier 10k/SF, part 200k/SF, nation, region) and
     the per-part min table broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") >= 40) & (F.col("p_type") == "PROMO")
+    )
+    # Push the selective part filter BELOW the pair-distinct: the per-part
+    # min is unaffected by part-attribute filtering, and the distinct's
+    # shuffle input drops from every observed pair to only the qualifying
+    # parts' pairs (the optimization the oracle SQL leaves to DuckDB).
+    ps = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
     )
     costs = (
         ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
@@ -2940,10 +2952,6 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct-agg are the two shuffles; part and the tiny exclusion
     set broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & (F.col("p_type") != "PROMO")
@@ -2952,13 +2960,28 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    return (
-        ps.join(
+    # Part filter and supplier anti-join both pushed BELOW the
+    # pair-distinct: they commute with DISTINCT on the pair key, and the
+    # distinct's shuffle then only carries qualifying pairs.
+    ps = (
+        li.join(
             F.broadcast(bad_supp),
-            ps.ps_suppkey == bad_supp.s_suppkey,
+            li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
