@@ -96,6 +96,10 @@ HEADLINE = [
     "q20_heavy_share_suppliers",
     "q21_late_sole_suppliers",
     "paginated_orders",
+    "cohort_retention",
+    "funnel_conversion",
+    "minmax_by_profile",
+    "map_functions_profile",
     "multimodal_image_stats",
 ]
 

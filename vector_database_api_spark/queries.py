@@ -3109,6 +3109,178 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           datediff('day', cohort_day, day) AS day_offset,
+           count(*) AS active_users
+    FROM activity
+    JOIN first_seen USING (user_id)
+    WHERE datediff('day', cohort_day, day) <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (training-data/product analytics staple): cohort
+    = each user's first active day, then distinct-user counts per
+    (cohort_day, day offset ≤ 7).  Both aggregations and the join share
+    user_id as the key, so the user-day distinct, the per-user min, and
+    the join are one shuffle lineage; the final small (cohort, offset)
+    agg is map-side combinable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(ts) AS t2 FROM events e
+      JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+      WHERE event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first later click → first later
+    purchase): each stage is a per-user min-timestamp aggregate joined to
+    the previous stage with a strictly-after residual predicate — the
+    sequential-pattern shape event pipelines need.  All three stages key
+    on user_id (one shuffle lineage); the stage outputs are tiny and the
+    final counts cross-join into a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@register(
+    "minmax_by_profile",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS richest,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS poorest,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def minmax_by_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregates: customer with the highest and
+    lowest account balance per nation.  The ordering key packs
+    (acctbal, custkey) into one exact BIGINT — acctbal is 2-decimal so
+    round(×100) is integer-exact, and the unique custkey breaks balance
+    ties identically in both engines (neither supports composite argmax
+    keys portably).  Single map-side-combinable aggregate, no join."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "map_functions_profile",
+    """
+    WITH ent AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           max(CASE WHEN l_linestatus = 'O' THEN cnt END) AS o_count,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(CASE WHEN cnt > 1000 THEN 1 END) AS INTEGER) AS n_big
+    FROM ent GROUP BY l_returnflag
+    """,
+)
+def map_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-returnflag status→count maps built with
+    map_from_entries, then probed with map_keys / element_at (missing key
+    ⇒ NULL, the reference's metadata-miss semantics, SURVEY F1),
+    folded with aggregate(map_values) and pruned with map_filter.  The
+    oracle computes the same scalars relationally — the check pins the
+    map semantics, not DuckDB's map layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ent = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = ent.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "l_returnflag",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("statuses"),
+        F.element_at(F.col("m"), F.lit("O")).alias("o_count"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda s, x: s + x
+        ).alias("total"),
+        F.size(F.map_filter("m", lambda k, v: v > 1000)).alias("n_big"),
+    )
+
+
 @register("multimodal_image_stats", None)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW-GRAY media pipeline: documents -> encoded binary images ->
