@@ -96,6 +96,7 @@ HEADLINE = [
     "q20_heavy_share_suppliers",
     "q21_late_sole_suppliers",
     "paginated_orders",
+    "events_sliding_window",
     "cohort_retention",
     "funnel_conversion",
     "minmax_by_profile",

@@ -235,3 +235,50 @@ def test_stream_static_enrich(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_events").collect()
     }
     assert got == {1: "gold", 2: "basic", 3: None}
+
+
+def test_sliding_window_counts_match_batch(spark, tmp_path):
+    """Sliding-mode windowed_event_counts (30 min window, 10 min slide)
+    drained with availableNow must equal the batch sliding-window
+    aggregation on the same rows — each event in exactly 3 windows."""
+    src = str(tmp_path / "events_sliding")
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:05", "2024-01-01 10:12", "2024-01-01 10:25",
+                     "2024-01-01 11:01", "2024-01-01 10:05"]
+                ),
+                "event_type": ["click", "click", "view", "view", "click"],
+                "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+    )
+    events.write.mode("append").parquet(src)
+    stream = M.read_event_stream(spark, src, events.schema)
+    q = M.run_stream_to_memory(
+        M.windowed_event_counts(
+            stream, window_length="30 minutes", slide_length="10 minutes"
+        ),
+        "sliding_counts",
+        output_mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_counts").collect()
+    }
+    batch = (
+        events.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # every event appears in exactly length/slide = 3 windows
+    assert sum(n for n, _ in got.values()) == 3 * 5

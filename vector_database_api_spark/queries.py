@@ -3281,6 +3281,47 @@ def map_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_window",
+    """
+    SELECT window_start_s, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 - i.i * 600 AS BIGINT)
+               AS window_start_s,
+             event_type, value
+      FROM events
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) AS i
+    )
+    GROUP BY window_start_s, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (30 min length, 10 min slide): each
+    event contributes to length/slide = 3 overlapping windows — the batch
+    twin of the sliding-mode streaming aggregate
+    (streaming/maintenance.py::windowed_event_counts).  Spark's window()
+    replicates rows window-count times before the partial agg, exactly
+    the unnest-offset expansion the oracle spells out; window starts are
+    compared as epoch seconds (slide-aligned to the 1970 epoch in both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "30 minutes", "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 @register("multimodal_image_stats", None)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW-GRAY media pipeline: documents -> encoded binary images ->

@@ -100,13 +100,22 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     window_length: str = "1 hour",
     ts_col: str = "ts",
+    slide_length: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event type — the streaming
-    form of the batch ``events_hourly_window`` query (same results when the
-    stream is drained with availableNow)."""
+    """Watermarked tumbling- or sliding-window counts per event type —
+    the streaming form of the batch ``events_hourly_window`` /
+    ``events_sliding_window`` queries (same results when the stream is
+    drained with availableNow).  With ``slide_length`` each event lands
+    in length/slide overlapping windows; state per key stays bounded by
+    the watermark either way."""
+    win = (
+        F.window(ts_col, window_length, slide_length)
+        if slide_length
+        else F.window(ts_col, window_length)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_length).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
