@@ -187,6 +187,66 @@ def main() -> None:
 
     results["label_centroids_sec"], _ = timed(centroids)
 
+    # Event-pipeline operators at 100x events (~10M rows): cohort
+    # retention, ordered funnel, and sliding windows all key their
+    # shuffles on user_id / window start — no driver-side loops, so
+    # the shapes carry to the full-cluster scale.
+    events = replicate(load_table(spark, SF_DIR, "events"), 100, "event_id")
+    events.persist()
+    n_ev = events.count()
+
+    def cohort():
+        ev = events.select("user_id", F.col("ts").cast("date").alias("day"))
+        first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return (
+            ev.distinct()
+            .join(first_seen, "user_id")
+            .withColumn("day_offset", F.datediff("day", "cohort_day"))
+            .filter(F.col("day_offset") <= 7)
+            .groupBy("cohort_day", "day_offset")
+            .count()
+            .count()
+        )
+
+    results["cohort_retention_sec"], _ = timed(cohort)
+
+    def funnel():
+        s = (
+            events.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        c = (
+            events.filter(F.col("event_type") == "click")
+            .join(s, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        p = (
+            events.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return p.count()
+
+    results["funnel_sec"], _ = timed(funnel)
+
+    def sliding():
+        return (
+            events.groupBy(
+                F.window("ts", "30 minutes", "10 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    results["sliding_window_sec"], _ = timed(sliding)
+    results["n_events"] = n_ev
+
     print(
         json.dumps(
             {
