@@ -150,3 +150,60 @@ def test_banding_pigeonhole_catches_all_close_pairs(bits_a, flip_positions):
     b = f"{bits_b:060b}"
     shared = any(a[i * 15 : (i + 1) * 15] == b[i * 15 : (i + 1) * 15] for i in range(4))
     assert shared
+
+
+# -- PQ kernels: encode argmin optimality + ADC exactness -----------------
+
+
+@given(
+    n=st.integers(1, 12),
+    m=st.integers(1, 4),
+    dsub=st.integers(1, 4),
+    k=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_pq_encode_picks_nearest_entry(n, m, dsub, k, seed):
+    """For any codebooks and rows, the chosen code minimizes the true
+    subspace L2 distance over ALL codebook entries."""
+    from vector_database_api_spark.operators.pq import encode_matrix
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, m * dsub))
+    cb = rng.normal(size=(m, k, dsub))
+    codes = encode_matrix(mat, cb)
+    for i in range(n):
+        for j in range(m):
+            block = mat[i, j * dsub : (j + 1) * dsub]
+            dists = np.linalg.norm(cb[j] - block, axis=1)
+            assert np.isclose(dists[codes[i, j]], dists.min())
+
+
+@given(
+    n=st.integers(1, 12),
+    m=st.integers(1, 4),
+    dsub=st.integers(1, 4),
+    k=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_pq_adc_equals_reconstructed_dot(n, m, dsub, k, seed):
+    """ADC gather-sum == exact inner product of the normalized query with
+    the reconstructed (codebook-concatenated) vector — quantization is
+    the only approximation, the table arithmetic adds none."""
+    from vector_database_api_spark.operators.pq import (
+        adc_lut,
+        adc_scores,
+        encode_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, m * dsub))
+    cb = rng.normal(size=(m, k, dsub))
+    q = rng.normal(size=m * dsub)
+    codes = encode_matrix(mat, cb)
+    scores = adc_scores(codes, adc_lut(q, cb))
+    qn = q / np.linalg.norm(q)
+    for i in range(n):
+        recon = np.concatenate([cb[j, codes[i, j]] for j in range(m)])
+        assert np.isclose(scores[i], float(qn @ recon), atol=1e-9)

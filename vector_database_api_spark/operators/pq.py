@@ -134,6 +134,44 @@ def build_pq(
     return PQIndex(codebooks=codebooks, codes_df=codes_df, m=m, k=k, dim=dim)
 
 
+def encode_matrix(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Pure encode kernel: per-subspace nearest-codebook-entry argmin for
+    every row of ``mat`` (already normalized).  Shared by the Arrow UDF
+    hot path and the hypothesis property suite, which verifies the
+    nearest-entry invariant against brute-force subspace distances."""
+    m, _, dsub = codebooks.shape
+    codes = np.empty((len(mat), m), dtype=np.int16)
+    for j in range(m):
+        block = mat[:, j * dsub : (j + 1) * dsub]
+        cj = codebooks[j]
+        d2 = (
+            (block * block).sum(axis=1)[:, None]
+            - 2.0 * block @ cj.T
+            + (cj * cj).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+    return codes
+
+
+def adc_lut(query_vec: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Pure ADC kernel: lut[j, c] = <normalized-query subvector j,
+    codebook[j][c]>; a code row's similarity is the gathered row sum."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    m, _, dsub = codebooks.shape
+    return np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+
+def adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Gather + row-sum of the ADC lookup table for a code matrix."""
+    m = lut.shape[0]
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
 def encode_codes(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -145,24 +183,13 @@ def encode_codes(
     are coded without retraining).  One Arrow batch = three BLAS matmuls
     per subspace."""
     cb = np.asarray(codebooks, dtype=np.float64)
-    m, _, dsub = cb.shape
 
     @F.pandas_udf("array<smallint>")
     def encode(vecs: pd.Series) -> pd.Series:
         mat = _normalize_rows(
             np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
         )
-        codes = np.empty((len(mat), m), dtype=np.int16)
-        for j in range(m):
-            block = mat[:, j * dsub : (j + 1) * dsub]
-            cj = cb[j]
-            d2 = (
-                (block * block).sum(axis=1)[:, None]
-                - 2.0 * block @ cj.T
-                + (cj * cj).sum(axis=1)[None, :]
-            )
-            codes[:, j] = d2.argmin(axis=1).astype(np.int16)
-        return pd.Series(list(codes))
+        return pd.Series(list(encode_matrix(mat, cb)))
 
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes")
@@ -185,24 +212,12 @@ def pq_search(
     sum per row, deterministic ``ORDER BY similarity DESC, id LIMIT k``
     (TakeOrderedAndProject — the same distributed top-k as every other
     search path)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
-    dsub = index.dim // index.m
-    # lut[j, c] = <q_j, codebook[j][c]>
-    lut = np.stack(
-        [
-            index.codebooks[j] @ q[j * dsub : (j + 1) * dsub]
-            for j in range(index.m)
-        ]
-    )
-    m = index.m
+    lut = adc_lut(query_vec, index.codebooks)
 
     @F.pandas_udf("double")
     def adc(codes: pd.Series) -> pd.Series:
         mat = np.vstack(codes.map(np.asarray))
-        return pd.Series(lut[np.arange(m)[None, :], mat].sum(axis=1))
+        return pd.Series(adc_scores(mat, lut))
 
     return (
         index.codes_df.select("id", adc(F.col("codes")).alias("similarity"))
