@@ -56,3 +56,22 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
                 )
             else:
                 assert sv == dv, f"{name}.{c}: {sv!r} != {dv!r}"
+
+
+def test_tpch_suite_complete():
+    """All 22 TPC-H query shapes are registered (q2/q9/q11/q12/q16/q20/q21
+    adapted to the driver schema — see queries.py docstrings)."""
+    names = set(q.spark_queries())
+    prefixes = {f"q{i}_" for i in range(1, 23)}
+    covered = {p for p in prefixes if any(n.startswith(p) for n in names)}
+    assert covered == prefixes, f"missing TPC-H shapes: {prefixes - covered}"
+
+
+def test_bench_headline_is_registered():
+    """Every bench.py headline entry must resolve in the registry, and
+    every oracle entry must have a Spark twin (the driver's contract)."""
+    import bench
+
+    names = set(q.spark_queries())
+    assert set(bench.HEADLINE) <= names
+    assert set(q.oracle_queries()) <= names
