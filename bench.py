@@ -97,6 +97,7 @@ HEADLINE = [
     "q21_late_sole_suppliers",
     "paginated_orders",
     "events_sliding_window",
+    "time_rollup_multigrain",
     "cohort_retention",
     "funnel_conversion",
     "minmax_by_profile",
