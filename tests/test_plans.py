@@ -205,3 +205,16 @@ def test_tpch_completion_plan_shapes(spark, sf_dir):
     assert a21["take_ordered_topk"]
     for audit in (a2, a9, a16, a21):
         assert audit["python_udfs"] == 0
+
+
+def test_multigrain_rollup_single_expand_pass(spark, sf_dir):
+    """time_rollup_multigrain must plan as one Expand + one aggregation
+    exchange — the fact is scanned once for all three granularities."""
+    from vector_database_api_spark.plans.audit import audit_plan, explain_str
+
+    df = q.spark_queries()["time_rollup_multigrain"](spark, sf_dir)
+    assert "Expand" in explain_str(df)
+    a = audit_plan(df)
+    assert a["shuffles"] <= 2
+    assert a["python_udfs"] == 0
+    assert a["pushed_filters"]  # user_id < 30 reaches the parquet scan
