@@ -98,6 +98,7 @@ HEADLINE = [
     "paginated_orders",
     "events_sliding_window",
     "time_rollup_multigrain",
+    "value_window_profile",
     "cohort_retention",
     "funnel_conversion",
     "minmax_by_profile",

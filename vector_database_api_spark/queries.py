@@ -3387,6 +3387,42 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_window_profile",
+    """
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def value_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window functions (first_value/last_value/nth_value)
+    over an explicit unbounded ROWS frame — the frame must be spelled out
+    because last_value under the default frame (UNBOUNDED PRECEDING →
+    CURRENT ROW) degenerates to the current row in both engines.
+    event_id breaks timestamp ties so the positional picks are
+    deterministic.  One hash exchange on user_id, then a sorted
+    single-pass window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
 @register("multimodal_image_stats", None)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW-GRAY media pipeline: documents -> encoded binary images ->
