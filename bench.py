@@ -99,6 +99,7 @@ HEADLINE = [
     "events_sliding_window",
     "time_rollup_multigrain",
     "value_window_profile",
+    "bag_set_ops_suppkeys",
     "cohort_retention",
     "funnel_conversion",
     "minmax_by_profile",

@@ -3423,6 +3423,65 @@ def value_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bag_set_ops_suppkeys",
+    """
+    WITH h1 AS (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-02-01'
+    ),
+    h2 AS (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-02-01'
+        AND l_shipdate < TIMESTAMP '1996-03-01'
+    ),
+    both_months AS (SELECT l_suppkey FROM h1 INTERSECT ALL
+                    SELECT l_suppkey FROM h2),
+    only_jan AS (SELECT l_suppkey FROM h1 EXCEPT ALL
+                 SELECT l_suppkey FROM h2)
+    SELECT l_suppkey,
+           (SELECT count(*) FROM both_months b
+             WHERE b.l_suppkey = k.l_suppkey) AS n_intersect_all,
+           (SELECT count(*) FROM only_jan o
+             WHERE o.l_suppkey = k.l_suppkey) AS n_except_all
+    FROM (SELECT DISTINCT l_suppkey FROM h1) k
+    """,
+)
+def bag_set_ops_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): per
+    supplier, January shipment rows matched against February rows with
+    multiplicity min(n1,n2) kept by INTERSECT ALL and max(n1-n2,0) by
+    EXCEPT ALL — the duplicate-preserving algebra the distinct variants
+    (custkeys_both_statuses / custkeys_without_orders) discard.  Summed
+    per key so the oracle compares multiplicities, not just membership.
+    Both plan as a single-shuffle aggregate join on the key (Spark
+    rewrites ALL-ops into count-based generate/replicate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h1 = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    ).select("l_suppkey")
+    h2 = li.filter(
+        (F.col("l_shipdate") >= "1996-02-01") & (F.col("l_shipdate") < "1996-03-01")
+    ).select("l_suppkey")
+    inter = h1.intersectAll(h2).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    exc = h1.exceptAll(h2).groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    keys = h1.distinct()
+    return (
+        keys.join(inter, "l_suppkey", "left")
+        .join(exc, "l_suppkey", "left")
+        .select(
+            "l_suppkey",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
 @register("multimodal_image_stats", None)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW-GRAY media pipeline: documents -> encoded binary images ->
