@@ -105,6 +105,12 @@ HEADLINE = [
     "minmax_by_profile",
     "map_functions_profile",
     "multimodal_image_stats",
+    "stat_aggregates_profile",
+    "events_variant_profile",
+    "bitmap_distinct_users",
+    "hll_distinct_users_daily",
+    "date_spine_gapfill",
+    "text_repetition_profile",
 ]
 
 

@@ -218,3 +218,45 @@ def test_multigrain_rollup_single_expand_pass(spark, sf_dir):
     assert a["shuffles"] <= 2
     assert a["python_udfs"] == 0
     assert a["pushed_filters"]  # user_id < 30 reaches the parquet scan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective build side injects a
+    bloom_filter_agg subquery whose might_contain() is pushed onto the
+    probe-side scan — at 100 TB this skips most of the fact-table rows
+    before the shuffle.  Thresholds are sized for petabyte scans, so the
+    test lowers the application-side floor to observe the rewrite."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join; broadcast joins don't need the bloom filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -3496,3 +3496,280 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return raw_gray_features(media_raw_gray_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Modern-engine surface: statistical aggregates, VARIANT semi-structured
+# path, exact/approximate distinct sketches, recursive CTE gap-filling,
+# and Gopher-style text repetition signals.  All partition-parallel; the
+# sketch aggregates (bitmap/HLL) are the 100 TB story for distinct counts:
+# mergeable partial states instead of a count-distinct Expand shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stat_aggregates_profile",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS median_qty,
+           mode(l_linenumber) AS mode_linenumber,
+           round(stddev_samp(l_discount), 6) AS stddev_discount,
+           round(var_samp(l_discount), 6) AS var_discount,
+           round(skewness(l_quantity), 4) AS skew_qty,
+           round(kurtosis(l_quantity), 4) AS kurt_qty,
+           round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_aggregates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface absent from the reference (SURVEY
+    §2.11): exact median (interpolated percentile-0.5), mode, sample
+    stddev/variance, skewness/kurtosis (population moments, matching
+    DuckDB bit-for-bit), correlation and sample covariance.  All are
+    single-pass partial+final aggregates — mergeable moment states, no
+    per-group sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.mode("l_linenumber").alias("mode_linenumber"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_discount"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "events_variant_profile",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via Spark 4 VARIANT: ``parse_json`` once into
+    a binary variant, typed ``try_variant_get`` extraction after — the
+    engine-native evolution of the reference's Dict[str,Any] metadata
+    escape hatch (models.py:26; events.props per TESTDATA.md).  At scale
+    VARIANT beats repeated get_json_object string re-parsing and is the
+    shreddable storage form."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregates: bucketed roaring-style
+    bitmaps (`bitmap_construct_agg` over `bitmap_bit_position`, grouped by
+    `bitmap_bucket_number`) summed per group.  Equivalent to COUNT(DISTINCT)
+    (the oracle) but with mergeable fixed-size partial state — at 100 TB
+    this replaces the count-distinct shuffle of raw user_ids with one
+    4 KB bitmap per (group, bucket)."""
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("distinct_users")
+    )
+
+
+@register("hll_distinct_users_daily", None)
+def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE distinct via Apache DataSketches HLL: one sketch per
+    day (`hll_sketch_agg`), re-aggregable with `hll_union_agg` — the
+    pre-aggregation pattern for 100 TB dashboards (store daily sketches,
+    union over arbitrary date ranges without touching raw data).
+    Rows-only registry entry (sketch estimates have no DuckDB twin);
+    tests/test_sketches.py bounds the error and pins mergeability."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate("sketch").alias("est_users"),
+            "exact_users",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "date_spine_gapfill",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+    ),
+    spine(day, mx) AS (
+      SELECT mn, mx FROM bounds
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE), mx FROM spine WHERE day < mx
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM events WHERE event_type = 'purchase' AND user_id % 7 = 3
+      GROUP BY 1
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day, coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling over a recursive-CTE date spine (Spark 4
+    WITH RECURSIVE — SURVEY §2.11 lists recursion as absent from the
+    reference).  A sparse per-day aggregate is left-joined onto the
+    complete calendar so missing days surface as explicit zeros.  The
+    spine is O(days) rows on one task; the join broadcasts it — the big
+    side never shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_gapfill_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+          FROM events_gapfill_src
+        ),
+        spine(day, mx) AS (
+          SELECT mn, mx FROM bounds
+          UNION ALL
+          SELECT date_add(day, 1), mx FROM spine WHERE day < mx
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+                 round(sum(value), 4) AS sum_value
+          FROM events_gapfill_src
+          WHERE event_type = 'purchase' AND user_id % 7 = 3
+          GROUP BY 1
+        )
+        SELECT CAST(s.day AS TIMESTAMP) AS day, coalesce(d.n_events, 0) AS n_events,
+               coalesce(d.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """
+    )
+
+
+@register(
+    "text_repetition_profile",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 256 AND len(string_split(text, ' ')) >= 2
+    ),
+    tok AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(words) AS w FROM docs) GROUP BY doc_id, w
+    ),
+    tok_agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(c) AS top_c
+      FROM tok GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             list_transform(range(2, len(words) + 1),
+                            i -> words[i-1] || ' ' || words[i]) AS bgs
+      FROM docs
+    ),
+    bigt AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS b FROM big) GROUP BY doc_id, b
+    ),
+    big_agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct_bigrams
+      FROM bigt GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(t.n_distinct * 1.0 / t.n_tokens, 4) AS distinct_word_frac,
+           round(t.top_c * 1.0 / t.n_tokens, 4) AS top_word_frac,
+           round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 4)
+             AS dup_bigram_frac
+    FROM tok_agg t JOIN big_agg b ON t.doc_id = b.doc_id
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (Rae et al.
+    2021, public): distinct-word ratio, fraction of tokens taken by the
+    most frequent word, duplicate-bigram fraction.  Token and bigram
+    counts are explode + two-level keyed aggregation (map-side combinable,
+    shuffles only (doc_id, token) counts); bigrams are built JVM-side with
+    a `transform(sequence(...))` higher-order projection — no Python, no
+    driver loop, scales per-document regardless of corpus size."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 256)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    tok = (
+        docs.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    big = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(2, size(words)),"
+                " i -> concat(words[i-2], ' ', words[i-1]))"
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return tok.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+            "distinct_word_frac"
+        ),
+        F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+        ).alias("dup_bigram_frac"),
+    )
