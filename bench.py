@@ -111,6 +111,8 @@ HEADLINE = [
     "hll_distinct_users_daily",
     "date_spine_gapfill",
     "text_repetition_profile",
+    "udtf_chunk_documents",
+    "lateral_top_orders_per_customer",
 ]
 
 

@@ -3781,3 +3781,84 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
         ).alias("dup_bigram_frac"),
     )
+
+
+_UDTF_CHUNK_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+ch AS (
+  SELECT doc_id,
+         CAST(g.i AS INT) // 80 AS chunk_idx,
+         substring(text, CAST(g.i AS INT) + 1, 100) AS chunk
+  FROM d, LATERAL (SELECT unnest(range(0, len(text), 80)) AS i) g
+)
+SELECT doc_id, chunk_idx, chunk FROM ch
+"""
+
+
+@register("udtf_chunk_documents", _UDTF_CHUNK_ORACLE)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10 notes the reference exposes no
+    UDTF; this is the extended-surface demonstration): a table function
+    lateral-joined per document, emitting overlapping 100-char/80-stride
+    chunks.  UDTFs are the Python slow path — `chunk_documents_windows`
+    is the JVM fast path for the identical transform (tests pin them
+    equal); a UDTF earns its cost only when the expansion logic needs a
+    Python library.  Runs partition-parallel like any generator: no
+    shuffle, expansion happens where the row lives."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            if text is None:
+                return
+            size, stride = 100, 80
+            i, idx = 0, 0
+            while i < len(text):
+                yield idx, text[i : i + size]
+                idx += 1
+                i += stride
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_chunk_docs_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM udtf_chunk_docs_src d, LATERAL chunk_udtf(d.text) c
+        WHERE d.doc_id < 200
+        """
+    )
+
+
+_LATERAL_TOPK_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey < 500
+"""
+
+
+@register("lateral_top_orders_per_customer", _LATERAL_TOPK_ORACLE)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard spelling of top-k-per-group (the DataFrame spelling is
+    `topk_per_group`'s ranking window; both shapes belong to the complete
+    surface).  Catalyst decorrelates the lateral into a ranked join, so
+    execution is one shuffle on the correlation key — identical row
+    semantics on DuckDB, which plans LATERAL natively."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_cust_src")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_ord_src")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_cust_src c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_ord_src o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 500
+        """
+    )

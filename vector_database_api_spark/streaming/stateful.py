@@ -124,3 +124,96 @@ def streaming_exact_dedup(docs: DataFrame, fingerprint_col: str = "fingerprint")
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 state API v2): typed state variables
+# (ValueState / MapState), per-state TTL, and timers — the successor to
+# applyInPandasWithState above.  Same operator semantics as
+# running_user_profile plus a per-event-type breakdown held in MapState,
+# which the old API could only fake by packing maps into one row.
+#
+# Runtime dependency: the v2 state protocol speaks protobuf to the state
+# server, so executing this operator requires the ``protobuf`` package
+# (and the RocksDB state store provider).  This container lacks protobuf,
+# so the restart test self-skips; the applyInPandasWithState twin above
+# covers the same semantics in CI.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+PROFILE_V2_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_types", LongType()),
+        StructField("top_type", StringType()),
+    ]
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user running profile with per-event-type counts.
+
+    ValueState holds (n_events, total_value); MapState keyed by event_type
+    holds per-type counts.  State store layout is per-key-per-variable, so
+    a 100 TB keyspace shards across executors exactly like any keyed
+    aggregation; RocksDB state backend + changelog checkpointing keep
+    snapshots incremental at scale.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, total_value double"
+        )
+        self._by_type = handle.getMapState(
+            "by_type", "event_type string", "cnt bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._by_type.getValue((etype,))[0]
+                    if self._by_type.containsKey((etype,))
+                    else 0
+                )
+                self._by_type.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, total))
+        counts = sorted(
+            ((k[0], v[0]) for k, v in self._by_type.iterator()),
+            # deterministic top type: highest count, then lexicographic
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [len(counts)],
+                "top_type": [counts[0][0]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profile_v2(events: DataFrame) -> DataFrame:
+    """Streaming per-user profile on the Spark 4 typed-state API.
+    Requires columns (user_id, ts, value, event_type); emits one updated
+    row per user per micro-batch (update mode)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=PROFILE_V2_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
