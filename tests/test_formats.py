@@ -79,3 +79,51 @@ def test_json_tolerant_quarantines_corrupt_rows(spark, tmp_path):
     clean, bad = FMT.split_quarantine(df)
     assert {(r["id"], r["v"]) for r in clean.collect()} == {(1, 10.5), (2, 20.0)}
     assert bad.count() == 2  # the non-json line and the type-mismatch line
+
+
+def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """Range-clustered parquet: row-group min/max stats on the sort key
+    become non-overlapping, so a selective range predicate needs only a
+    small fraction of row groups — verified from the parquet footers
+    (what the scan's row-group skipping reads), plus result parity."""
+    import pyarrow.parquet as pq
+
+    from vector_database_api_spark.sources.formats import write_range_sorted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    write_range_sorted(
+        li, sorted_dir, ["l_orderkey"], num_files=2, rows_per_rowgroup=8 * 1024
+    )
+
+    def rowgroup_ranges(d):
+        out = []
+        for f in sorted(str(p) for p in __import__("pathlib").Path(d).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(0).statistics
+                out.append((st.min, st.max, md.row_group(g).num_rows))
+        return out
+
+    ranges = rowgroup_ranges(sorted_dir)
+    assert len(ranges) >= 8, f"want multiple row groups, got {len(ranges)}"
+    # non-overlapping: sort by min, every group's max below next group's min
+    # (allow equal boundary key on the seam)
+    rs = sorted(ranges)
+    assert all(a[1] <= b[0] for a, b in zip(rs, rs[1:]))
+
+    # a tight range predicate touches few groups by stats
+    lo, hi = rs[0][1], rs[1][1]  # spans ~2 groups
+    touched = sum(1 for mn, mx, _ in ranges if not (mx < lo or mn > hi))
+    assert touched <= max(3, len(ranges) // 4)
+
+    # and results match the unsorted source
+    got = (
+        spark.read.parquet(sorted_dir)
+        .filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+        .count()
+    )
+    want = li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)).count()
+    assert got == want

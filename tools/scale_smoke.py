@@ -245,7 +245,63 @@ def main() -> None:
         )
 
     results["sliding_window_sec"], _ = timed(sliding)
+
+    def bitmap_distinct():
+        per_bucket = events.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+        ).agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+            ).alias("cnt")
+        )
+        return per_bucket.groupBy("event_type").agg(
+            F.sum("cnt").alias("d")
+        ).count()
+
+    results["bitmap_distinct_sec"], _ = timed(bitmap_distinct)
+
+    def hll_daily_union():
+        return (
+            events.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .count()
+        )
+
+    results["hll_union_sec"], _ = timed(hll_daily_union)
+
+    def variant_extract():
+        return (
+            events.select(
+                "event_type",
+                F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(F.avg("k"), F.max("k"))
+            .count()
+        )
+
+    results["variant_extract_sec"], _ = timed(variant_extract)
     results["n_events"] = n_ev
+
+    def text_repetition():
+        d = docs.select("doc_id", F.split("text", " ").alias("words")).filter(
+            F.size("words") >= 2
+        )
+        tok = (
+            d.select("doc_id", F.explode("words").alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n"),
+                F.count(F.lit(1)).alias("nd"),
+                F.max("c").alias("top"),
+            )
+        )
+        return tok.count()
+
+    results["text_repetition_sec"], _ = timed(text_repetition)
 
     print(
         json.dumps(
