@@ -113,6 +113,7 @@ HEADLINE = [
     "text_repetition_profile",
     "udtf_chunk_documents",
     "lateral_top_orders_per_customer",
+    "pq_refined_search_topk",
 ]
 
 

@@ -111,3 +111,43 @@ def test_ivfpq_untrained_returns_empty(index, embs, spark):
     assert not untrained.trained
     q = np.ones(64)
     assert PQ.ivfpq_search(untrained, index, q, k=5).count() == 0
+
+
+def test_refined_search_recovers_exact_topk(spark, sf_dir):
+    """ADC shortlist + exact re-rank: with a generous refine factor the
+    refined top-k must equal brute-force exact top-k (the shortlist
+    contains the true neighbors; the re-rank scores them exactly), and
+    self-query must return itself at similarity ~1."""
+    import numpy as np
+
+    from vector_database_api_spark.operators.knn import knn_brute_force
+    from vector_database_api_spark.operators.pq import build_pq, pq_search, pq_search_refined
+    from vector_database_api_spark.sources.tables import chunks_table, load_table
+
+    chunks = chunks_table(spark, sf_dir).select("id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), "embedding"
+    )
+    index = build_pq(embs, m=8, k=16, seed=42)
+    qvec = np.asarray(
+        embs.filter(F.col("vec_id") == 3).collect()[0]["embedding"], dtype=np.float64
+    )
+
+    refined = pq_search_refined(index, chunks, qvec, k=5, refine=40)
+    got = [(r.id, round(r.similarity, 9)) for r in refined.collect()]
+
+    qdf = spark.createDataFrame([(qvec.tolist(),)], "query_embedding array<double>")
+    exact = [
+        (r.id, round(r.similarity, 9))
+        for r in knn_brute_force(chunks, qdf, k=5).collect()
+    ]
+    assert got == exact
+    assert got[0][0] == "3" and got[0][1] == pytest.approx(1.0)
+
+    # refined beats raw ADC on exact-topk agreement
+    adc_ids = {r.id for r in pq_search(index, qvec, k=5).collect()}
+    exact_ids = {i for i, _ in exact}
+    refined_ids = {i for i, _ in got}
+    assert len(refined_ids & exact_ids) >= len(adc_ids & exact_ids)

@@ -57,7 +57,7 @@ def main() -> None:
     pq_index_t.codes_df.count()
 
     queries = embs.limit(n_queries).collect()
-    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = total = 0
+    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = pq_r_hits = total = 0
     for row in queries:
         qvec = np.asarray(row["embedding"], dtype=np.float64)
         qdf = spark.createDataFrame(
@@ -96,12 +96,19 @@ def main() -> None:
         pq_t_res = {
             r["id"] for r in pq_mod.pq_search(pq_index_t, qvec, k=k).collect()
         }
+        pq_r_res = {
+            r["id"]
+            for r in pq_mod.pq_search_refined(
+                pq_index, embs, qvec, k=k, refine=10
+            ).collect()
+        }
         lsh_hits += len(truth & lsh_res)
         ivf_hits += len(truth & ivf_res)
         lsh_t_hits += len(truth & lsh_t_res)
         ivf_t_hits += len(truth & ivf_t_res)
         pq_hits += len(truth & pq_res)
         pq_t_hits += len(truth & pq_t_res)
+        pq_r_hits += len(truth & pq_r_res)
         total += len(truth)
 
     print(
@@ -116,6 +123,7 @@ def main() -> None:
                 "ivf_recall_nprobe20": round(ivf_t_hits / total, 4),
                 "pq_recall_m8_k16": round(pq_hits / total, 4),
                 "pq_recall_m32_k16": round(pq_t_hits / total, 4),
+                "pq_recall_m8_refine10": round(pq_r_hits / total, 4),
                 "lsh_tables": len(planes),
                 "ivf_nlist": ivf_index.nlist,
                 "ivf_nprobe": ivf_index.nprobe,

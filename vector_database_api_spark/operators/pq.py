@@ -260,3 +260,33 @@ def ivfpq_search(
         dim=pq_index.dim,
     )
     return pq_search(pool, query_vec, k=k)
+
+
+def pq_search_refined(
+    index: PQIndex,
+    chunks: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 5,
+    refine: int = 10,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the FAISS ``IndexRefine`` pattern):
+    rank ALL codes by quantized similarity, keep the top ``refine*k``
+    candidate ids, then score only those against the RAW vectors and take
+    the exact top-k.
+
+    This buys back most of the recall PQ loses to quantization at a cost
+    proportional to ``refine*k`` raw-vector reads instead of the full
+    corpus: the big scan stays on 8-16 B/vector codes; full-precision
+    vectors are touched for a shortlist that is broadcastable by
+    construction.  ``chunks`` must carry (id, embedding) for every id in
+    the index.  Deterministic: both stages tie-break on id.
+    """
+    from vector_database_api_spark.operators.knn import knn_brute_force
+
+    shortlist = pq_search(index, query_vec, k=k * refine).select("id")
+    spark = chunks.sparkSession
+    qdf = spark.createDataFrame(
+        [(query_vec.tolist(),)], "query_embedding array<double>"
+    )
+    pool = chunks.join(F.broadcast(shortlist), "id", "left_semi")
+    return knn_brute_force(pool, qdf, k=k)

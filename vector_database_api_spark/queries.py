@@ -3033,17 +3033,29 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides of the ratio comparison.  shipped→tot reuses the same
     partitioning key (l_partkey first), and the final IN is a broadcast
     semi-join."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    # part predicate pushed below BOTH aggregations: the per-part total only
+    # involves lineitems of that part, so restricting l_partkey to small%
+    # parts up front (broadcast semi-join at the scan) shrinks the heavy
+    # groupBys without changing any ratio.
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
     )
     tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     heavy = (
         shipped.join(tot, "l_partkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("qty").cast("double") > 0.5 * F.col("total_qty").cast("double"))
         .select("l_suppkey")
         .distinct()
@@ -3861,4 +3873,23 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey < 500
         """
+    )
+
+
+@register("pq_refined_search_topk", None)
+def pq_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist (top-100 by quantized similarity) + exact re-rank
+    to top-10 on raw vectors — the FAISS IndexRefine pattern
+    (operators/pq.py::pq_search_refined).  The corpus-wide scan touches
+    only 8 B/vector codes; full-precision vectors are read for the
+    broadcastable shortlist alone.  Rows-only; equality with brute-force
+    top-k at generous refine is pytest-verified in tests/test_pq.py."""
+    import numpy as np
+
+    index = _cached_pq_index(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    chunks = embs.select(F.col("vec_id").cast("string").alias("id"), "embedding")
+    qrow = embs.filter(F.col("vec_id") == 9).select("embedding").collect()[0]
+    return pq_mod.pq_search_refined(
+        index, chunks, np.array(qrow["embedding"], dtype=np.float64), k=10, refine=10
     )
