@@ -114,6 +114,7 @@ HEADLINE = [
     "udtf_chunk_documents",
     "lateral_top_orders_per_customer",
     "pq_refined_search_topk",
+    "document_filter_decision",
 ]
 
 

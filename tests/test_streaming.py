@@ -282,3 +282,64 @@ def test_sliding_window_counts_match_batch(spark, tmp_path):
     assert got == want
     # every event appears in exactly length/slide = 3 windows
     assert sum(n for n, _ in got.values()) == 3 * 5
+
+
+def test_incremental_sketch_equals_batch(spark, tmp_path):
+    """Streaming HLL maintenance: after draining batches (including a
+    restart), every (day, event_type) sketch estimate equals the estimate
+    computed in one batch pass over all accumulated events — HLL union is
+    exact w.r.t. the merged sketch state."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skdir = str(tmp_path / "sketches")
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "event_type": [r[2] for r in rows],
+                }
+            )
+        )
+
+    d1 = dt.datetime(2024, 1, 1, 10, 0)
+    d2 = dt.datetime(2024, 1, 2, 10, 0)
+    ev([(1, d1, "click"), (2, d1, "click"), (1, d1, "view")]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, event_type string"
+    )
+    q = M.incremental_sketch_maintenance(spark, stream, skdir, ckpt)
+    q.awaitTermination(120)
+
+    # second drain: overlapping + new users, new day, fresh query instance
+    ev(
+        [(1, d1, "click"), (3, d1, "click"), (2, d2, "click"), (4, d2, "view")]
+    ).write.mode("append").parquet(src)
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, event_type string"
+    )
+    q = M.incremental_sketch_maintenance(spark, stream, skdir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.day), r.event_type): r.est_users
+        for r in M.sketch_estimates(spark, skdir).collect()
+    }
+    batch = spark.read.parquet(src)
+    want = {
+        (str(r.day), r.event_type): r.est
+        for r in batch.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # per-day rollup present and exact at this cardinality
+    assert got[("2024-01-01", "__all__")] == 3
+    assert got[("2024-01-02", "__all__")] == 2

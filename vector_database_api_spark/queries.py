@@ -3893,3 +3893,75 @@ def pq_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_mod.pq_search_refined(
         index, chunks, np.array(qrow["embedding"], dtype=np.float64), k=10, refine=10
     )
+
+
+_SPARK_TOKS = "split(lower(text), ' ')"
+_DUCK_TOKS = "string_split(lower(text), ' ')"
+_SPARK_TOPF = (
+    f"array_max(transform(array_distinct({_SPARK_TOKS}),"
+    f" w -> size(filter({_SPARK_TOKS}, x -> x = w))))"
+    f" / CAST(size({_SPARK_TOKS}) AS DOUBLE)"
+)
+_DUCK_TOPF = (
+    f"list_max(list_transform(list_distinct({_DUCK_TOKS}),"
+    f" w -> len(list_filter({_DUCK_TOKS}, x -> x = w)))) * 1.0"
+    f" / len({_DUCK_TOKS})"
+)
+
+
+def _filter_decision_sql(engine: str) -> str:
+    """Shared CTE body for the curation decision (thresholds inline so
+    both engines compare identical exact rationals)."""
+    if engine == "spark":
+        n_tok = text_fns.spark_token_count("text")
+        lang = text_fns.spark_lang_id("text")
+        qual = text_fns.spark_quality_score("text")
+        topf = _SPARK_TOPF
+        arr_filter = "filter"
+        arr_open, arr_close = "array(", ")"
+        table = "filter_decision_docs"
+    else:
+        n_tok = text_fns.duck_token_count("text")
+        lang = text_fns.duck_lang_id("text")
+        qual = text_fns.duck_quality_score("text")
+        topf = _DUCK_TOPF
+        arr_filter = "list_filter"
+        arr_open, arr_close = "ARRAY[", "]"
+        table = "documents"
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {n_tok} AS n_tokens,
+             {lang} AS lang_guess,
+             {qual} AS quality,
+             {topf} AS top_word_frac
+      FROM {table}
+    )
+    SELECT doc_id, n_tokens, lang_guess, quality,
+           round(top_word_frac, 4) AS top_word_frac,
+           (n_tokens >= 20 AND lang_guess = 'en'
+            AND quality >= 0.45 AND top_word_frac <= 0.12) AS keep,
+           {arr_filter}({arr_open}
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN lang_guess <> 'en' THEN 'non_english' END,
+             CASE WHEN quality < 0.45 THEN 'low_quality' END,
+             CASE WHEN top_word_frac > 0.12 THEN 'repetitive' END
+           {arr_close}, x -> x IS NOT NULL) AS reject_reasons
+    FROM sig
+    """
+
+
+@register("document_filter_decision", _filter_decision_sql("duck"))
+def document_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision (the C4/Gopher-style keep/reject
+    gate an LLM-data pipeline runs per document): token count, language
+    ID, quality score, and top-word repetition combined into a boolean
+    ``keep`` plus an ordered ``reject_reasons`` array.  One narrow
+    projection over the corpus — every signal is a JVM expression on the
+    already-loaded text, no shuffle, no Python; at 100 TB this runs at
+    scan speed and the decision column partitions the corpus for the
+    downstream keep/quarantine writers."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "filter_decision_docs"
+    )
+    return spark.sql(_filter_decision_sql("spark"))

@@ -191,3 +191,67 @@ def stream_static_enrich(
     restarting the stream) — no state store involved, unlike
     stream-stream joins."""
     return events.join(F.broadcast(dim.select(on, *dim_cols)), on, "left")
+
+
+def incremental_sketch_maintenance(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming distinct-user sketches: each micro-batch reduces to one
+    HLL sketch per (day, event_type); ``hll_union_agg`` folds it into the
+    stored sketch table (read-union-overwrite per batch — at 100 TB this
+    is a MERGE on the tiny sketch table, never a scan of history).
+
+    The stored table is the pre-aggregation form: dashboards estimate
+    distinct users over any day/type slice by unioning a handful of
+    sketches, while the raw event stream is never re-read.  Mergeability
+    (union of partials == sketch of whole) is what makes the fold exact —
+    pinned in tests/test_sketches.py and test_streaming.py.
+    """
+    from pathlib import Path
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch_sk = batch.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        if any(Path(sketch_dir).glob("*.parquet")):
+            prior = batch.sparkSession.read.parquet(sketch_dir)
+            merged = (
+                prior.unionByName(batch_sk)
+                .groupBy("day", "event_type")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        else:
+            merged = batch_sk
+        # local-only staging swap; transactional overwrite in production
+        tmp = sketch_dir + "_staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = batch.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(sketch_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sketch_estimates(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Read the maintained sketch table and estimate distinct users per
+    (day, event_type) plus re-aggregated per-day totals."""
+    sk = spark.read.parquet(sketch_dir)
+    per_slice = sk.select(
+        "day",
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est_users"),
+    )
+    per_day = (
+        sk.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
+        .withColumn("event_type", F.lit("__all__"))
+        .select("day", "event_type", "est_users")
+    )
+    return per_slice.unionByName(per_day)
