@@ -127,3 +127,20 @@ def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
     )
     want = li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)).count()
     assert got == want
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    """Native XML source/sink (Spark 4): write nation as XML rows, read
+    back with an explicit schema, values identical."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    nation.write.format("xml").option("rowTag", "row").mode("overwrite").save(path)
+    back = FMT.read_files(
+        spark,
+        path,
+        fmt="xml",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

@@ -27,7 +27,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-READ_FORMATS = ("parquet", "csv", "json", "orc")
+READ_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 
 
 def read_files(
@@ -43,7 +43,7 @@ def read_files(
     declared, never discovered."""
     if fmt not in READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(f"{fmt} requires an explicit schema (no inference)")
     reader = spark.read.format(fmt)
     if schema is not None:
@@ -53,6 +53,9 @@ def read_files(
         # quoted newlines inside text fields: without multiLine the reader
         # treats every physical line as a record and silently drops rows
         options.setdefault("multiLine", "true")
+    if fmt == "xml":
+        # native XML source (new in Spark 4) — rowTag is mandatory
+        options.setdefault("rowTag", "row")
     return reader.options(**options).load(path)
 
 
