@@ -115,6 +115,8 @@ HEADLINE = [
     "lateral_top_orders_per_customer",
     "pq_refined_search_topk",
     "document_filter_decision",
+    "try_null_semantics_profile",
+    "calendar_profile",
 ]
 
 

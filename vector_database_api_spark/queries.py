@@ -3744,45 +3744,46 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition quality signals (Rae et al.
     2021, public): distinct-word ratio, fraction of tokens taken by the
     most frequent word, duplicate-bigram fraction.  Token and bigram
-    counts are explode + two-level keyed aggregation (map-side combinable,
-    shuffles only (doc_id, token) counts); bigrams are built JVM-side with
-    a `transform(sequence(...))` higher-order projection — no Python, no
-    driver loop, scales per-document regardless of corpus size."""
+    counts explode into ONE (doc_id, kind, gram) stream (bigrams built
+    JVM-side with a `transform(sequence(...))` higher-order projection),
+    so the whole profile is two keyed aggregations — two shuffles, not
+    two explode chains + a join (the first cut spent ~4 s of pure AQE
+    stage scheduling at sf0.1; this shape runs in one stage pipeline).
+    No Python, no driver loop, scales per-document regardless of corpus
+    size."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 256)
         .select("doc_id", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 2)
     )
-    tok = (
-        docs.select("doc_id", F.explode("words").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_c"),
-        )
-    )
-    big = (
-        docs.select(
-            "doc_id",
+    grams = docs.select(
+        "doc_id",
+        F.explode(
             F.expr(
-                "transform(sequence(2, size(words)),"
-                " i -> concat(words[i-2], ' ', words[i-1]))"
-            ).alias("bgs"),
-        )
-        .select("doc_id", F.explode("bgs").alias("b"))
-        .groupBy("doc_id", "b")
+                "concat("
+                " transform(words, w -> struct('w' AS kind, w AS gram)),"
+                " transform(sequence(2, size(words)),"
+                "   i -> struct('b' AS kind,"
+                "               concat(words[i-2], ' ', words[i-1]) AS gram)))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    per_doc = (
+        grams.groupBy("doc_id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum(F.when(F.col("kind") == "w", F.col("c"))).alias("n_tokens"),
+            F.count(F.when(F.col("kind") == "w", 1)).alias("n_distinct"),
+            F.max(F.when(F.col("kind") == "w", F.col("c"))).alias("top_c"),
+            F.sum(F.when(F.col("kind") == "b", F.col("c"))).alias("n_bigrams"),
+            F.count(F.when(F.col("kind") == "b", 1)).alias(
+                "n_distinct_bigrams"
+            ),
         )
     )
-    return tok.join(big, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
@@ -3897,9 +3898,19 @@ def pq_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPARK_TOKS = "split(lower(text), ' ')"
 _DUCK_TOKS = "string_split(lower(text), ' ')"
+# top word frequency as the longest run in the SORTED token array — one
+# O(n log n) pass instead of the O(n^2) count-per-distinct-token form the
+# (performance-free) DuckDB oracle uses; both compute the exact max count.
 _SPARK_TOPF = (
-    f"array_max(transform(array_distinct({_SPARK_TOKS}),"
-    f" w -> size(filter({_SPARK_TOKS}, x -> x = w))))"
+    f"aggregate(array_sort({_SPARK_TOKS}),"
+    " named_struct('prev', CAST(NULL AS STRING),"
+    "              'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),"
+    " (a, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, CAST(1 AS BIGINT)),"
+    "   'best', GREATEST(a.best,"
+    "     IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, CAST(1 AS BIGINT)))),"
+    " a -> a.best)"
     f" / CAST(size({_SPARK_TOKS}) AS DOUBLE)"
 )
 _DUCK_TOPF = (
@@ -3965,3 +3976,94 @@ def document_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter_decision_docs"
     )
     return spark.sql(_filter_decision_sql("spark"))
+
+
+@register(
+    "try_null_semantics_profile",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(nullif(l_quantity % 5, 0)) AS n_nonnull_mod,
+           round(sum(l_extendedprice / nullif(CAST(l_quantity AS DOUBLE) - 25.0, 0.0)), 2)
+             AS safe_div_sum,
+           sum(CASE WHEN nullif(l_quantity % 5, 0)
+                         IS NOT DISTINCT FROM nullif(l_linenumber % 5, 0)
+                    THEN 1 ELSE 0 END) AS null_safe_matches,
+           sum(CASE WHEN l_orderkey % 10000 = 7 AND l_orderkey > 0
+                    THEN 1 ELSE 0 END) AS overflow_nulls
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def try_null_semantics_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic and NULL semantics (Spark 4 ships
+    ANSI on by default, where bare division-by-zero and bigint overflow
+    RAISE): ``try_divide``/``try_add`` return NULL instead of failing the
+    job — the behavior a 100 TB pipeline needs when one poison row must
+    not kill a 10-hour run.  Also pins three-valued-logic edges: count
+    over a NULLable expression, null-safe equality (``<=>`` here,
+    IS NOT DISTINCT FROM in the oracle).  The overflow oracle encodes the
+    expected semantics directly (rows where the add exceeds BIGINT max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qmod = F.nullif(F.col("l_quantity") % 5, F.lit(0))
+    lmod = F.nullif(F.col("l_linenumber") % 5, F.lit(0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(qmod).alias("n_nonnull_mod"),
+        F.round(
+            F.sum(
+                F.try_divide(
+                    F.col("l_extendedprice"),
+                    F.col("l_quantity").cast("double") - 25.0,
+                )
+            ),
+            2,
+        ).alias("safe_div_sum"),
+        F.sum(qmod.eqNullSafe(lmod).cast("bigint")).alias("null_safe_matches"),
+        # poison rows must be RARE: try_* handles errors via a per-row JVM
+        # exception, so an always-overflowing column costs ~25us/row (a
+        # measured 15s at sf0.1).  Rare overflow (the realistic poison-row
+        # case) is free.
+        F.sum(
+            F.try_add(
+                F.when(
+                    F.col("l_orderkey") % 10000 == 7, F.lit(9223372036854775807)
+                ).otherwise(F.lit(0)),
+                F.col("l_orderkey"),
+            )
+            .isNull()
+            .cast("bigint")
+        ).alias("overflow_nulls"),
+    )
+
+
+@register(
+    "calendar_profile",
+    """
+    SELECT CAST(d AS VARCHAR) AS day_str,
+           quarter(d) AS q,
+           weekofyear(d) AS iso_week,
+           CAST(last_day(d) AS VARCHAR) AS month_end,
+           CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2_months,
+           strftime(d, '%Y-%m') AS year_month
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    """,
+)
+def calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface (extends F2/F3's bare timestamp
+    comparisons): quarter/ISO-week extraction, month-end, month-offset
+    arithmetic, year-month bucketing — the derived columns a time-series
+    warehouse keys its partitions and rollups on.  Dates serialize as
+    strings on both engines so the value hash is representation-stable."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .select(
+            F.col("d").cast("string").alias("day_str"),
+            F.quarter("d").alias("q"),
+            F.weekofyear("d").alias("iso_week"),
+            F.last_day("d").cast("string").alias("month_end"),
+            F.add_months("d", 2).cast("string").alias("plus_2_months"),
+            F.date_format("d", "yyyy-MM").alias("year_month"),
+        )
+    )
