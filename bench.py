@@ -117,6 +117,7 @@ HEADLINE = [
     "document_filter_decision",
     "try_null_semantics_profile",
     "calendar_profile",
+    "forward_fill_locf",
 ]
 
 

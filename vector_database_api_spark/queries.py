@@ -2194,22 +2194,49 @@ def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the two-sided dimension join — nation joined
     through BOTH the supplier and the customer leg, disjunctive pair
-    filter, yearly DECIMAL-exact volume rollup.  All four dimensions
-    broadcast; lineitem (the only big table) shuffles once for the
-    l_orderkey join with orders."""
+    filter, yearly DECIMAL-exact volume rollup.  The nation pair
+    predicate is pushed into BOTH legs before anything touches lineitem:
+    supplier and customer each pre-join their (2-row) nation slice, and
+    orders joins the filtered customers first — after which the orders
+    side is ~8% of its original rows and BROADCASTS, so the fact table
+    never shuffles at all (zero-Exchange fact path; the disjunctive
+    cross-pair check still runs post-join to drop same-nation pairs)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
     )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    supp_f = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n1_key"),
+        )
+        .select("s_suppkey", "supp_nation")
     )
+    cust_f = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n2_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders_f = orders.join(
+        F.broadcast(cust_f), orders.o_custkey == cust_f.c_custkey
+    ).select("o_orderkey", "cust_nation")
     volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
     )
@@ -2217,11 +2244,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
+        .join(F.broadcast(orders_f), li.l_orderkey == orders_f.o_orderkey)
         .filter(pair_ok)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -4066,4 +4090,46 @@ def calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.add_months("d", 2).cast("string").alias("plus_2_months"),
             F.date_format("d", "yyyy-MM").alias("year_month"),
         )
+    )
+
+
+@register(
+    "forward_fill_locf",
+    """
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_reading,
+           round(value / sum(value) OVER (PARTITION BY user_id), 6)
+             AS value_ratio
+    FROM events
+    """,
+)
+def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation surface: last-observation-carried-forward
+    via ``last(..., ignorenulls)`` over a running ROWS frame ('click'
+    events stand in for sensor dropouts), plus ratio-to-report (each
+    value as a share of its partition total).  Both are single-pass
+    window evaluations over one user_id shuffle; LOCF at 100 TB is this
+    exact plan with a range-partitioned time sort."""
+    events = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("user_id")
+    return (
+        events.select("user_id", "event_id", "ts", "value", reading.alias("r"))
+        .select(
+            "user_id",
+            "event_id",
+            F.last("r", ignorenulls=True).over(w).alias("filled_reading"),
+            F.round(F.col("value") / F.sum("value").over(wp), 6).alias(
+                "value_ratio"
+            ),
+        )
+        .drop("ts", "value")
     )
