@@ -118,6 +118,7 @@ HEADLINE = [
     "try_null_semantics_profile",
     "calendar_profile",
     "forward_fill_locf",
+    "theta_sketch_set_ops",
 ]
 
 

@@ -53,3 +53,28 @@ def test_bitmap_distinct_is_exact(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_theta_set_ops_match_exact_at_small_cardinality(spark, sf_dir):
+    """Theta sketches are exact below their nominal-entries threshold:
+    union/intersection/difference estimates must equal true set-op sizes
+    on the sf test data."""
+    row = q.theta_sketch_set_ops(spark, sf_dir).collect()[0]
+    events = load_table(spark, sf_dir, "events")
+    click = {
+        r.user_id
+        for r in events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    purchase = {
+        r.user_id
+        for r in events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert round(row.est_union) == len(click | purchase)
+    assert round(row.est_intersection) == len(click & purchase)
+    assert round(row.est_click_only) == len(click - purchase)

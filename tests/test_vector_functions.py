@@ -68,3 +68,19 @@ def test_normalize(spark):
     ).collect()[0]
     assert row["na"] == pytest.approx([0.6, 0.8])
     assert row["nb"] == [0.0, 0.0]  # zero vector returned unchanged
+
+
+def test_dim_mismatch_yields_null_not_garbage(spark):
+    """Deliberate deviation from the reference, pinned: the reference
+    RAISES on dimension mismatch (embedding.py:76-78, single-process);
+    in a distributed scan one poison row must not kill the job, so the
+    HOF expressions yield NULL (zip_with pads the shorter array with
+    NULL, which nulls the whole accumulation).  NULL — never a silently
+    truncated or garbage score."""
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0])], SCHEMA)
+    row = df.select(
+        dot_product("a", "b").alias("d"),
+        cosine_similarity("a", "b").alias("c"),
+        euclidean_distance("a", "b").alias("e"),
+    ).collect()[0]
+    assert row["d"] is None and row["c"] is None and row["e"] is None

@@ -147,6 +147,18 @@ def main() -> None:
 
     results["pq_adc_search_sec"], _ = timed(pq_adc)
 
+    def pq_refine():
+        chunks_ids = embs.select(F.col("vec_id").alias("id"), "embedding")
+        return PQ.pq_search_refined(
+            pq_holder["index"],
+            chunks_ids,
+            np.asarray(qvec, dtype=np.float64),
+            k=10,
+            refine=10,
+        ).count()
+
+    results["pq_refine_search_sec"], _ = timed(pq_refine)
+
     def exact_dedup():
         return D.exact_dedup(docs).count()
 

@@ -4133,3 +4133,34 @@ def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ts", "value")
     )
+
+
+@register("theta_sketch_set_ops", None)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (DataSketches): distinct-user sketches per
+    event type, then |click ∪ purchase|, |click ∩ purchase| and
+    |click \\ purchase| estimated from the two sketches ALONE — the
+    audience-overlap computation that at 100 TB replaces a self-join of
+    raw user ids with algebra on two kilobyte-scale summaries (HLL can
+    only union; theta adds intersection/difference).  Rows-only; accuracy
+    vs exact set ops is pytest-pinned in tests/test_sketches.py."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_click"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_purchase"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_click"), F.col("sk_purchase"))
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_click"), F.col("sk_purchase"))
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_click"), F.col("sk_purchase"))
+        ).alias("est_click_only"),
+    )
