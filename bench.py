@@ -119,6 +119,7 @@ HEADLINE = [
     "calendar_profile",
     "forward_fill_locf",
     "theta_sketch_set_ops",
+    "regression_profile",
 ]
 
 

@@ -4170,3 +4170,41 @@ def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference(F.col("sk_click"), F.col("sk_purchase"))
         ).alias("est_click_only"),
     )
+
+
+@register(
+    "regression_profile",
+    """
+    SELECT event_type,
+           round(regr_slope(value, epoch(ts) - epoch(TIMESTAMP '2024-01-01')), 8)
+             AS slope,
+           round(regr_intercept(value, epoch(ts) - epoch(TIMESTAMP '2024-01-01')), 4)
+             AS intercept,
+           round(regr_r2(value, epoch(ts) - epoch(TIMESTAMP '2024-01-01')), 6)
+             AS r2,
+           regr_count(value, epoch(ts) - epoch(TIMESTAMP '2024-01-01')) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend via the SQL-standard regr_* aggregates
+    (slope/intercept/R²/count of value vs event time) — single-pass
+    mergeable moment states, one shuffle.  The x axis is CENTERED on a
+    fixed epoch: regressing against raw epoch seconds puts a ~1.7e9
+    lever arm on every accumulation-order difference and the intercept
+    stops being comparable across engines (measured; this is a general
+    numerical-hygiene rule for distributed regression, not an oracle
+    trick).  tests/test_grouped.py pins an applyInPandas/numpy twin to
+    these same coefficients."""
+    events = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).cast("double")
+    ev = events.select("event_type", x.alias("x"), "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "x"), 8).alias("slope"),
+        F.round(F.regr_intercept("value", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        F.regr_count("value", "x").alias("n"),
+    )
