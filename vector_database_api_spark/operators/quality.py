@@ -1,0 +1,41 @@
+"""Scan-time data-quality metrics via ``DataFrame.observe``.
+
+A 100 TB curation job cannot afford a second pass just to count what it
+kept; ``observe`` attaches named aggregate metrics to the SAME scan that
+produces the output (collected on the driver through the query listener
+when the action runs).  This pairs with the curation decision query
+(queries.document_filter_decision): the keep/reject verdict is the
+output, the keep/reject tallies are free observation metrics.
+
+The reference has no quality/metrics surface at all (SURVEY §2.11);
+its only telemetry is per-request wall time (search_service.py:59-66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed_keep_counts(decisions: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach keep/reject/short/low-quality counters to a curation
+    decision DataFrame (columns: keep BOOLEAN, reject_reasons
+    ARRAY<STRING>).  Returns (df, observation); read
+    ``observation.get`` AFTER an action has materialized ``df`` —
+    the metrics ride the same job, no extra scan."""
+    obs = Observation("curation")
+    observed = decisions.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum(
+            F.array_contains("reject_reasons", "too_short").cast("bigint")
+        ).alias("n_too_short"),
+        F.sum(
+            F.array_contains("reject_reasons", "low_quality").cast("bigint")
+        ).alias("n_low_quality"),
+        F.sum(
+            F.array_contains("reject_reasons", "repetitive").cast("bigint")
+        ).alias("n_repetitive"),
+    )
+    return observed, obs
