@@ -19,9 +19,16 @@ from vector_database_api_spark.sources.tables import load_table
 def test_hll_daily_estimates_close_to_exact(spark, sf_dir):
     rows = q.hll_distinct_users_daily(spark, sf_dir).collect()
     assert rows, "expected at least one day"
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.day: r.d
+        for r in events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
     for r in rows:
         # DataSketches HLL at default lgConfigK=12: ~1.6% relative std err.
-        assert r.est_users == pytest.approx(r.exact_users, rel=0.05), r
+        assert r.est_users == pytest.approx(exact[r.day], rel=0.05), r
 
 
 def test_hll_union_of_daily_equals_whole(spark, sf_dir):

@@ -3659,20 +3659,16 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation pattern for 100 TB dashboards (store daily sketches,
     union over arbitrary date ranges without touching raw data).
     Rows-only registry entry (sketch estimates have no DuckDB twin);
-    tests/test_sketches.py bounds the error and pins mergeability."""
+    tests/test_sketches.py bounds the error against exact counts and
+    pins mergeability (the exact COUNT DISTINCT lives in the test, not
+    here — its Expand shuffle is precisely the cost sketches avoid)."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return (
-        daily.select(
-            "day",
-            F.hll_sketch_estimate("sketch").alias("est_users"),
-            "exact_users",
-        )
-        .orderBy("day")
-    )
+    return daily.select(
+        "day", F.hll_sketch_estimate("sketch").alias("est_users")
+    ).orderBy("day")
 
 
 @register(
