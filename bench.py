@@ -120,6 +120,7 @@ HEADLINE = [
     "forward_fill_locf",
     "theta_sketch_set_ops",
     "regression_profile",
+    "gap_sessionization",
 ]
 
 

@@ -4204,3 +4204,60 @@ def regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", "x"), 6).alias("r2"),
         F.regr_count("value", "x").alias("n"),
     )
+
+
+@register(
+    "gap_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           CAST(min(ts) AS TIMESTAMP) AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (>30 min starts a new
+    session): lag to mark session starts, running sum to assign session
+    ids, then per-session rollup — the window-function spelling of what
+    `session_windows` does with the native session_window() operator
+    (both belong to the surface; this one works on static tables in any
+    SQL engine).  One user_id shuffle feeds both windows and the final
+    aggregate — the sort order is reused across all three."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"))
+            | F.lag("ts").over(w).isNull()
+        )
+        .cast("int")
+        .alias("is_start"),
+        "event_id",
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.min("ts").cast("timestamp").alias("session_start"),
+    )
