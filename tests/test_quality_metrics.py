@@ -19,7 +19,9 @@ def test_observed_metrics_match_direct_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("keep").cast("bigint")).alias("k"),
         F.sum(
-            F.array_contains("reject_reasons", "too_short").cast("bigint")
+            F.array_contains(
+                F.split(F.col("reject_reasons"), ","), "too_short"
+            ).cast("bigint")
         ).alias("s"),
     ).collect()[0]
     assert m["n_docs"] == direct.n

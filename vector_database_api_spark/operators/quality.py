@@ -19,23 +19,26 @@ from pyspark.sql import functions as F
 
 def observed_keep_counts(decisions: DataFrame) -> tuple[DataFrame, Observation]:
     """Attach keep/reject/short/low-quality counters to a curation
-    decision DataFrame (columns: keep BOOLEAN, reject_reasons
-    ARRAY<STRING>).  Returns (df, observation); read
-    ``observation.get`` AFTER an action has materialized ``df`` —
-    the metrics ride the same job, no extra scan."""
+    decision DataFrame (columns: keep BOOLEAN, reject_reasons STRING —
+    a comma-joined reason list, '' when kept, per
+    queries.document_filter_decision's hashable output contract).
+    Returns (df, observation); read ``observation.get`` AFTER an action
+    has materialized ``df`` — the metrics ride the same job, no extra
+    scan."""
+    reasons = F.split(F.col("reject_reasons"), ",")
     obs = Observation("curation")
     observed = decisions.observe(
         obs,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
         F.sum(
-            F.array_contains("reject_reasons", "too_short").cast("bigint")
+            F.array_contains(reasons, "too_short").cast("bigint")
         ).alias("n_too_short"),
         F.sum(
-            F.array_contains("reject_reasons", "low_quality").cast("bigint")
+            F.array_contains(reasons, "low_quality").cast("bigint")
         ).alias("n_low_quality"),
         F.sum(
-            F.array_contains("reject_reasons", "repetitive").cast("bigint")
+            F.array_contains(reasons, "repetitive").cast("bigint")
         ).alias("n_repetitive"),
     )
     return observed, obs

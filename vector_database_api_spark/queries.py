@@ -582,16 +582,21 @@ def union_distinct_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nested_assembly",
     """
-    SELECT source, list(doc_id ORDER BY doc_id) AS doc_ids, count(*) AS n_docs
+    SELECT source, to_json(list(doc_id ORDER BY doc_id)) AS doc_ids_json,
+           count(*) AS n_docs
     FROM documents GROUP BY source
     """,
 )
 def nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested parent->children read model (P2, library_service.py:52-55):
-    collect_list(struct) in general; sorted id list here for determinism."""
+    collect_list(struct) in general; sorted id list here for determinism.
+    The array is serialized with to_json in the final projection so the
+    driver's value-hash canonicalizer (pandas factorize) can hash it —
+    nested ARRAY output stays available via operators/crud.py's
+    assemble_nested for programmatic callers."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.to_json(F.sort_array(F.collect_list("doc_id"))).alias("doc_ids_json"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -1436,11 +1441,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas with the
     deterministic fake codec (rows-only: sha256-seeded Gaussian features
     are not SQL-expressible).  Real codecs plug in at the marked seam in
-    operators/multimodal.py::decode_image."""
+    operators/multimodal.py::decode_image.  The feature vector is rounded
+    and JSON-serialized in the final projection so the driver's
+    canonicalizer can hash the rows (float32 features are deterministic,
+    rounding guards against printf jitter); downstream consumers use
+    extract_features directly for the ARRAY<FLOAT> column."""
     from vector_database_api_spark.operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return mm.extract_features(mm.media_from_documents(docs))
+    feats = mm.extract_features(mm.media_from_documents(docs))
+    return feats.select(
+        "id",
+        "modality",
+        F.to_json(
+            F.transform("feature", lambda x: F.round(x.cast("double"), 4))
+        ).alias("feature_json"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "feature",
+                    F.lit(0.0),
+                    lambda s, x: s + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("feature_norm"),
+    )
 
 
 @register(
@@ -3956,6 +3982,7 @@ def _filter_decision_sql(engine: str) -> str:
         topf = _SPARK_TOPF
         arr_filter = "filter"
         arr_open, arr_close = "array(", ")"
+        arr_join = "array_join"
         table = "filter_decision_docs"
     else:
         n_tok = text_fns.duck_token_count("text")
@@ -3964,6 +3991,7 @@ def _filter_decision_sql(engine: str) -> str:
         topf = _DUCK_TOPF
         arr_filter = "list_filter"
         arr_open, arr_close = "ARRAY[", "]"
+        arr_join = "array_to_string"
         table = "documents"
     return f"""
     WITH sig AS (
@@ -3978,12 +4006,12 @@ def _filter_decision_sql(engine: str) -> str:
            round(top_word_frac, 4) AS top_word_frac,
            (n_tokens >= 20 AND lang_guess = 'en'
             AND quality >= 0.45 AND top_word_frac <= 0.12) AS keep,
-           {arr_filter}({arr_open}
+           coalesce({arr_join}({arr_filter}({arr_open}
              CASE WHEN n_tokens < 20 THEN 'too_short' END,
              CASE WHEN lang_guess <> 'en' THEN 'non_english' END,
              CASE WHEN quality < 0.45 THEN 'low_quality' END,
              CASE WHEN top_word_frac > 0.12 THEN 'repetitive' END
-           {arr_close}, x -> x IS NOT NULL) AS reject_reasons
+           {arr_close}, x -> x IS NOT NULL), ','), '') AS reject_reasons
     FROM sig
     """
 
