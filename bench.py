@@ -5,6 +5,12 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
+Output contract: stdout carries EXACTLY ONE bounded JSON line (the
+driver's capture buffer front-truncates long tails, which made round 1's
+full 97-entry line unparseable).  Per-query progress and the complete
+timing map go to stderr; the stdout line keeps the slowest queries up to
+a byte budget plus summary stats for the rest.
+
 Timing methodology: each query is executed with the noop sink (full
 execution, no driver-side materialization cost), after a one-query JVM/
 codegen warmup.  The reported per-query number is the best of two runs
@@ -132,6 +138,38 @@ def run_once(spark, sf_dir: str, name: str) -> float:
     return time.time() - t0
 
 
+# Keep the final stdout JSON line safely under the driver's capture
+# buffer (round 1 showed ~2.9 KB of tail; leave generous headroom).
+MAX_LINE_BYTES = 1600
+
+
+def bounded_payload(timings: dict[str, float], sf: float) -> dict:
+    """Summary payload whose JSON form stays under MAX_LINE_BYTES: totals
+    for everything, per-query seconds for as many of the slowest queries
+    as fit."""
+    total = round(sum(timings.values()), 4)
+    by_slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "mean_sec": round(total / max(len(timings), 1), 4),
+        "max_sec": round(by_slowest[0][1], 4) if by_slowest else 0.0,
+        "queries": {},
+        "queries_omitted": len(timings),
+    }
+    for name, sec in by_slowest:
+        payload["queries"][name] = sec
+        payload["queries_omitted"] = len(timings) - len(payload["queries"])
+        if len(json.dumps(payload)) > MAX_LINE_BYTES:
+            del payload["queries"][name]
+            payload["queries_omitted"] = len(timings) - len(payload["queries"])
+            break
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -144,19 +182,13 @@ def main() -> None:
     for name in HEADLINE:
         best = min(run_once(spark, sf_dir, name) for _ in range(2))
         timings[name] = round(best, 4)
+        print(f"bench {name}: {timings[name]:.4f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # complete map for humans / logs — stderr, never stdout
+    print("bench full timings: " + json.dumps(timings), file=sys.stderr)
+    line = json.dumps(bounded_payload(timings, sf))
+    assert len(line) <= MAX_LINE_BYTES + 200, f"bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
