@@ -95,7 +95,7 @@ def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
     )
     sorted_dir = str(tmp_path / "sorted")
     write_range_sorted(
-        li, sorted_dir, ["l_orderkey"], num_files=2, rows_per_rowgroup=8 * 1024
+        li, sorted_dir, ["l_orderkey"], num_files=2, rowgroup_bytes=8 * 1024
     )
 
     def rowgroup_ranges(d):

@@ -343,3 +343,55 @@ def test_incremental_sketch_equals_batch(spark, tmp_path):
     # per-day rollup present and exact at this cardinality
     assert got[("2024-01-01", "__all__")] == 3
     assert got[("2024-01-02", "__all__")] == 2
+
+
+def test_sketch_maintenance_recovers_from_crashed_overwrite(spark, tmp_path):
+    """Crash seam: Spark's overwrite deletes sketch_dir before rewriting,
+    so a crash mid-overwrite leaves only the staged copy complete.  The
+    next batch must fold into the staged state, not rebuild from the one
+    replayed batch (which would silently drop all prior history)."""
+    import datetime as dt
+    import shutil
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skdir = str(tmp_path / "sketches")
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "event_type": [r[2] for r in rows],
+                }
+            )
+        )
+
+    d1 = dt.datetime(2024, 1, 1, 10, 0)
+    d2 = dt.datetime(2024, 1, 2, 10, 0)
+    ev([(1, d1, "click"), (2, d1, "click"), (3, d1, "click")]).write.mode(
+        "append"
+    ).parquet(src)
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, event_type string"
+    )
+    M.incremental_sketch_maintenance(spark, stream, skdir, ckpt).awaitTermination(120)
+
+    # simulate a crash during the final overwrite: sketch_dir wiped,
+    # staged dir (written just before) intact
+    shutil.rmtree(skdir)
+
+    ev([(9, d2, "view")]).write.mode("append").parquet(src)
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, event_type string"
+    )
+    M.incremental_sketch_maintenance(spark, stream, skdir, ckpt).awaitTermination(120)
+
+    got = {
+        (str(r.day), r.event_type): r.est_users
+        for r in M.sketch_estimates(spark, skdir).collect()
+    }
+    # day-1 history survived the crash; day-2 batch folded in
+    assert got[("2024-01-01", "click")] == 3
+    assert got[("2024-01-02", "view")] == 1

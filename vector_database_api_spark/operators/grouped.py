@@ -36,13 +36,21 @@ def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
     sxx = float(((x - mx) ** 2).sum())
     sxy = float(((x - mx) * (y - my)).sum())
     syy = float(((y - my) ** 2).sum())
-    slope = sxy / sxx
+    # Degenerate-group semantics mirror the JVM regr_* twin (SQL standard):
+    # constant x (sxx=0) => slope/intercept/r2 all NULL; constant y with
+    # varying x => slope 0, r2 = 1.
+    if sxx == 0.0:
+        slope = intercept = r2 = None
+    else:
+        slope = sxy / sxx
+        intercept = my - slope * mx
+        r2 = 1.0 if syy == 0.0 else (sxy * sxy) / (sxx * syy)
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "slope": [slope],
-            "intercept": [my - slope * mx],
-            "r2": [(sxy * sxy) / (sxx * syy)],
+            "intercept": [intercept],
+            "r2": [r2],
             "n": [n],
         }
     )

@@ -715,15 +715,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped: broadcast dimension join + shuffle agg + top-k
-    (TakeOrderedAndProject, not a full sort)."""
+    """TPC-H Q3-shaped: dimension join + shuffle agg + top-k
+    (TakeOrderedAndProject, not a full sort).  customer and orders scale
+    with the fact tables, so no broadcast hints — the size threshold/AQE
+    pick broadcast at bench scale and shuffle joins at 100 TB."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     joined = lineitem.join(
-        F.broadcast(orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])),
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"]),
         lineitem["l_orderkey"] == orders["o_orderkey"],
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
@@ -749,8 +751,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: chained broadcast joins of small
-    dimensions into the fact table."""
+    """TPC-H Q5-shaped star join: the truly tiny dimensions
+    (nation x region) carry broadcast hints; customer/orders scale with
+    the fact, so their join strategy is left to the threshold/AQE
+    (broadcast at bench scale, shuffle at 100 TB)."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -763,7 +767,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = lineitem.join(
-        F.broadcast(orders.join(F.broadcast(dims), orders["o_custkey"] == customer["c_custkey"])),
+        orders.join(dims, orders["o_custkey"] == customer["c_custkey"]),
         lineitem["l_orderkey"] == orders["o_orderkey"],
     )
     return joined.groupBy("n_name").agg(
@@ -1708,7 +1712,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ).join(cust, orders.o_custkey == cust.c_custkey)
     return (
         joined.groupBy("c_custkey", "c_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -1746,7 +1750,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(22,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -2230,9 +2234,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is pushed into BOTH legs before anything touches lineitem:
     supplier and customer each pre-join their (2-row) nation slice, and
     orders joins the filtered customers first — after which the orders
-    side is ~8% of its original rows and BROADCASTS, so the fact table
-    never shuffles at all (zero-Exchange fact path; the disjunctive
-    cross-pair check still runs post-join to drop same-nation pairs)."""
+    side is ~8% of its original rows.  Only the guaranteed-tiny nation
+    slices carry explicit broadcast hints; the supplier/customer/orders
+    legs scale with the fact tables (multi-GB at 100 TB), so whether they
+    broadcast is left to the size threshold and AQE's runtime statistics
+    rather than a hint that would OOM the build side at scale.  At bench
+    scale AQE still picks broadcast for all three legs (zero-Exchange
+    fact path); the disjunctive cross-pair check runs post-join to drop
+    same-nation pairs."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -2267,7 +2276,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "cust_nation")
     )
     orders_f = orders.join(
-        F.broadcast(cust_f), orders.o_custkey == cust_f.c_custkey
+        cust_f, orders.o_custkey == cust_f.c_custkey
     ).select("o_orderkey", "cust_nation")
     volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
@@ -2276,8 +2285,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
-        .join(F.broadcast(orders_f), li.l_orderkey == orders_f.o_orderkey)
+        li.join(supp_f, li.l_suppkey == supp_f.s_suppkey)
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey)
         .filter(pair_ok)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -2342,7 +2351,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
@@ -2379,7 +2388,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual OR after the broadcast join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & (F.col("p_size").between(1, smax))
@@ -2645,8 +2654,9 @@ def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: seven-table join (nation twice, region gate on the
     customer leg), ratio of conditional to total DECIMAL volume per year.
-    Every dimension broadcasts; lineitem shuffles once for the orders
-    join."""
+    Only the fixed-size nation/region slices carry broadcast hints;
+    part/supplier/customer scale with SF, so their strategy is left to
+    the threshold/AQE (still broadcast at bench scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = load_table(spark, sf_dir, "supplier")
@@ -2664,10 +2674,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
     )
     base = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -2721,7 +2731,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
         )
@@ -2799,8 +2809,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier leg, deterministic ORDER BY + LIMIT.  The min is over raw
     stored doubles (no arithmetic), so the equality join is exact in both
     engines.  At scale: the pair-distinct is the only lineitem shuffle;
-    every dimension (supplier 10k/SF, part 200k/SF, nation, region) and
-    the per-part min table broadcast."""
+    nation/region are fixed-size and carry broadcast hints, while
+    supplier (10k/SF), part (200k/SF) and the per-part min table grow
+    with SF — their join strategy is left to the threshold/AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -2814,7 +2825,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parts' pairs (the optimization the oracle SQL leaves to DuckDB).
     ps = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -2825,7 +2836,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     costs = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "s_name", "s_acctbal", "n_name")
@@ -2833,11 +2844,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = costs.groupBy("ps_partkey").agg(F.min("s_acctbal").alias("best_bal"))
     return (
         costs.join(
-            F.broadcast(best.withColumnRenamed("ps_partkey", "b_partkey")),
+            best.withColumnRenamed("ps_partkey", "b_partkey"),
             (F.col("ps_partkey") == F.col("b_partkey"))
             & (F.col("s_acctbal") == F.col("best_bal")),
         )
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -2874,8 +2885,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp.ps_supplycost — unit cost is
     proxied by p_retailprice): five-table join with a LIKE filter on the
     part leg, profit = revenue − cost in exact DECIMAL per row, grouped by
-    supplier nation × order year.  All dimensions broadcast; lineitem
-    shuffles once for the orders equi-join, and the aggregate is
+    supplier nation × order year.  Only fixed-size nation is hinted
+    broadcast (part/supplier scale with SF; threshold/AQE decide);
+    lineitem shuffles once for the orders equi-join, and the aggregate is
     map-side combinable."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -2888,8 +2900,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,2)"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -2932,7 +2944,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
@@ -3013,8 +3025,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the absent s_comment): NOT-IN rewritten as a broadcast anti-join
     (safe: s_suppkey is non-null), brand/type/size negations + IN-list on
     the part leg, then a DISTINCT-count per group.  The pair-distinct and
-    the distinct-agg are the two shuffles; part and the tiny exclusion
-    set broadcast."""
+    the distinct-agg are the two shuffles; part and the exclusion set
+    scale with SF, so their join strategy is left to the threshold/AQE
+    (broadcast at bench scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
@@ -3029,12 +3042,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct's shuffle then only carries qualifying pairs.
     ps = (
         li.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
         .join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -3045,7 +3058,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -3087,11 +3100,12 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a semi-join chain into the nation-scoped supplier list.  The
     quantity sums are exact DECIMAL, cast to DOUBLE identically on both
     sides of the ratio comparison.  shipped→tot reuses the same
-    partitioning key (l_partkey first), and the final IN is a broadcast
-    semi-join."""
+    partitioning key (l_partkey first), and the final IN is a semi-join
+    (AQE picks broadcast at bench scale; heavy scales with supplier, so
+    no explicit hint)."""
     # part predicate pushed below BOTH aggregations: the per-part total only
     # involves lineitems of that part, so restricting l_partkey to small%
-    # parts up front (broadcast semi-join at the scan) shrinks the heavy
+    # parts up front (semi-join at the scan) shrinks the heavy
     # groupBys without changing any ratio.
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     li = (
@@ -3101,7 +3115,7 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-01-01")
         )
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            part.select(F.col("p_partkey").alias("l_partkey")),
             "l_partkey",
             "left_semi",
         )
@@ -3120,7 +3134,7 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     return (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -3159,7 +3173,8 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order supplier/late counts — one pass over the fact instead of
     two correlated subqueries.  Both aggregations and the final join
     share the l_orderkey shuffle key, so the whole pipeline is a single
-    exchange of lineitem plus broadcast of supplier."""
+    exchange of lineitem plus a supplier join the threshold/AQE sizes
+    (broadcast at bench scale; supplier grows with SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = F.when(
@@ -3177,7 +3192,7 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         f.join(per_order, "l_orderkey")
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -169,7 +169,7 @@ def write_range_sorted(
     sort_cols: list[str],
     num_files: int | None = None,
     fmt: str = "parquet",
-    rows_per_rowgroup: int | None = None,
+    rowgroup_bytes: int | None = None,
 ) -> None:
     """Range-clustered layout: globally range-partition on ``sort_cols``
     and sort within each file, so every parquet row group covers a tight,
@@ -181,14 +181,15 @@ def write_range_sorted(
     their footer stats before any page IO.  At 100 TB the same layout is
     what Z-ordering/liquid clustering generalize to multiple keys; for a
     single dominant key a plain range sort is strictly tighter.
-    ``rows_per_rowgroup`` shrinks row groups for small test data; leave
-    None in production (default 128 MB groups).
+    ``rowgroup_bytes`` caps the parquet row-group (block) size in BYTES —
+    shrink it for small test data; leave None in production (default
+    128 MB groups).
     """
     w = df.repartitionByRange(
         *( [num_files] if num_files else [] ), *sort_cols
     ).sortWithinPartitions(*sort_cols).write.format(fmt).mode("overwrite")
-    if rows_per_rowgroup is not None:
+    if rowgroup_bytes is not None:
         # parquet sizes row groups in bytes; cap block size so small test
         # datasets still produce multiple groups per file
-        w = w.option("parquet.block.size", str(max(4 * 1024, rows_per_rowgroup)))
+        w = w.option("parquet.block.size", str(max(4 * 1024, rowgroup_bytes)))
     w.save(path)

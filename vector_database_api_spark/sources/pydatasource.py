@@ -89,17 +89,28 @@ class _JsonLinesWriter(DataSourceWriter):
         self.cols = schema.fieldNames()
 
     def write(self, rows) -> WriterCommitMessage:
-        # one shard per task; pid+first-row key make the name unique
+        # One shard per task, named by partition index so two tasks with
+        # identical content (e.g. two empty partitions) never collide and
+        # the manifest never double-lists a file.  Write to a temp name
+        # owned by this attempt, then atomically rename — a speculative
+        # duplicate attempt can't interleave bytes with the winner.
+        from pyspark import TaskContext
+
         os.makedirs(self.path, exist_ok=True)
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else os.getpid()
+        attempt = tc.taskAttemptId() if tc is not None else 0
         n = 0
         lines = []
         for row in rows:
             lines.append(json.dumps(dict(zip(self.cols, row))))
             n += 1
-        shard = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-        fname = os.path.join(self.path, f"part-{shard}-{n}.jsonl")
-        with open(fname, "w") as f:
+        digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:8]
+        fname = os.path.join(self.path, f"part-{part_id:05d}-{digest}-{n}.jsonl")
+        tmp = f"{fname}.attempt-{attempt}.tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(lines))
+        os.replace(tmp, fname)
         msg = WriterCommitMessage()
         msg.file = fname  # type: ignore[attr-defined]
         msg.count = n  # type: ignore[attr-defined]

@@ -212,12 +212,29 @@ def incremental_sketch_maintenance(
     """
     from pathlib import Path
 
+    staged_dir = sketch_dir + "_staged"
+
+    def _readable(path: str) -> bool:
+        p = Path(path)
+        return (p / "_SUCCESS").exists() and any(p.glob("*.parquet"))
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         batch_sk = batch.groupBy(
             F.to_date("ts").alias("day"), "event_type"
         ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
-        if any(Path(sketch_dir).glob("*.parquet")):
-            prior = batch.sparkSession.read.parquet(sketch_dir)
+        # Crash recovery: Spark's overwrite deletes sketch_dir before
+        # rewriting it, so a crash mid-overwrite leaves the only complete
+        # copy of the folded history in the staged dir.  Fold the replayed
+        # batch into whichever copy is complete (sketch_dir preferred) —
+        # HLL union is idempotent, so re-merging the replayed batch into
+        # the staged state (which may already contain it) is exact.
+        prior_path = None
+        if _readable(sketch_dir):
+            prior_path = sketch_dir
+        elif _readable(staged_dir):
+            prior_path = staged_dir
+        if prior_path is not None:
+            prior = batch.sparkSession.read.parquet(prior_path)
             merged = (
                 prior.unionByName(batch_sk)
                 .groupBy("day", "event_type")
@@ -226,9 +243,8 @@ def incremental_sketch_maintenance(
         else:
             merged = batch_sk
         # local-only staging swap; transactional overwrite in production
-        tmp = sketch_dir + "_staged"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = batch.sparkSession.read.parquet(tmp)
+        merged.write.mode("overwrite").parquet(staged_dir)
+        final = batch.sparkSession.read.parquet(staged_dir)
         final.write.mode("overwrite").parquet(sketch_dir)
 
     return (
