@@ -161,3 +161,32 @@ def test_index_switch_drops_pq(engine):
     engine.index_library("libA", "lsh")
     assert not os.path.isdir(engine._index_dir("pq", "libA"))
     assert os.path.isdir(engine._index_dir("lsh", "libA"))
+
+
+def test_similarity_threshold_filters_post_topk(engine, spark):
+    """F7 (reference app/config.py:37, declared but never applied there):
+    wired here as a post-top-k filter on every search path.  Default None
+    keeps reference-observable behavior (no filtering)."""
+    q = "python document number 0 about python"
+    base = engine.search("libA", query_text=q, k=10).collect()
+    assert len(base) == 10
+    sims = sorted((r["similarity"] for r in base), reverse=True)
+    # threshold between the best and worst similarity: strictly fewer rows,
+    # all surviving rows >= threshold
+    cut = (sims[0] + sims[-1]) / 2
+    got = engine.search("libA", query_text=q, k=10, similarity_threshold=cut).collect()
+    assert 0 < len(got) < 10
+    assert all(r["similarity"] >= cut for r in got)
+    # impossible threshold -> empty; threshold above-all -> unchanged
+    assert engine.search("libA", query_text=q, k=10, similarity_threshold=2.0).count() == 0
+    assert (
+        engine.search("libA", query_text=q, k=10, similarity_threshold=-2.0).count() == 10
+    )
+    # config-level default is honored on the indexed path too
+    cfg = EngineConfig(
+        embedding_dim=16, ivf_nlist=4, ivf_nprobe=2, similarity_threshold=cut
+    )
+    eng2 = VectorEngine(spark, engine.warehouse, config=cfg)
+    eng2.index_library("libA", "lsh")
+    got_lsh = eng2.search("libA", query_text=q, k=10).collect()
+    assert all(r["similarity"] >= cut for r in got_lsh)

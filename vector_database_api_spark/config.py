@@ -28,6 +28,11 @@ class EngineConfig:
     # search
     default_k: int = 5
     max_k: int = 100
+    # F7: the reference declares similarity_threshold=0.0 but never applies
+    # it (app/config.py:37 — dead config).  None preserves that observable
+    # behavior (no filtering; negative-cosine matches are returned, as the
+    # reference does); set a float to enable filter(similarity >= t).
+    similarity_threshold: float | None = None
     # embeddings
     embedding_dim: int = 64
     # determinism (the reference is unseeded — indexes.py:70,240; we fix seeds)

@@ -286,10 +286,16 @@ class VectorEngine:
         query_embedding: list[float] | None = None,
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
+        similarity_threshold: float | None = None,
     ) -> DataFrame:
         """Filtered top-k search: index dispatch when built, brute-force
         fallback otherwise; k clamped to [1, max_k] with default
-        (T2, config.py:62-68); k results are k *filtered* results."""
+        (T2, config.py:62-68); k results are k *filtered* results.
+
+        ``similarity_threshold`` (F7, reference app/config.py:37 — declared
+        there but never applied): when set here or in the config, results
+        below it are dropped AFTER top-k, so you get at most k results at
+        or above the threshold (possibly fewer)."""
         if query_embedding is None:
             if query_text is None:
                 raise ValueError("query must have text or embedding")
@@ -298,6 +304,8 @@ class VectorEngine:
                 for x in text_to_vector(query_text, self.config.embedding_dim)
             ]
         k = self.config.clamp_k(k)
+        if similarity_threshold is None:
+            similarity_threshold = self.config.similarity_threshold
         query = self.spark.createDataFrame(
             [(query_embedding,)], "query_embedding array<float>"
         )
@@ -305,8 +313,11 @@ class VectorEngine:
 
         meta = self._index_meta(library_id)
         if meta is None:
-            return knn_brute_force(
-                chunks, query, k=k, metadata_filters=metadata_filters
+            return self._apply_threshold(
+                knn_brute_force(
+                    chunks, query, k=k, metadata_filters=metadata_filters
+                ),
+                similarity_threshold,
             )
         kind, path = meta
         if kind == "pq":
@@ -331,22 +342,30 @@ class VectorEngine:
             scored = pq_mod.pq_search(index, np.asarray(query_embedding, dtype=np.float64), k=k)
             # cosine -> euclidean on unit vectors: d = sqrt(2 - 2cos),
             # keeping the service result schema (id, similarity, distance)
-            return scored.withColumn(
-                "distance",
-                F.sqrt(F.greatest(F.lit(2.0) - 2.0 * F.col("similarity"), F.lit(0.0))),
+            return self._apply_threshold(
+                scored.withColumn(
+                    "distance",
+                    F.sqrt(
+                        F.greatest(F.lit(2.0) - 2.0 * F.col("similarity"), F.lit(0.0))
+                    ),
+                ),
+                similarity_threshold,
             )
         if kind == "lsh":
             planes = lsh_mod.generate_planes(
                 self.config.embedding_dim, config=self.config
             )
             index_df = self.spark.read.parquet(path)
-            return lsh_mod.lsh_search(
-                chunks,
-                query,
-                planes,
-                k=k,
-                metadata_filters=metadata_filters,
-                index_df=index_df,
+            return self._apply_threshold(
+                lsh_mod.lsh_search(
+                    chunks,
+                    query,
+                    planes,
+                    k=k,
+                    metadata_filters=metadata_filters,
+                    index_df=index_df,
+                ),
+                similarity_threshold,
             )
         if os.path.exists(os.path.join(path, "_UNTRAINED")):
             return self.spark.createDataFrame([], ivf_mod.RESULT_SCHEMA)
@@ -358,11 +377,23 @@ class VectorEngine:
             nlist=self.config.ivf_nlist,
             nprobe=self.config.ivf_nprobe,
         )
-        return ivf_mod.ivf_search(
-            index,
-            query,
-            np.asarray(query_embedding, dtype=np.float64),
-            k=k,
-            chunks=chunks,
-            metadata_filters=metadata_filters,
+        return self._apply_threshold(
+            ivf_mod.ivf_search(
+                index,
+                query,
+                np.asarray(query_embedding, dtype=np.float64),
+                k=k,
+                chunks=chunks,
+                metadata_filters=metadata_filters,
+            ),
+            similarity_threshold,
         )
+
+    @staticmethod
+    def _apply_threshold(result: DataFrame, threshold: float | None) -> DataFrame:
+        """F7 similarity threshold: post-top-k filter, so at most k results
+        survive.  None = reference-parity no-op (its threshold is dead
+        config, never applied)."""
+        if threshold is None:
+            return result
+        return result.filter(F.col("similarity") >= float(threshold))
