@@ -27,6 +27,7 @@ from vector_database_api_spark.functions.vector import (
     cosine_similarity,
     dot_product,
     euclidean_distance,
+    normalize_vector,
 )
 from vector_database_api_spark.functions import text as text_fns
 from vector_database_api_spark.operators import crud as crud_mod
@@ -3960,6 +3961,136 @@ def pq_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = embs.filter(F.col("vec_id") == 9).select("embedding").collect()[0]
     return pq_mod.pq_search_refined(
         index, chunks, np.array(qrow["embedding"], dtype=np.float64), k=10, refine=10
+    )
+
+
+# PQ ADC SEMANTICS, oracle-checked: codebook k-means training is the only
+# non-SQL stage of the PQ pipeline (operators/pq.py), so — exactly like
+# ivf_probe_fixed_centroids freezes centroids — this query freezes the
+# codebooks to a deterministic rule (subspace j's entries = subvector j of
+# the first 8 normalized embedding rows) and runs encode (per-subspace
+# argmin) + ADC scoring identically in Spark and DuckDB.  The score is
+# computed as dot(query, reconstructed-vector), which equals the ADC LUT
+# row sum (the invariant pinned in operators/pq.py:35-38 and test_pq) while
+# keeping one sequential 64-element accumulation on both engines.
+_PQ_M, _PQ_DSUB, _PQ_K = 4, 16, 8
+
+_DUCK_NORMALIZE = (
+    "CASE WHEN {n2} = 0.0 THEN list_transform({v}, e -> CAST(e AS DOUBLE)) "
+    "ELSE list_transform({v}, e -> CAST(e AS DOUBLE) / sqrt({n2})) END"
+).format(
+    v="embedding",
+    n2=(
+        "list_reduce(list_transform(embedding, "
+        "e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y)"
+    ),
+)
+
+_PQ_ADC_ORACLE = f"""
+WITH nv AS (
+  SELECT vec_id, {_DUCK_NORMALIZE} AS nv FROM embeddings
+),
+subs AS (SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)),
+cb AS (
+  SELECT s.j, n.vec_id AS c,
+         list_slice(n.nv, s.j * {_PQ_DSUB} + 1, (s.j + 1) * {_PQ_DSUB}) AS cvec
+  FROM nv n CROSS JOIN subs s WHERE n.vec_id < {_PQ_K}
+),
+pieces AS (
+  SELECT n.vec_id, s.j,
+         list_slice(n.nv, s.j * {_PQ_DSUB} + 1, (s.j + 1) * {_PQ_DSUB}) AS sub
+  FROM nv n CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, p.j, cb.c,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.j
+             ORDER BY {duck_euclidean('p.sub', 'cb.cvec')}, cb.c
+           ) AS rn
+    FROM pieces p JOIN cb ON p.j = cb.j
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(cb.cvec ORDER BY codes.j)) AS rvec
+  FROM codes JOIN cb ON codes.j = cb.j AND codes.c = cb.c
+  GROUP BY codes.vec_id
+),
+qv AS (SELECT nv AS qnv FROM nv WHERE vec_id = 7)
+SELECT recon.vec_id, {duck_dot('recon.rvec', 'q.qnv')} AS similarity
+FROM recon, qv q
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+@register("pq_adc_fixed_codebook", _PQ_ADC_ORACLE)
+def pq_adc_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC search with a frozen, SQL-expressible codebook
+    (m=4 subspaces of dsub=16 over the 64-d embeddings, k=8 entries per
+    subspace taken from the first 8 normalized rows): normalize, slice
+    into subvectors, per-subspace nearest-entry argmin (ties -> lowest
+    code, mirroring operators/pq.py::encode_matrix's argmin), reconstruct
+    the quantized vector, exact dot against the normalized query, top-10.
+    Codebook *training* stays pytest-verified (tests/test_pq.py); every
+    other PQ stage — the encode geometry and the ADC arithmetic — is
+    oracle-checked here, entirely in JVM higher-order functions (no
+    Python in the plan)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = embs.select("vec_id", normalize_vector("embedding").alias("nv"))
+    subs = F.array(*[F.lit(j) for j in range(_PQ_M)])
+
+    cb = (
+        rows.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), "nv", F.explode(subs).alias("j"))
+        .select(
+            "j",
+            "c",
+            F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("cvec"),
+        )
+    )
+    pieces = rows.select(
+        "vec_id", F.explode(subs).alias("j"), "nv"
+    ).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sub"),
+    )
+
+    # per-(vector, subspace) argmin as min(struct(dist, code)): map-side
+    # combinable, lowest-code tie-break via lexicographic struct order
+    codes = (
+        pieces.join(F.broadcast(cb), "j")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    euclidean_distance("sub", "cvec").alias("d"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", "j", F.col("m.c").alias("c"))
+    )
+
+    # reconstruct: codebook entries gathered in subspace order, flattened
+    recon = (
+        codes.join(F.broadcast(cb), ["j", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cvec"))),
+                    lambda s: s["cvec"],
+                )
+            ).alias("rvec")
+        )
+    )
+    query = rows.filter(F.col("vec_id") == 7).select(F.col("nv").alias("qnv"))
+    return (
+        recon.crossJoin(F.broadcast(query))
+        .select("vec_id", dot_product("rvec", "qnv").alias("similarity"))
+        .orderBy(F.desc("similarity"), F.col("vec_id"))
+        .limit(10)
     )
 
 
