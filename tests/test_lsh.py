@@ -189,3 +189,53 @@ def test_recall_vs_brute_force_on_clustered_data(spark, planes):
         hits += len(lsh_ids & brute)
         total += 10
     assert hits / total >= 0.6
+
+
+def test_lsh_profile_recall_bounds(spark, sf_dir):
+    """Serving-quality guard for config.LSH_PROFILES: on the driver
+    embeddings, the tuned profile (hash_length=6 for 64-d) must recover
+    materially more of the brute-force top-10 than the reference
+    geometry (L=8/k=12, recall ~0.14 at sf0.1 per tools/ann_quality.py).
+    Bounds are generous so corpus-size jitter can't flake the test."""
+    from vector_database_api_spark.config import LSH_PROFILES
+    from vector_database_api_spark.operators.knn import knn_brute_force
+    from vector_database_api_spark.sources.tables import load_table
+
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").cast("string").alias("id"), "embedding")
+        .persist()
+    )
+    ref = LSH_PROFILES["reference"]
+    tuned = LSH_PROFILES["tuned"]
+    planes_ref = L.generate_planes(64, **ref)
+    planes_tuned = L.generate_planes(64, **tuned)
+    idx_ref = L.hash_table_df(embs, planes_ref).persist()
+    idx_tuned = L.hash_table_df(embs, planes_tuned).persist()
+
+    k, hits_ref, hits_tuned, total = 10, 0, 0, 0
+    for row in embs.limit(8).collect():
+        qdf = spark.createDataFrame(
+            [([float(x) for x in row["embedding"]],)],
+            "query_embedding array<float>",
+        )
+        truth = {r["id"] for r in knn_brute_force(embs, qdf, k=k).collect()}
+        got_ref = {
+            r["id"]
+            for r in L.lsh_search(embs, qdf, planes_ref, k=k, index_df=idx_ref).collect()
+        }
+        got_tuned = {
+            r["id"]
+            for r in L.lsh_search(
+                embs, qdf, planes_tuned, k=k, index_df=idx_tuned
+            ).collect()
+        }
+        hits_ref += len(truth & got_ref)
+        hits_tuned += len(truth & got_tuned)
+        total += len(truth)
+    recall_ref = hits_ref / total
+    recall_tuned = hits_tuned / total
+    embs.unpersist(); idx_ref.unpersist(); idx_tuned.unpersist()
+    # tuned profile must be a real quality step up, not a lateral move
+    assert recall_tuned >= recall_ref + 0.1, (recall_ref, recall_tuned)
+    assert recall_tuned >= 0.3, recall_tuned

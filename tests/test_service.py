@@ -190,3 +190,34 @@ def test_similarity_threshold_filters_post_topk(engine, spark):
     eng2.index_library("libA", "lsh")
     got_lsh = eng2.search("libA", query_text=q, k=10).collect()
     assert all(r["similarity"] >= cut for r in got_lsh)
+
+
+def test_lsh_tuned_profile_selectable_and_persisted(engine):
+    """config.LSH_PROFILES is a first-class index-build option: the tuned
+    geometry is persisted with the index (search must hash with the same
+    planes) and survives the overwrite in the mutation paths."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    engine.index_library("libA", "lsh", lsh_profile="tuned")
+    lsh_dir = engine._index_dir("lsh", "libA")
+    with open(os.path.join(lsh_dir, "_PROFILE.json")) as f:
+        assert json.load(f) == {"num_tables": 8, "hash_length": 6}
+    # hashes in the index match the tuned geometry (8 tables, 6-bit hashes)
+    idx = engine.spark.read.parquet(lsh_dir)
+    assert idx.select(F.countDistinct("table_idx")).first()[0] == 8
+    assert idx.select(F.max(F.length("hash"))).first()[0] == 6
+
+    got = engine.search("libA", query_text="python document number 0 about python", k=3).collect()
+    assert got and got[0]["id"] == "c00"
+
+    # profile survives the update path's directory overwrite
+    engine.update_chunk_texts("libA", {"c05": "profile persistence probe"})
+    assert os.path.exists(os.path.join(lsh_dir, "_PROFILE.json"))
+    got2 = engine.search("libA", query_text="profile persistence probe", k=3).collect()
+    assert got2 and got2[0]["id"] == "c05"
+
+    with _pytest.raises(ValueError):
+        engine.index_library("libA", "lsh", lsh_profile="nope")

@@ -46,3 +46,16 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+# LSH serving-quality profiles (measured in tools/ann_quality.py; table in
+# PLANS.md).  The reference's L=8/k=12 hyperparameters give recall@10 ~0.14
+# on the 64-d driver embeddings — hash_length tuned for the actual dim
+# (shorter hashes => wider buckets => more candidates) lifts recall to
+# ~0.48 at a still-pruned candidate pool.  Selectable per index build via
+# ``VectorEngine.index_library(..., lsh_profile=...)``; the chosen profile
+# is persisted with the index so search always hashes with the same
+# geometry.
+LSH_PROFILES: dict[str, dict[str, int]] = {
+    "reference": {"num_tables": 8, "hash_length": 12},
+    "tuned": {"num_tables": 8, "hash_length": 6},
+}

@@ -38,7 +38,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_database_api_spark.config import DEFAULT_CONFIG, EngineConfig
+from vector_database_api_spark.config import (
+    DEFAULT_CONFIG,
+    LSH_PROFILES,
+    EngineConfig,
+)
 from vector_database_api_spark.functions.embedding import make_embedder, text_to_vector
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
@@ -93,6 +97,40 @@ class VectorEngine:
                 return kind, path
         return None
 
+    def _lsh_planes(self, profile: dict[str, int] | None = None):
+        """Hyperplanes for the given profile dict (num_tables/hash_length),
+        falling back to the config defaults for missing keys."""
+        params = profile or {}
+        return lsh_mod.generate_planes(
+            self.config.embedding_dim,
+            num_tables=params.get("num_tables"),
+            hash_length=params.get("hash_length"),
+            config=self.config,
+        )
+
+    @staticmethod
+    def _lsh_profile_at(path: str) -> dict[str, int] | None:
+        """Profile persisted with an LSH index build (None for indexes
+        written before profiles existed -> config defaults)."""
+        import json
+
+        meta = os.path.join(path, "_PROFILE.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return json.load(f)
+        return None
+
+    @staticmethod
+    def _write_lsh_profile(path: str, profile: dict[str, int] | None) -> None:
+        """(Re)persist the hash geometry next to the index — Spark's
+        overwrite wipes the directory, so mutation paths must put the
+        marker back or search would hash with the wrong planes."""
+        import json
+
+        if profile is not None:
+            with open(os.path.join(path, "_PROFILE.json"), "w") as f:
+                json.dump(profile, f)
+
     # -- ingestion (M1; chunk_service.py:22-54) ------------------------
 
     def ingest_chunks(self, rows: DataFrame) -> None:
@@ -116,10 +154,23 @@ class VectorEngine:
 
     # -- index build (M4; library_service.py:120-158) ------------------
 
-    def index_library(self, library_id: str, index_type: str = "lsh") -> None:
+    def index_library(
+        self,
+        library_id: str,
+        index_type: str = "lsh",
+        lsh_profile: str = "reference",
+    ) -> None:
         """Deterministic full (re)build of the library's index table
         (IndexManager.rebuild_index, indexes.py:437-452) — INSERT OVERWRITE
-        of a recompute from the chunks table."""
+        of a recompute from the chunks table.
+
+        ``lsh_profile`` selects the LSH hash geometry from
+        ``config.LSH_PROFILES`` ('reference' = the reference's L=8/k=12;
+        'tuned' = hash_length 6, the measured recall profile for 64-d
+        embeddings).  The profile is persisted next to the index so search
+        hashes with the same planes."""
+        if index_type == "lsh" and lsh_profile not in LSH_PROFILES:
+            raise ValueError(f"Unknown LSH profile: {lsh_profile}")
         if index_type not in ALL_INDEX_TYPES:
             # parity: reference raises on anything but lsh/ivf
             # (indexes.py:408-422; 'flat' in the README is invalid there too);
@@ -135,12 +186,12 @@ class VectorEngine:
             )
             np.save(self._pq_codebooks_path(library_id), index.codebooks)
         elif index_type == "lsh":
-            planes = lsh_mod.generate_planes(
-                self.config.embedding_dim, config=self.config
-            )
+            planes = self._lsh_planes(LSH_PROFILES[lsh_profile])
+            lsh_dir = self._index_dir("lsh", library_id)
             lsh_mod.hash_table_df(chunks, planes).write.mode("overwrite").parquet(
-                self._index_dir("lsh", library_id)
+                lsh_dir
             )
+            self._write_lsh_profile(lsh_dir, LSH_PROFILES[lsh_profile])
         else:
             index = ivf_mod.build_ivf(chunks, config=self.config)
             ivf_dir = self._index_dir("ivf", library_id)
@@ -183,9 +234,12 @@ class VectorEngine:
         if meta is not None:
             kind, path = meta
             if kind in ("lsh", "pq"):
+                profile = self._lsh_profile_at(path) if kind == "lsh" else None
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
                 kept.write.mode("overwrite").parquet(path)
+                if kind == "lsh":
+                    self._write_lsh_profile(path, profile)
             elif not os.path.exists(os.path.join(path, "_UNTRAINED")):
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
@@ -230,9 +284,8 @@ class VectorEngine:
                 ).localCheckpoint()
                 merged.write.mode("overwrite").parquet(path)
             elif kind == "lsh":
-                planes = lsh_mod.generate_planes(
-                    self.config.embedding_dim, config=self.config
-                )
+                profile = self._lsh_profile_at(path)
+                planes = self._lsh_planes(profile)
                 idx = self.spark.read.parquet(path)
                 fresh = lsh_mod.hash_table_df(
                     self.chunks(library_id).filter(F.col("id").isin(ids)), planes
@@ -241,6 +294,7 @@ class VectorEngine:
                     idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
                 ).localCheckpoint()
                 merged.write.mode("overwrite").parquet(path)
+                self._write_lsh_profile(path, profile)
             else:
                 # IVF: assignment with the frozen centroids (the reference
                 # never retrains once trained — SURVEY §7 risk 5)
@@ -352,9 +406,7 @@ class VectorEngine:
                 similarity_threshold,
             )
         if kind == "lsh":
-            planes = lsh_mod.generate_planes(
-                self.config.embedding_dim, config=self.config
-            )
+            planes = self._lsh_planes(self._lsh_profile_at(path))
             index_df = self.spark.read.parquet(path)
             return self._apply_threshold(
                 lsh_mod.lsh_search(
