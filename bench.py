@@ -88,6 +88,7 @@ HEADLINE = [
     "q22_idle_customers",
     "pq_search_topk",
     "pq_adc_fixed_codebook",
+    "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",
     "string_agg_nation_names",
     "multi_distinct_order_stats",

@@ -4069,6 +4069,66 @@ ORDER BY similarity DESC, vec_id LIMIT 10
 """
 
 
+def _pq_fixed_codebook(rows: DataFrame) -> DataFrame:
+    """(j, c, cvec): frozen codebook — subspace j's entries are subvector
+    j of the first _PQ_K normalized rows.  ``rows`` = (vec_id, nv)."""
+    subs = F.array(*[F.lit(j) for j in range(_PQ_M)])
+    return (
+        rows.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), "nv", F.explode(subs).alias("j"))
+        .select(
+            "j",
+            "c",
+            F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("cvec"),
+        )
+    )
+
+
+def _pq_fixed_codes(rows: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, j, c): encode — per-(vector, subspace) argmin as
+    min(struct(dist, code)): map-side combinable, lowest-code tie-break
+    via lexicographic struct order (operators/pq.py::encode_matrix's
+    argmin semantics)."""
+    subs = F.array(*[F.lit(j) for j in range(_PQ_M)])
+    pieces = rows.select(
+        "vec_id", F.explode(subs).alias("j"), "nv"
+    ).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sub"),
+    )
+    return (
+        pieces.join(F.broadcast(cb), "j")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.min(
+                F.struct(
+                    euclidean_distance("sub", "cvec").alias("d"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", "j", F.col("m.c").alias("c"))
+    )
+
+
+def _pq_fixed_recon(codes: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, rvec): reconstruct — codebook entries gathered in
+    subspace order, flattened back to a full-width quantized vector."""
+    return (
+        codes.join(F.broadcast(cb), ["j", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cvec"))),
+                    lambda s: s["cvec"],
+                )
+            ).alias("rvec")
+        )
+    )
+
+
 @register("pq_adc_fixed_codebook", _PQ_ADC_ORACLE)
 def pq_adc_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode + ADC search with a frozen, SQL-expressible codebook
@@ -4083,54 +4143,138 @@ def pq_adc_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the plan)."""
     embs = load_table(spark, sf_dir, "embeddings")
     rows = embs.select("vec_id", normalize_vector("embedding").alias("nv"))
-    subs = F.array(*[F.lit(j) for j in range(_PQ_M)])
-
-    cb = (
-        rows.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("c"), "nv", F.explode(subs).alias("j"))
-        .select(
-            "j",
-            "c",
-            F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("cvec"),
-        )
-    )
-    pieces = rows.select(
-        "vec_id", F.explode(subs).alias("j"), "nv"
-    ).select(
-        "vec_id",
-        "j",
-        F.expr(f"slice(nv, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sub"),
+    cb = _pq_fixed_codebook(rows)
+    codes = _pq_fixed_codes(rows, cb)
+    recon = _pq_fixed_recon(codes, cb)
+    query = rows.filter(F.col("vec_id") == 7).select(F.col("nv").alias("qnv"))
+    return (
+        recon.crossJoin(F.broadcast(query))
+        .select("vec_id", dot_product("rvec", "qnv").alias("similarity"))
+        .orderBy(F.desc("similarity"), F.col("vec_id"))
+        .limit(10)
     )
 
-    # per-(vector, subspace) argmin as min(struct(dist, code)): map-side
-    # combinable, lowest-code tie-break via lexicographic struct order
-    codes = (
-        pieces.join(F.broadcast(cb), "j")
-        .groupBy("vec_id", "j")
+
+# IVF+PQ composition, oracle-checked end-to-end: frozen centroids (the
+# ivf_probe_fixed_centroids rule) pick the probed clusters, and the ADC
+# scoring with the frozen codebook runs ONLY over the probed members —
+# the full FAISS-style coarse-quantize + product-quantize serving pipeline
+# with zero non-SQL stages left.
+_IVFPQ_FIXED_ORACLE = f"""
+WITH nv AS (
+  SELECT vec_id, {_DUCK_NORMALIZE} AS nv FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cluster_id, embedding AS cvec FROM embeddings WHERE vec_id < 20
+),
+qraw AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 7),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT cluster_id FROM (
+    SELECT c.cluster_id,
+           row_number() OVER (
+             ORDER BY {duck_euclidean('c.cvec', 'q.query_embedding')}, c.cluster_id
+           ) AS rn
+    FROM cents c, qraw q
+  ) WHERE rn <= 5
+),
+pool AS (
+  SELECT n.vec_id, n.nv FROM nv n
+  JOIN assign a ON n.vec_id = a.vec_id
+  JOIN probed p ON a.cluster_id = p.cluster_id
+),
+subs AS (SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)),
+cb AS (
+  SELECT s.j, n.vec_id AS c,
+         list_slice(n.nv, s.j * {_PQ_DSUB} + 1, (s.j + 1) * {_PQ_DSUB}) AS cvec
+  FROM nv n CROSS JOIN subs s WHERE n.vec_id < {_PQ_K}
+),
+pieces AS (
+  SELECT p.vec_id, s.j,
+         list_slice(p.nv, s.j * {_PQ_DSUB} + 1, (s.j + 1) * {_PQ_DSUB}) AS sub
+  FROM pool p CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, p.j, cb.c,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.j
+             ORDER BY {duck_euclidean('p.sub', 'cb.cvec')}, cb.c
+           ) AS rn
+    FROM pieces p JOIN cb ON p.j = cb.j
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(cb.cvec ORDER BY codes.j)) AS rvec
+  FROM codes JOIN cb ON codes.j = cb.j AND codes.c = cb.c
+  GROUP BY codes.vec_id
+),
+qv AS (SELECT nv AS qnv FROM nv WHERE vec_id = 7)
+SELECT recon.vec_id, {duck_dot('recon.rvec', 'q.qnv')} AS similarity
+FROM recon, qv q
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+@register("ivfpq_fixed_probe_adc", _IVFPQ_FIXED_ORACLE)
+def ivfpq_fixed_probe_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving pipeline with BOTH training stages frozen to
+    SQL-expressible rules: nearest-centroid assignment + top-5 probe over
+    the fixed centroid set (ivf_probe_fixed_centroids' rule, raw-vector
+    L2), then PQ encode + ADC scoring with the fixed codebook
+    (pq_adc_fixed_codebook's rule) over ONLY the probed members.  This is
+    the full FAISS-style coarse+product quantization composition
+    (operators/pq.py::ivfpq_search) with every stage oracle-checked —
+    scan bounded by nprobe/nlist, memory by m bytes/vector, and the ADC
+    arithmetic bit-exact vs DuckDB."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = embs.select("vec_id", normalize_vector("embedding").alias("nv"))
+
+    cents = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    qraw = embs.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    assign = (
+        embs.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
         .agg(
             F.min(
                 F.struct(
-                    euclidean_distance("sub", "cvec").alias("d"),
-                    F.col("c").alias("c"),
+                    euclidean_distance("embedding", "cvec").alias("d"),
+                    F.col("cluster_id").alias("cluster_id"),
                 )
             ).alias("m")
         )
-        .select("vec_id", "j", F.col("m.c").alias("c"))
+        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(qraw))
+        .orderBy(
+            euclidean_distance("cvec", "query_embedding"), F.col("cluster_id")
+        )
+        .limit(5)
+        .select("cluster_id")
+    )
+    pool = (
+        rows.join(assign, "vec_id")
+        .join(F.broadcast(probed), "cluster_id")
+        .select("vec_id", "nv")
     )
 
-    # reconstruct: codebook entries gathered in subspace order, flattened
-    recon = (
-        codes.join(F.broadcast(cb), ["j", "c"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "cvec"))),
-                    lambda s: s["cvec"],
-                )
-            ).alias("rvec")
-        )
-    )
+    cb = _pq_fixed_codebook(rows)
+    codes = _pq_fixed_codes(pool, cb)
+    recon = _pq_fixed_recon(codes, cb)
     query = rows.filter(F.col("vec_id") == 7).select(F.col("nv").alias("qnv"))
     return (
         recon.crossJoin(F.broadcast(query))
