@@ -596,6 +596,14 @@ def embedding_near_dup_pairs(
     """
     from vector_database_api_spark.functions.vector import dot_product, norm2
 
+    # Spread thin inputs first: a single-file corpus arrives as ONE
+    # partition, which would serialize the quadratic pair stage (the
+    # small side broadcasts, so the join inherits this side's layout).
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+
     # stage each row's squared norm ONCE (O(n*d)); the quadratic pair stage
     # then runs a single dot-product aggregate per pair instead of three.
     # The arithmetic (and therefore the bit pattern vs the oracle, which
