@@ -129,6 +129,9 @@ HEADLINE = [
     "theta_sketch_set_ops",
     "regression_profile",
     "gap_sessionization",
+    "pii_redaction",
+    "benchmark_contamination",
+    "mixture_sample",
 ]
 
 

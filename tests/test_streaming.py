@@ -395,3 +395,47 @@ def test_sketch_maintenance_recovers_from_crashed_overwrite(spark, tmp_path):
     # day-1 history survived the crash; day-2 batch folded in
     assert got[("2024-01-01", "click")] == 3
     assert got[("2024-01-02", "view")] == 1
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys arriving within the
+    watermark horizon are suppressed; the surviving set equals a batch
+    dropDuplicates over the same feed."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (1, base, "click"),
+        (1, base + dt.timedelta(minutes=5), "click"),   # dup within horizon
+        (2, base + dt.timedelta(minutes=1), "view"),
+        (3, base + dt.timedelta(minutes=2), "click"),
+        (2, base + dt.timedelta(minutes=9), "view"),    # dup within horizon
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+    ).write.mode("append").parquet(src)
+
+    stream = M.read_event_stream(
+        spark, src, "user_id bigint, ts timestamp, event_type string"
+    )
+    q = M.streaming_dedup_within_watermark(
+        stream, out, ckpt, key_cols=["user_id"], watermark="1 hour"
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.user_id
+        for r in spark.read.parquet(src).dropDuplicates(["user_id"]).collect()
+    )
+    assert got == want == [1, 2, 3]

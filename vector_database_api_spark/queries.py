@@ -1222,6 +1222,171 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII redaction (a scrub stage every LLM training pipeline runs).  The
+# driver corpus is digit-free word soup, so the query plants deterministic
+# PII (derived from doc_id, identically on both engines) and then redacts
+# it — proving the regex chain, not the synthetic data.  Patterns stay in
+# the RE2-and-Java common subset; DuckDB needs the 'g' flag to match
+# Spark's replace-all semantics.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 555-123-4567 at 10.0.0.'
+           || CAST(doc_id % 256 AS VARCHAR)
+           || ' ssn 123-45-6789 ' || text AS raw
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{_PII_SSN}')) AS n_ssns,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_SSN}', '<SSN>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM synth
+"""
+
+
+@register("pii_redaction", _PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count then redact emails / SSNs / phone numbers / IPv4
+    addresses with a fixed chain of regexp_replace calls — pure JVM
+    codegen at scan speed, the shape a 100 TB redaction pass needs (no
+    Python, no shuffle; the order of the chain is part of the contract
+    and identical in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ssn 123-45-6789 "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+                _PII_SSN,
+                "<SSN>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PII_SSN), 0)).alias("n_ssns"),
+        redacted.alias("redacted"),
+    )
+
+
+# Benchmark-contamination check: which corpus documents share a word
+# 3-gram with a held-out "benchmark" set (train/test overlap detection —
+# the decontamination pass LLM pipelines run before training).
+_BENCH_IDS = (3, 17, 42, 99, 123)
+
+_CONTAMINATION_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {text_fns.duck_word_shingles('text', 3)} AS shingles
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE id IN {_BENCH_IDS}
+),
+corpus AS (
+  SELECT id, unnest(shingles) AS shingle FROM sh
+  WHERE id NOT IN {_BENCH_IDS}
+)
+SELECT c.id AS doc_id, count(*) AS n_shared
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.id
+"""
+
+
+@register("benchmark_contamination", _CONTAMINATION_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: count distinct word-3-grams each corpus doc
+    shares with the benchmark set.  The benchmark shingle set is tiny and
+    broadcasts; the corpus side is the cached shingle artifact exploded
+    once — at 100 TB this is a broadcast semi-join at scan speed, the
+    shape of a real train/test-overlap sweep.  (Shingles are distinct per
+    doc, so count(*) counts distinct shared shingles.)"""
+    sh = _cached_word_shingles(spark, sf_dir, n=3)
+    bench = (
+        sh.filter(F.col("id").isin(*_BENCH_IDS))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(~F.col("id").isin(*_BENCH_IDS)).select(
+        F.col("id").alias("doc_id"), F.explode("shingles").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# Deterministic mixture sampling: per-source keep rates applied via a
+# content hash (NOT rand()) so the sample is reproducible across engines,
+# retries, and partitionings — the data-mixing primitive for assembling
+# a training corpus from weighted sources.
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+_MIX_RATE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+_MIXTURE_ORACLE = f"""
+WITH decided AS (
+  SELECT source,
+         CASE WHEN {text_fns.duck_hash60("CAST(doc_id AS VARCHAR)")} % 1000
+                   < CAST(({_MIX_RATE_SQL}) * 1000 AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, count(*) AS n_total, sum(kept) AS n_kept
+FROM decided GROUP BY source
+"""
+
+
+@register("mixture_sample", _MIXTURE_ORACLE)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing via deterministic hash sampling: keep a row
+    iff hash60(doc_id) mod 1000 falls under the source's rate bucket.
+    Unlike sample()/rand(), the decision is a pure function of the row —
+    stable under retries, AQE re-execution, and repartitioning, and
+    auditable by the oracle.  One scan, map-side-combinable counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.expr(_MIX_RATE_SQL)
+    kept = (
+        F.expr(text_fns.spark_hash60("CAST(doc_id AS STRING)")) % 1000
+        < (rate * 1000).cast("bigint")
+    ).cast("bigint")
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
+    )
+
+
 @register(
     "dedup_keep_first",
     """

@@ -255,6 +255,34 @@ def incremental_sketch_maintenance(
     )
 
 
+def streaming_dedup_within_watermark(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Bounded-state streaming dedup: keep the first arrival of each key
+    within the watermark horizon (``dropDuplicatesWithinWatermark``),
+    append the survivors.  Complements ``stateful.streaming_exact_dedup``
+    (custom first-per-fingerprint state, unbounded horizon): at
+    100 TB/day this built-in keeps only keys younger than the watermark
+    in the state store — the standard answer for at-least-once upstream
+    feeds (e.g. a crawler that re-emits documents on retry) where dup
+    arrivals cluster in time.
+    """
+    keyed = events_stream.withWatermark(ts_col, watermark)
+    deduped = keyed.dropDuplicatesWithinWatermark(key_cols or ["user_id"])
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_estimates(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Read the maintained sketch table and estimate distinct users per
     (day, event_type) plus re-aggregated per-day totals."""
