@@ -3787,13 +3787,51 @@ def bag_set_ops_suppkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_stats", None)
+# The RAW-GRAY image pipeline is fully deterministic from the parquet
+# inputs: pixels are the document's UTF-8 bytes tiled to h*w (dims derived
+# from doc attributes), the resize is a nearest-neighbor index gather, and
+# the stats are exact integer-based double arithmetic — so DuckDB can
+# recompute the whole decode -> resize -> stats pipeline symbolically
+# (ascii/substr replay the byte tiling; the corpus is pure ASCII so
+# characters == bytes).  std uses the explicit E[x^2]-E[x]^2 form on both
+# engines: every intermediate is exact in float64 (integer sums, /256 and
+# /16 are exact power-of-two scalings), so sqrt sees the identical double.
+_RAW_GRAY_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS h,
+         8 + length(text) % 9 AS w,
+         length(text) AS L
+  FROM documents
+),
+px AS (
+  SELECT doc_id, h, w,
+         ascii(substr(
+           text,
+           CAST((((i // 16) * h // 16) * w + ((i % 16) * w // 16)) % L + 1
+                AS BIGINT),
+           1)) AS v
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(h AS INTEGER) AS h, CAST(w AS INTEGER) AS w,
+       avg(CAST(v AS DOUBLE)) AS mean_px,
+       sqrt(avg(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+            - avg(CAST(v AS DOUBLE)) * avg(CAST(v AS DOUBLE))) AS std_px,
+       median(CAST(v AS DOUBLE)) AS p50_px
+FROM px GROUP BY doc_id, h, w
+"""
+
+
+@register("multimodal_image_stats", _RAW_GRAY_ORACLE)
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW-GRAY media pipeline: documents -> encoded binary images ->
     decode -> nearest-neighbor resize -> per-image stats, all inside one
-    mapInPandas stage (operators/multimodal.py).  Rows-only check; the
-    codec, resize arithmetic, and feature math are pytest-verified
-    end-to-end in tests/test_multimodal.py."""
+    mapInPandas stage (operators/multimodal.py).  The codec, resize
+    arithmetic, and feature math are pytest-verified end-to-end in
+    tests/test_multimodal.py AND oracle-checked: the DuckDB side replays
+    the byte tiling + gather + stats symbolically, value-hash-exact (see
+    _RAW_GRAY_ORACLE's exactness argument)."""
     from vector_database_api_spark.operators.multimodal import (
         media_raw_gray_from_documents,
         raw_gray_features,
