@@ -1,0 +1,42 @@
+"""bench.py's stdout contract: ONE bounded JSON line (the driver's capture
+buffer front-truncates long tails, which silently broke round 1's series).
+Pure-Python tests — no Spark session."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_payload_is_bounded_and_keeps_slowest():
+    timings = {f"query_{i:03d}": round(0.01 * i, 4) for i in range(200)}
+    payload = bench.bounded_payload(timings, sf=0.1)
+    line = json.dumps(payload)
+    assert len(line) <= bench.MAX_LINE_BYTES + 200
+    # totals cover ALL queries even when the per-query map is truncated
+    assert payload["n_queries"] == 200
+    assert payload["value"] == round(sum(timings.values()), 4)
+    assert payload["max_sec"] == max(timings.values())
+    # the kept entries are exactly the slowest ones
+    kept = payload["queries"]
+    assert kept
+    cutoff = min(kept.values())
+    dropped = [v for k, v in timings.items() if k not in kept]
+    assert all(v <= cutoff for v in dropped)
+    assert payload["queries_omitted"] == 200 - len(kept)
+
+
+def test_payload_small_suite_fits_entirely():
+    timings = {"a": 1.0, "b": 2.0}
+    payload = bench.bounded_payload(timings, sf=0.01)
+    assert payload["queries"] == {"b": 2.0, "a": 1.0}
+    assert payload["queries_omitted"] == 0
+
+
+def test_headline_names_resolve_in_registry():
+    from vector_database_api_spark import queries as q
+
+    registry = set(q.spark_queries())
+    missing = [n for n in bench.HEADLINE if n not in registry]
+    assert not missing, missing

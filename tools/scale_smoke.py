@@ -29,11 +29,16 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def replicate(df, times: int, id_col: str):
-    """times copies with distinct ids: id' = id * times + replica."""
+    """times copies with distinct ids: id' = id * times + replica.
+    Spread across the default parallelism — the one-file driver input
+    would otherwise leave the whole replicated table in ONE partition and
+    serialize every scan-shaped stage on a single core, which is not the
+    layout any real 100 TB table has."""
     reps = F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_rep")
-    return df.select("*", reps).withColumn(
+    out = df.select("*", reps).withColumn(
         id_col, F.col(id_col) * times + F.col("_rep")
     ).drop("_rep")
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism)
 
 
 def timed(fn):
@@ -314,6 +319,75 @@ def main() -> None:
         return tok.count()
 
     results["text_repetition_sec"], _ = timed(text_repetition)
+
+    # round-2 pipeline operators at 500k docs — all scan-shaped
+    def pii_redaction():
+        from vector_database_api_spark.queries import (
+            _PII_EMAIL,
+            _PII_IP,
+            _PII_PHONE,
+            _PII_SSN,
+        )
+
+        raw = F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 555-123-4567 10.0.0.1 123-45-6789 "),
+            F.col("text"),
+        )
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+                    _PII_SSN,
+                    "<SSN>",
+                ),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        )
+        return docs.select(F.length(red).alias("n")).agg(F.sum("n")).count()
+
+    results["pii_redaction_sec"], _ = timed(pii_redaction)
+
+    def contamination():
+        from vector_database_api_spark.functions.text import word_shingles_udf
+
+        # stage shingles once (the cached-artifact pattern from queries.py)
+        # — both join sides reuse them instead of re-running the UDF
+        sh = docs.select(
+            "doc_id", word_shingles_udf(3)(F.col("text")).alias("sh")
+        ).persist()
+        bench = (
+            sh.filter(F.col("doc_id") < 5)
+            .select(F.explode("sh").alias("shingle"))
+            .distinct()
+        )
+        corpus = sh.filter(F.col("doc_id") >= 5).select(
+            "doc_id", F.explode("sh").alias("shingle")
+        )
+        n = (
+            corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .count()
+            .count()
+        )
+        sh.unpersist()
+        return n
+
+    results["benchmark_contamination_sec"], _ = timed(contamination)
+
+    def mixture():
+        from vector_database_api_spark.functions.text import spark_hash60
+
+        kept = (
+            F.expr(spark_hash60("CAST(doc_id AS STRING)")) % 1000 < 250
+        ).cast("bigint")
+        return docs.groupBy("source").agg(F.sum(kept)).count()
+
+    results["mixture_sample_sec"], _ = timed(mixture)
 
     print(
         json.dumps(
