@@ -58,6 +58,30 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
                 assert sv == dv, f"{name}.{c}: {sv!r} != {dv!r}"
 
 
+def test_all_outputs_driver_hashable(spark, sf_dir):
+    """The driver's value-hash canonicalizer (pandas sort_values →
+    factorize) dies on array/map/struct cells (round-1 failures
+    nested_assembly / multimodal_features).  Pin the fix: every registry
+    query's OUTPUT schema must be flat scalar types — complex values get
+    to_json-serialized in the final projection instead.  Schema-only, so
+    this stays cheap across all queries."""
+    from pyspark.sql import types as T
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in sorted(q.spark_queries().items()):
+        schema = fn(spark, sf_dir).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"non-hashable output columns (driver gate will fail): {bad}"
+
+
 def test_tpch_suite_complete():
     """All 22 TPC-H query shapes are registered (q2/q9/q11/q12/q16/q20/q21
     adapted to the driver schema — see queries.py docstrings)."""
