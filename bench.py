@@ -87,6 +87,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "pq_search_topk",
+    "sq8_search_topk",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

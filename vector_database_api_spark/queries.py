@@ -27,7 +27,9 @@ from vector_database_api_spark.functions.vector import (
     cosine_similarity,
     dot_product,
     euclidean_distance,
+    norm2 as vec_norm2,
     normalize_vector,
+    normalize_with_staged_norm,
 )
 from vector_database_api_spark.functions import text as text_fns
 from vector_database_api_spark.operators import crud as crud_mod
@@ -148,6 +150,54 @@ def _cached_word_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataF
         )
         sh.count()
         _SERVING_INDEXES[key] = sh
+    return _SERVING_INDEXES[key]
+
+
+def _cached_sq8_index(spark: SparkSession, sf_dir: str):
+    """(codes_df, bounds_df): the SQ8 serving artifact — int codes for
+    every vector plus the 1-row per-dim (vmins, vmaxs) bounds — persisted
+    once per sf_dir, exactly as a real system stores the quantized index
+    and serves queries from codes alone (operators/sq.py).  Deterministic
+    (min/max training), so the oracle gate is unaffected."""
+    from vector_database_api_spark.operators import sq as sq_mod
+
+    key = ("sq8", sf_dir)
+    if key not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings")
+        target = spark.sparkContext.defaultParallelism
+        if embs.rdd.getNumPartitions() < target:
+            embs = embs.repartition(target)
+        rows = embs.select(
+            "vec_id", "embedding", vec_norm2("embedding").alias("n2")
+        ).select(
+            "vec_id", normalize_with_staged_norm("embedding", "n2").alias("nv")
+        )
+        bounds = (
+            sq_mod.dim_stats(rows, "nv")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "vmin", "vmax"))
+                ).alias("s")
+            )
+            .select(
+                F.transform("s", lambda s: s["vmin"]).alias("vmins"),
+                F.transform("s", lambda s: s["vmax"]).alias("vmaxs"),
+            )
+            .persist()
+        )
+        codes = (
+            rows.crossJoin(F.broadcast(bounds))
+            .select(
+                "vec_id",
+                sq_mod.encode_expr(
+                    F.col("nv"), F.col("vmins"), F.col("vmaxs")
+                ).alias("codes"),
+            )
+            .persist()
+        )
+        bounds.count()
+        codes.count()
+        _SERVING_INDEXES[key] = (codes, bounds)
     return _SERVING_INDEXES[key]
 
 
@@ -4503,6 +4553,92 @@ def ivfpq_fixed_probe_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         recon.crossJoin(F.broadcast(query))
         .select("vec_id", dot_product("rvec", "qnv").alias("similarity"))
+        .orderBy(F.desc("similarity"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# SQ8 scalar quantization with EVERY stage — including training — oracle-
+# checked: per-dimension min/max bounds over the normalized corpus are the
+# whole training state (operators/sq.py), so unlike PQ/IVF (whose k-means
+# stays pytest-verified against frozen stand-ins) the train + encode +
+# dequantize + score pipeline is SQL-expressible end-to-end on both engines.
+_SQ_DIM = 64
+
+_SQ8_ORACLE = f"""
+WITH nv AS (
+  SELECT vec_id, {{norm}} AS nv FROM embeddings
+),
+pos AS (SELECT CAST(range AS INT) AS i FROM range(1, {_SQ_DIM + 1})),
+stats AS (
+  SELECT p.i, min(n.nv[p.i]) AS vmin, max(n.nv[p.i]) AS vmax
+  FROM nv n CROSS JOIN pos p GROUP BY p.i
+),
+bounds AS (
+  SELECT list(vmin ORDER BY i) AS vmins, list(vmax ORDER BY i) AS vmaxs
+  FROM stats
+),
+codes AS (
+  SELECT n.vec_id, b.vmins, b.vmaxs,
+         list_transform(range(1, {_SQ_DIM + 1}), i ->
+           CASE WHEN b.vmaxs[i] = b.vmins[i] THEN 0
+                ELSE CAST(floor(least(greatest(
+                       (n.nv[i] - b.vmins[i]) / (b.vmaxs[i] - b.vmins[i]),
+                       0.0), 1.0) * 255.0 + 0.5) AS INT)
+           END) AS codes
+  FROM nv n CROSS JOIN bounds b
+),
+qv AS (SELECT nv AS qnv FROM nv WHERE vec_id = 7),
+wside AS (
+  SELECT list_transform(list_zip(b.vmaxs, b.vmins, q.qnv), p ->
+           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * CAST(p[3] AS DOUBLE) / 255.0) AS w,
+         {duck_dot("b.vmins", "q.qnv")} AS bias
+  FROM bounds b, qv q
+)
+SELECT c.vec_id, w.bias + {duck_dot("c.codes", "w.w")} AS similarity
+FROM codes c, wside w
+ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+@register("sq8_search_topk", _SQ8_ORACLE.format(norm=_DUCK_NORMALIZE))
+def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized cosine top-k (operators/sq.py): the cached serving
+    index holds int codes (1 B/dim vs 4 B/dim raw) trained as per-dim
+    min/max bounds over the normalized corpus; the query is served in the
+    affine-decomposed form
+
+        score = bias + dot(codes, w),  w_i = (vmax_i - vmin_i) q_i / 255
+
+    so the scan touches ONLY the code arrays — the dequantized vector is
+    never materialized.  The oracle replays the whole pipeline (train +
+    encode + the same affine scoring) in DuckDB with identical operation
+    order, making SQ8 the one ANN path whose *training* is hash-checked
+    too.  No Python anywhere in the plan."""
+    codes, bounds = _cached_sq8_index(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    qn = embs.filter(F.col("vec_id") == 7).select(
+        "embedding", vec_norm2("embedding").alias("n2")
+    ).select(normalize_with_staged_norm("embedding", "n2").alias("qnv"))
+    wside = bounds.crossJoin(F.broadcast(qn)).select(
+        F.zip_with(
+            F.zip_with(
+                F.col("vmaxs"),
+                F.col("vmins"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ),
+            F.col("qnv"),
+            lambda d, q: d * q.cast("double") / F.lit(255.0),
+        ).alias("w"),
+        dot_product("vmins", "qnv").alias("bias"),
+    )
+    return (
+        codes.crossJoin(F.broadcast(wside))
+        .select(
+            "vec_id",
+            (F.col("bias") + dot_product("codes", "w")).alias("similarity"),
+        )
         .orderBy(F.desc("similarity"), F.col("vec_id"))
         .limit(10)
     )
