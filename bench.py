@@ -88,6 +88,7 @@ HEADLINE = [
     "q22_idle_customers",
     "pq_search_topk",
     "sq8_search_topk",
+    "semdedup_fixed_centroids",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

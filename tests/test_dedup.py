@@ -224,3 +224,61 @@ def test_connected_components_strategies_agree(spark):
         for r in D.connected_components(edges, strategy="distributed").collect()
     }
     assert drv == dist
+
+
+def test_semdedup_keep_first_semantics(spark):
+    """Hand-built corpus: b duplicates a (same direction), c is orthogonal
+    — a kept (lowest id), b dropped, c kept.  d sits in another cluster
+    with no neighbor above threshold."""
+    from vector_database_api_spark.operators.dedup import semdedup_decision
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),   # same direction as 0 -> cosine 1.0 -> drop
+        (2, [0.0, 1.0]),   # orthogonal -> keep
+        (3, [-5.0, 0.1]),  # other side; nearest centroid differs
+    ]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "cluster_id bigint, cvec array<double>",
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup_decision(df, cents, threshold=0.95).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2][1] is True
+    assert out[3] == (1, True)
+
+
+def test_semdedup_drop_iff_lower_id_neighbor(spark, sf_dir):
+    """Registry-shape invariant on real data: an item is dropped iff it
+    has a lower-id same-cluster neighbor at cosine >= threshold."""
+    from vector_database_api_spark.operators.dedup import (
+        assign_clusters,
+        embedding_near_dup_pairs,
+        semdedup_decision,
+    )
+    from vector_database_api_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    out = semdedup_decision(
+        embs, cents, threshold=0.4, vec_col="embedding", id_col="vec_id"
+    )
+    dropped = {r["id"] for r in out.filter(~F.col("keep")).collect()}
+    assigned = assign_clusters(embs, cents, id_col="vec_id")
+    with_cluster = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).join(assigned, "id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster, vec_col="v", id_col="id",
+        block_col="cluster_id", threshold=0.4,
+    )
+    expected = {r["id_b"] for r in pairs.collect()}
+    assert dropped == expected and dropped

@@ -638,3 +638,77 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cluster_id): nearest-centroid assignment by raw-vector L2 with
+    lowest-cluster-id tie-break — the IVF coarse-assignment shape
+    (ivf.py::assign_to_centroids' semantics as a pure JVM min-struct
+    aggregate).  ``centroids`` = (cluster_id, cvec), broadcast: the
+    corpus never shuffles for assignment."""
+    from vector_database_api_spark.functions.vector import euclidean_distance
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    euclidean_distance("v", "cvec").alias("d"),
+                    F.col("cluster_id").alias("cluster_id"),
+                )
+            ).alias("m")
+        )
+        .select("id", F.col("m.cluster_id").alias("cluster_id"))
+    )
+
+
+def semdedup_decision(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    corpus, then within each cluster drop every item that has a
+    lower-id neighbor at cosine >= threshold (greedy keep-first — the
+    same canonical-survivor rule as the text dedup family).
+
+    Returns (id, cluster_id, keep).  Composition of existing scale
+    shapes: broadcast centroid assignment (no corpus shuffle) +
+    ``embedding_near_dup_pairs(block_col="cluster_id")`` (all-pairs only
+    WITHIN a cluster — at real scale the cluster count grows with the
+    corpus so blocks stay small, the paper's k=50k posture) + an anti-join
+    flag.  The reference has no semantic dedup; this extends its
+    embedding surface (app/utils/embedding.py) to the curation pipeline.
+    """
+    assigned = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+    with_cluster = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(assigned, "id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster,
+        vec_col="v",
+        id_col="id",
+        block_col="cluster_id",
+        threshold=threshold,
+    )
+    dupes = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assigned.join(
+            dupes.withColumn("dup", F.lit(True)), "id", "left"
+        )
+        .select(
+            "id",
+            "cluster_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -153,6 +153,35 @@ def _cached_word_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataF
     return _SERVING_INDEXES[key]
 
 
+def _cached_semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, v, cluster_id) nearest-frozen-centroid assignment, persisted
+    once per sf_dir — the cluster map is the stored artifact of the
+    SemDeDup pipeline (like the LSH hash tables / SQ8 codes); pair
+    generation and keep decisions are query-time derivations over it.
+    Without the cache the self-join's two branches re-evaluate the whole
+    assignment subtree (crossJoin + min-struct + join) twice each."""
+    from vector_database_api_spark.operators import dedup as ded
+
+    key = ("semdedup-assign", sf_dir)
+    if key not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings")
+        cents = embs.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        assigned = ded.assign_clusters(embs, cents, id_col="vec_id")
+        wc = (
+            embs.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+            )
+            .join(assigned, "id")
+            .persist()
+        )
+        wc.count()
+        _SERVING_INDEXES[key] = wc
+    return _SERVING_INDEXES[key]
+
+
 def _cached_sq8_index(spark: SparkSession, sf_dir: str):
     """(codes_df, bounds_df): the SQ8 serving artifact — int codes for
     every vector plus the 1-row per-dim (vmins, vmaxs) bounds — persisted
@@ -1245,6 +1274,63 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_mod.embedding_near_dup_pairs(
         embs, block_col="label", threshold=0.4
+    )
+
+
+@register(
+    "semdedup_fixed_centroids",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 20
+    ),
+    assign AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      JOIN assign aa ON aa.vec_id = a.vec_id
+      JOIN assign ab ON ab.vec_id = b.vec_id
+                    AND aa.cluster_id = ab.cluster_id
+      WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    )
+    SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def semdedup_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over frozen, SQL-expressible centroids (first 20 raw
+    vectors — the ivf_probe_fixed_centroids rule): broadcast nearest-
+    centroid assignment, within-cluster cosine pairs at the
+    embedding_near_dup_blocked threshold, greedy keep-first decision
+    (operators/dedup.py::semdedup_decision).  Real deployments train
+    centroids with MLlib KMeans (pytest-verified path); freezing them
+    makes the whole semantic-dedup pipeline hash-checkable."""
+    with_cluster = _cached_semdedup_assignment(spark, sf_dir)
+    pairs = dedup_mod.embedding_near_dup_pairs(
+        with_cluster,
+        vec_col="v",
+        id_col="id",
+        block_col="cluster_id",
+        threshold=0.4,
+    )
+    dupes = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        with_cluster.join(dupes.withColumn("dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
     )
 
 
