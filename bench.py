@@ -89,6 +89,7 @@ HEADLINE = [
     "pq_search_topk",
     "sq8_search_topk",
     "semdedup_fixed_centroids",
+    "zorder_addresses",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

@@ -144,3 +144,60 @@ def test_xml_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
         schema="n_nationkey bigint, n_name string, n_regionkey bigint",
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_zorder_tightens_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering on (user_id, value): per-FILE min/max spans are
+    tight on BOTH dimensions, where a single-key sort leaves the second
+    column's spans at ~full width — the footer stats a multi-dimension
+    file-skipping scan actually uses."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from vector_database_api_spark.sources.formats import (
+        write_range_sorted,
+        write_zorder,
+    )
+    from vector_database_api_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    n_files = 16
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder(ev, zdir, ["user_id", "value"], num_files=n_files, bits=8)
+    write_range_sorted(ev, sdir, ["user_id"], num_files=n_files)
+
+    def file_spans(d, col_idx):
+        spans = []
+        for f in sorted(str(p) for p in pathlib.Path(d).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mn = min(
+                md.row_group(g).column(col_idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append((mn, mx))
+        return spans
+
+    def avg_frac(spans):
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        return sum((b - a) for a, b in spans) / len(spans) / (hi - lo)
+
+    # single-key sort: first column tight, second near-full-width
+    sv = avg_frac(file_spans(sdir, 1))
+    assert avg_frac(file_spans(sdir, 0)) < 0.15
+    assert sv > 0.5
+    # z-order: BOTH columns substantially tighter than full width, and the
+    # second column far tighter than the single-key layout leaves it
+    zu, zv = avg_frac(file_spans(zdir, 0)), avg_frac(file_spans(zdir, 1))
+    assert zu < 0.5 and zv < 0.5, (zu, zv)
+    assert zv < sv * 0.7, (zv, sv)
+    # and the rewritten table is the same multiset of rows
+    assert spark.read.parquet(zdir).count() == ev.count()
+    got = spark.read.parquet(zdir).groupBy("user_id").count()
+    want = ev.groupBy("user_id").count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -4730,6 +4730,83 @@ def sq8_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order curve addresses (sources/formats.py::write_zorder's arithmetic):
+# min-max bucket two columns to 8 bits each, interleave the bits.  The
+# oracle replays bucket + interleave with the same doubles and shifts.
+_Z_BITS = 8
+_Z_TERMS = " | ".join(
+    f"(((b{c} >> {i}) & 1) << {2 * i + j})"
+    for i in range(_Z_BITS)
+    for j, c in enumerate(("u", "v"))
+)
+
+
+def _duck_zbucket(x: str, lo: str, hi: str) -> str:
+    m = float((1 << _Z_BITS) - 1)
+    return (
+        f"least(greatest(CAST(floor((CAST({x} AS DOUBLE) - {lo}) * "
+        f"(CASE WHEN {hi} > {lo} THEN {m}/({hi} - {lo}) ELSE 0.0 END)) "
+        f"AS BIGINT), 0), {(1 << _Z_BITS) - 1})"
+    )
+
+
+@register(
+    "zorder_addresses",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id < 500
+    ),
+    bounds AS (
+      SELECT min(CAST(user_id AS DOUBLE)) AS lo_u,
+             max(CAST(user_id AS DOUBLE)) AS hi_u,
+             min(CAST(value AS DOUBLE)) AS lo_v,
+             max(CAST(value AS DOUBLE)) AS hi_v
+      FROM src
+    ),
+    bk AS (
+      SELECT s.event_id,
+             {_duck_zbucket("s.user_id", "b.lo_u", "b.hi_u")} AS bu,
+             {_duck_zbucket("s.value", "b.lo_v", "b.hi_v")} AS bv
+      FROM src s CROSS JOIN bounds b
+    )
+    SELECT event_id, ({_Z_TERMS}) AS zaddr FROM bk
+    """,
+)
+def zorder_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve addresses for (user_id, value) with in-plan min-max bounds
+    — the exact bucket + bit-interleave arithmetic ``write_zorder`` sorts
+    files by (sources/formats.py), hash-checked against DuckDB's integer
+    shifts.  The layout consequence (per-file spans tight on BOTH
+    columns) is pinned by tests/test_formats.py::
+    test_zorder_tightens_both_columns."""
+    from vector_database_api_spark.sources import formats as fmt_mod
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 500
+    ).select("event_id", "user_id", "value")
+    bounds = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("lo_u"),
+        F.max(F.col("user_id").cast("double")).alias("hi_u"),
+        F.min(F.col("value").cast("double")).alias("lo_v"),
+        F.max(F.col("value").cast("double")).alias("hi_v"),
+    )
+    bk = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        fmt_mod.zorder_bucket(
+            "user_id", F.col("lo_u"), F.col("hi_u"), _Z_BITS
+        ).alias("bu"),
+        fmt_mod.zorder_bucket(
+            "value", F.col("lo_v"), F.col("hi_v"), _Z_BITS
+        ).alias("bv"),
+    )
+    return bk.select(
+        "event_id",
+        fmt_mod.zorder_address([F.col("bu"), F.col("bv")], _Z_BITS).alias(
+            "zaddr"
+        ),
+    )
+
+
 _SPARK_TOKS = "split(lower(text), ' ')"
 _DUCK_TOKS = "string_split(lower(text), ' ')"
 # top word frequency as the longest run in the SORTED token array — one
