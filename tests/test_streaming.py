@@ -439,3 +439,98 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(src).dropDuplicates(["user_id"]).collect()
     )
     assert got == want == [1, 2, 3]
+
+
+def test_session_window_counts_match_batch(spark, tmp_path):
+    """Streaming session_window (gap-merged, watermark-bounded state)
+    drained with availableNow equals the same aggregation run in batch —
+    including a session that merges two files' events across micro-batch
+    boundaries."""
+    src = str(tmp_path / "sess_events")
+    mk = lambda ts, uid, v: (pd.Timestamp(ts), uid, v)
+    batch1 = pd.DataFrame(
+        [mk("2024-01-01 10:00", 1, 1.0), mk("2024-01-01 11:00", 1, 2.0),
+         mk("2024-01-01 10:30", 2, 4.0)],
+        columns=["ts", "user_id", "value"],
+    )
+    batch2 = pd.DataFrame(
+        # extends user 1's open session (gap < 4h) and opens a new one for 2
+        [mk("2024-01-01 13:00", 1, 8.0), mk("2024-01-01 20:00", 2, 16.0)],
+        columns=["ts", "user_id", "value"],
+    )
+    spark.createDataFrame(batch1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = M.read_event_stream(spark, src, schema)
+    q = M.run_stream_to_memory(
+        M.session_window_counts(stream), "sess_counts", output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+
+    # batch twin: same aggregation without watermark on the static table
+    static = spark.read.parquet(src)
+    want = {
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"]):
+            (r["n_events"], r["sum_value"])
+        for r in static.groupBy(
+            F.session_window("ts", "4 hours").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
+    # the cross-batch merge actually happened: user 1's three events
+    # (two in batch 1, one in batch 2) form ONE gap-merged session
+    u1 = [(k, v) for k, v in got.items() if k[2] == 1]
+    assert len(u1) == 1 and u1[0][1] == (3, 11.0)
+
+
+def test_incremental_sq_equals_batch_encode(spark, tmp_path):
+    """Streaming SQ8 maintenance (frozen per-dim bounds) must produce the
+    same codes as the batch encode of the same rows."""
+    from vector_database_api_spark.operators import sq as SQ
+    from vector_database_api_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir="/root/testdata/sf0.001", name="embeddings")
+    base = embs.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("libQ").alias("library_id"),
+        F.col("vec_id").cast("string").alias("document_id"),
+        F.lit("t").alias("text"),
+        F.col("embedding"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+    )
+    index = SQ.build_sq(base)
+
+    src = str(tmp_path / "src")
+    base.repartition(1).write.mode("append").parquet(src)
+    stream = M.read_chunk_stream(spark, src)
+    q = M.incremental_sq_maintenance(
+        stream,
+        index,
+        str(tmp_path / "chunks"),
+        str(tmp_path / "codes"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["id"]: list(r["codes"])
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    batch = {r["id"]: list(r["codes"]) for r in index.codes_df.collect()}
+    assert streamed == batch

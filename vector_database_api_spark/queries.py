@@ -4502,7 +4502,13 @@ def pq_adc_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked here, entirely in JVM higher-order functions (no
     Python in the plan)."""
     embs = load_table(spark, sf_dir, "embeddings")
-    rows = embs.select("vec_id", normalize_vector("embedding").alias("nv"))
+    # staged-norm normalize: same bits as normalize_vector, O(d) per row
+    # in interpreted HOFs instead of O(d^2) (functions/vector.py)
+    rows = embs.select(
+        "vec_id", "embedding", vec_norm2("embedding").alias("n2")
+    ).select(
+        "vec_id", normalize_with_staged_norm("embedding", "n2").alias("nv")
+    )
     cb = _pq_fixed_codebook(rows)
     codes = _pq_fixed_codes(rows, cb)
     recon = _pq_fixed_recon(codes, cb)
@@ -4597,7 +4603,13 @@ def ivfpq_fixed_probe_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan bounded by nprobe/nlist, memory by m bytes/vector, and the ADC
     arithmetic bit-exact vs DuckDB."""
     embs = load_table(spark, sf_dir, "embeddings")
-    rows = embs.select("vec_id", normalize_vector("embedding").alias("nv"))
+    # staged-norm normalize: same bits as normalize_vector, O(d) per row
+    # in interpreted HOFs instead of O(d^2) (functions/vector.py)
+    rows = embs.select(
+        "vec_id", "embedding", vec_norm2("embedding").alias("n2")
+    ).select(
+        "vec_id", normalize_with_staged_norm("embedding", "n2").alias("nv")
+    )
 
     cents = embs.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")

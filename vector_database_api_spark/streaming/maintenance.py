@@ -126,6 +126,37 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    gap: str = "4 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per user — the streaming
+    form of the batch ``session_windows`` registry query (native
+    ``session_window`` operator, gap-merged as events arrive).  Unlike
+    fixed windows, session state merges adjacent windows whose gap
+    closes; the watermark bounds how long an open session can wait for a
+    late extension, so state stays bounded by the horizon.  Streamed
+    (availableNow drain) equals the batch aggregation —
+    tests/test_streaming.py::test_session_window_counts_match_batch."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     query_name: str,
@@ -168,6 +199,55 @@ def incremental_pq_maintenance(
         batch.persist()
         batch.write.mode("append").parquet(chunks_dir)
         encode_codes(batch, codebooks).write.mode("append").parquet(codes_dir)
+        batch.unpersist()
+
+    writer = chunk_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_sq_maintenance(
+    chunk_stream: DataFrame,
+    sq_index,
+    chunks_dir: str,
+    codes_dir: str,
+    checkpoint_dir: str,
+    embedding_dim: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """M1 for the SQ8 index: per micro-batch — embed missing embeddings,
+    append chunks, encode against the FROZEN per-dim bounds
+    (operators/sq.py; incremental adds never retrain, the same posture as
+    PQ codebooks / IVF centroids — out-of-range values clamp into the
+    trained bounds by construction).  Streaming codes equal a batch
+    re-encode because encoding is a pure function of (vector, bounds)."""
+    from vector_database_api_spark.functions.vector import (
+        norm2,
+        normalize_with_staged_norm,
+    )
+    from vector_database_api_spark.operators.sq import _lit_array, encode_expr
+
+    embedder = make_embedder(embedding_dim)
+    vmins, vmaxs = _lit_array(sq_index.vmins), _lit_array(sq_index.vmaxs)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn(
+            "embedding",
+            F.coalesce(F.col("embedding"), embedder(F.col("text"))),
+        )
+        batch.persist()
+        batch.write.mode("append").parquet(chunks_dir)
+        nv = batch.select(
+            "id", "embedding", norm2("embedding").alias("n2")
+        ).select(
+            "id", normalize_with_staged_norm("embedding", "n2").alias("nv")
+        )
+        nv.select(
+            "id", encode_expr(F.col("nv"), vmins, vmaxs).alias("codes")
+        ).write.mode("append").parquet(codes_dir)
         batch.unpersist()
 
     writer = chunk_stream.writeStream.foreachBatch(process_batch).option(
