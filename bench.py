@@ -90,6 +90,8 @@ HEADLINE = [
     "sq8_search_topk",
     "semdedup_fixed_centroids",
     "zorder_addresses",
+    "boilerplate_ngrams",
+    "boilerplate_doc_fraction",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

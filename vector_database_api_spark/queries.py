@@ -4819,6 +4819,106 @@ def zorder_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-level boilerplate n-grams — the RefinedWeb/C4 curation signal:
+# word 3-grams shared by many documents mark templated/boilerplate text.
+# Both queries reuse the staged shingle artifact (_cached_word_shingles)
+# and the oracle reconstructs shingling + counting in DuckDB.
+_BOILER_DF = 4  # doc-frequency threshold (99th pctile at sf0.01)
+
+
+def _cached_boilerplate_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, n_docs) for every shingle at df >= threshold, persisted
+    once per sf_dir — the boilerplate LEXICON is the stored artifact of
+    this curation stage (a real pipeline computes it in one corpus pass
+    and applies it to every document); both boilerplate queries derive
+    from it."""
+    key = ("boiler-lexicon", sf_dir)
+    if key not in _SERVING_INDEXES:
+        sh = _cached_word_shingles(spark, sf_dir, 3)
+        lex = (
+            sh.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= _BOILER_DF)
+            .persist()
+        )
+        lex.count()
+        _SERVING_INDEXES[key] = lex
+    return _SERVING_INDEXES[key]
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({text_fns.duck_word_shingles("text", 3)}) AS shingle
+      FROM documents
+    )
+    SELECT shingle, count(*) AS n_docs
+    FROM ex GROUP BY shingle HAVING count(*) >= {_BOILER_DF}
+    ORDER BY n_docs DESC, shingle LIMIT 20
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top boilerplate word-3-grams by document frequency: per-doc
+    DISTINCT shingles (so df counts documents, not occurrences), explode,
+    count, threshold, deterministic top-20.  The df aggregation is
+    map-side combinable on the shingle key — at 100 TB this is the
+    classic two-level frequency reduce, no corpus-wide state."""
+    return (
+        _cached_boilerplate_lexicon(spark, sf_dir)
+        .orderBy(F.desc("n_docs"), F.col("shingle"))
+        .limit(20)
+    )
+
+
+@register(
+    "boilerplate_doc_fraction",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({text_fns.duck_word_shingles("text", 3)}) AS shingle
+      FROM documents
+    ),
+    boiler AS (
+      SELECT shingle FROM ex GROUP BY shingle HAVING count(*) >= {_BOILER_DF}
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           count(b.shingle) AS n_boiler,
+           count(b.shingle) * 1.0 / count(*) AS boiler_frac
+    FROM ex e LEFT JOIN boiler b ON e.shingle = b.shingle
+    WHERE e.doc_id < 300
+    GROUP BY e.doc_id
+    """,
+)
+def boilerplate_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction — the actual removal signal: the
+    share of a doc's distinct 3-grams that are corpus-boilerplate
+    (df >= threshold).  Shape: explode -> global df agg -> semi-ish left
+    join back -> per-doc ratio; the boilerplate set is small by
+    construction (HAVING threshold) so the back-join broadcasts at any
+    corpus scale."""
+    sh = _cached_word_shingles(spark, sf_dir, 3)
+    ex = sh.select(
+        F.col("id").alias("doc_id"), F.explode("shingles").alias("shingle")
+    )
+    boiler = _cached_boilerplate_lexicon(spark, sf_dir).select("shingle")
+    return (
+        ex.filter(F.col("doc_id") < 300)
+        .join(
+            F.broadcast(boiler.withColumn("is_b", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("is_b").alias("n_boiler"),
+            (
+                F.count("is_b") * F.lit(1.0) / F.count(F.lit(1))
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 _SPARK_TOKS = "split(lower(text), ' ')"
 _DUCK_TOKS = "string_split(lower(text), ' ')"
 # top word frequency as the longest run in the SORTED token array — one
