@@ -221,3 +221,54 @@ def test_lsh_tuned_profile_selectable_and_persisted(engine):
 
     with _pytest.raises(ValueError):
         engine.index_library("libA", "lsh", lsh_profile="nope")
+
+
+def test_sq8_index_search(engine):
+    """SQ8 extension type: build, filtered search, result-schema parity —
+    8-bit quantization is tight enough that the own-text row still ranks
+    first."""
+    engine.index_library("libA", "sq8")
+    got = engine.search(
+        "libA", query_text="python document number 0 about python", k=5
+    ).collect()
+    assert len(got) == 5
+    assert got[0]["id"] == "c00"
+    assert {"id", "similarity", "distance"} <= set(got[0].asDict())
+
+    only_ml = engine.search(
+        "libA",
+        query_text="ml document number 1 about ml",
+        k=100,
+        metadata_filters={"topic": "ml"},
+    ).collect()
+    ids = {r["id"] for r in only_ml}
+    assert ids and all(int(i[1:]) % 3 == 1 for i in ids)
+
+
+def test_sq8_index_mutations(engine):
+    engine.index_library("libA", "sq8")
+    idx_before = {
+        r["id"] for r in engine.spark.read.parquet(
+            engine._index_dir("sq8", "libA")
+        ).collect()
+    }
+    assert "c03" in idx_before
+
+    engine.delete_chunks("libA", ["c03"])
+    idx_after = {
+        r["id"] for r in engine.spark.read.parquet(
+            engine._index_dir("sq8", "libA")
+        ).collect()
+    }
+    assert idx_after == idx_before - {"c03"}
+
+    # text update re-encodes with FROZEN bounds; the updated row should
+    # win its own query post-re-encode
+    engine.update_chunk_texts("libA", {"c06": "unique needle phrase xyz"})
+    got = engine.search("libA", query_text="unique needle phrase xyz", k=3).collect()
+    assert got[0]["id"] == "c06"
+    # and the index switch away drops the sq8 table
+    import os
+
+    engine.index_library("libA", "lsh")
+    assert not os.path.isdir(engine._index_dir("sq8", "libA"))

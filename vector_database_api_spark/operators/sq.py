@@ -135,13 +135,35 @@ def build_sq(
     }
     vmins = np.array([stats[i + 1][0] for i in range(dim)], dtype=np.float64)
     vmaxs = np.array([stats[i + 1][1] for i in range(dim)], dtype=np.float64)
-    codes_df = rows.select(
-        "id",
-        encode_expr(
-            F.col("nv"), _lit_array(vmins), _lit_array(vmaxs)
-        ).alias("codes"),
-    )
+    codes_df = encode_with_bounds(df, vmins, vmaxs, id_col=id_col, vec_col=vec_col)
     return SQIndex(vmins=vmins, vmaxs=vmaxs, codes_df=codes_df, dim=dim)
+
+
+def encode_with_bounds(
+    df: DataFrame,
+    vmins: np.ndarray,
+    vmaxs: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode rows against FROZEN bounds (the incremental-add path, like
+    ``pq.encode_codes``: new/updated vectors are coded without
+    retraining; coordinates outside the trained range clamp)."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm2(vec_col).alias("n2"),
+        )
+        .select("id", normalize_with_staged_norm("v", "n2").alias("nv"))
+    )
+    return rows.select(
+        "id",
+        encode_expr(F.col("nv"), _lit_array(vmins), _lit_array(vmaxs)).alias(
+            "codes"
+        ),
+    )
 
 
 def sq_search(index: SQIndex, query_vec: np.ndarray, k: int = 5) -> DataFrame:

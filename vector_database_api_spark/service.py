@@ -47,13 +47,15 @@ from vector_database_api_spark.functions.embedding import make_embedder, text_to
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators import pq as pq_mod
+from vector_database_api_spark.operators import sq as sq_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
 
 # reference parity: IndexManager accepts exactly lsh|ivf (indexes.py:408-422)
 VALID_INDEX_TYPES = ("lsh", "ivf")
-# engine extension: product quantization (operators/pq.py) — not in the
-# reference; kept out of VALID_INDEX_TYPES so parity docs stay honest
-ALL_INDEX_TYPES = VALID_INDEX_TYPES + ("pq",)
+# engine extensions: product quantization (operators/pq.py) and scalar
+# quantization (operators/sq.py) — not in the reference; kept out of
+# VALID_INDEX_TYPES so parity docs stay honest
+ALL_INDEX_TYPES = VALID_INDEX_TYPES + ("pq", "sq8")
 
 
 class VectorEngine:
@@ -86,6 +88,11 @@ class VectorEngine:
 
     def _pq_codebooks_path(self, library_id: str) -> str:
         d = os.path.join(self.warehouse, "pq_codebooks")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{library_id}.npy")
+
+    def _sq_bounds_path(self, library_id: str) -> str:
+        d = os.path.join(self.warehouse, "sq_bounds")
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{library_id}.npy")
 
@@ -185,6 +192,15 @@ class VectorEngine:
                 self._index_dir("pq", library_id)
             )
             np.save(self._pq_codebooks_path(library_id), index.codebooks)
+        elif index_type == "sq8":
+            sq_index = sq_mod.build_sq(chunks)
+            sq_index.codes_df.write.mode("overwrite").parquet(
+                self._index_dir("sq8", library_id)
+            )
+            np.save(
+                self._sq_bounds_path(library_id),
+                np.stack([sq_index.vmins, sq_index.vmaxs]),
+            )
         elif index_type == "lsh":
             planes = self._lsh_planes(LSH_PROFILES[lsh_profile])
             lsh_dir = self._index_dir("lsh", library_id)
@@ -233,7 +249,7 @@ class VectorEngine:
         meta = self._index_meta(library_id)
         if meta is not None:
             kind, path = meta
-            if kind in ("lsh", "pq"):
+            if kind in ("lsh", "pq", "sq8"):
                 profile = self._lsh_profile_at(path) if kind == "lsh" else None
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
@@ -278,6 +294,17 @@ class VectorEngine:
                 codebooks = np.load(self._pq_codebooks_path(library_id))
                 changed = self.chunks(library_id).filter(F.col("id").isin(ids))
                 fresh = pq_mod.encode_codes(changed, codebooks)
+                idx = self.spark.read.parquet(path)
+                merged = (
+                    idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
+                ).localCheckpoint()
+                merged.write.mode("overwrite").parquet(path)
+            elif kind == "sq8":
+                # re-encode with FROZEN per-dim bounds (out-of-range
+                # coordinates clamp into the trained range)
+                vmins, vmaxs = np.load(self._sq_bounds_path(library_id))
+                changed = self.chunks(library_id).filter(F.col("id").isin(ids))
+                fresh = sq_mod.encode_with_bounds(changed, vmins, vmaxs)
                 idx = self.spark.read.parquet(path)
                 merged = (
                     idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
@@ -396,6 +423,33 @@ class VectorEngine:
             scored = pq_mod.pq_search(index, np.asarray(query_embedding, dtype=np.float64), k=k)
             # cosine -> euclidean on unit vectors: d = sqrt(2 - 2cos),
             # keeping the service result schema (id, similarity, distance)
+            return self._apply_threshold(
+                scored.withColumn(
+                    "distance",
+                    F.sqrt(
+                        F.greatest(F.lit(2.0) - 2.0 * F.col("similarity"), F.lit(0.0))
+                    ),
+                ),
+                similarity_threshold,
+            )
+        if kind == "sq8":
+            from vector_database_api_spark.operators.filters import (
+                apply_metadata_filters,
+            )
+
+            vmins, vmaxs = np.load(self._sq_bounds_path(library_id))
+            codes_df = self.spark.read.parquet(path)
+            if metadata_filters:
+                filtered_ids = apply_metadata_filters(
+                    chunks, metadata_filters
+                ).select("id")
+                codes_df = codes_df.join(filtered_ids, "id", "left_semi")
+            sq_index = sq_mod.SQIndex(
+                vmins=vmins, vmaxs=vmaxs, codes_df=codes_df, dim=len(vmins)
+            )
+            scored = sq_mod.sq_search(
+                sq_index, np.asarray(query_embedding, dtype=np.float64), k=k
+            )
             return self._apply_threshold(
                 scored.withColumn(
                     "distance",
