@@ -92,6 +92,8 @@ HEADLINE = [
     "zorder_addresses",
     "boilerplate_ngrams",
     "boilerplate_doc_fraction",
+    "quality_classifier_score",
+    "sequence_packing_bins",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

@@ -4819,6 +4819,99 @@ def zorder_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_sql(engine: str) -> str:
+    """Model-based quality classifier (the CCNet/GPT-3 fasttext-filter
+    stage, here a fixed linear model over the engine's text features):
+    z = w·f, squashed by the ALGEBRAIC sigmoid 0.5 + 0.5*z/(1+|z|) —
+    exp() is not correctly-rounded identically across JVM and DuckDB
+    libm builds, while +,*,/,abs are IEEE-exact, so the algebraic form
+    keeps the score hash-matchable bit for bit."""
+    if engine == "spark":
+        n_tok = text_fns.spark_token_count("text")
+        qual = text_fns.spark_quality_score("text")
+        lang = text_fns.spark_lang_id("text")
+        table = "documents_cls"
+    else:
+        n_tok = text_fns.duck_token_count("text")
+        qual = text_fns.duck_quality_score("text")
+        lang = text_fns.duck_lang_id("text")
+        table = "documents"
+    z = (
+        f"(-1.5 + 0.003 * CAST({n_tok} AS DOUBLE) + 2.0 * {qual}"
+        f" + 0.5 * (CASE WHEN {lang} = 'en' THEN 1.0 ELSE 0.0 END))"
+    )
+    return f"""
+    SELECT doc_id,
+           round({z}, 6) AS z,
+           round(0.5 + 0.5 * {z} / (1.0 + abs({z})), 6) AS score,
+           ({z} >= 0.0) AS keep
+    FROM {table} WHERE doc_id < 400
+    """
+
+
+@register("quality_classifier_score", _classifier_sql("duck"))
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed linear classifier over the
+    JVM text features (token count, heuristic quality, language
+    indicator) squashed to a score in (0,1) — the curation stage where a
+    trained quality model (fasttext/logreg) gates documents.  The
+    weights stand in for a trained model; the FEATURE PLUMBING and the
+    scan-speed scoring expression are the engine surface, and the whole
+    expression is bit-exact vs DuckDB (algebraic sigmoid, no exp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_cls")
+    return spark.sql(_classifier_sql("spark"))
+
+
+@register(
+    "sequence_packing_bins",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             {text_fns.duck_token_count("text")} AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok) / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: concatenate each source's
+    documents in doc_id order and cut the stream into 2048-token bins
+    (a document's bin = its start offset / budget — the concat-then-
+    chunk packing GPT-style pipelines use).  One running-sum window per
+    source (a single sort within the source partition) then a per-bin
+    rollup; integer token counts keep both engines exact."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(text_fns.spark_token_count("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
 # Corpus-level boilerplate n-grams — the RefinedWeb/C4 curation signal:
 # word 3-grams shared by many documents mark templated/boilerplate text.
 # Both queries reuse the staged shingle artifact (_cached_word_shingles)
