@@ -94,6 +94,7 @@ HEADLINE = [
     "boilerplate_doc_fraction",
     "quality_classifier_score",
     "sequence_packing_bins",
+    "window_dedup_rebuild",
     "pq_adc_fixed_codebook",
     "ivfpq_fixed_probe_adc",
     "ivfpq_search_topk",

@@ -4819,6 +4819,66 @@ def zorder_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_dedup_rebuild",
+    f"""
+    WITH w AS ({chunking_mod.duck_chunk_documents_sql(chunk_size=60, overlap=0)}),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_text, n_chunk_chars,
+             row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM w WHERE n_chunk_chars > 0
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN rn = 1 THEN n_chunk_chars ELSE 0 END) AS clean_len,
+           md5(coalesce(string_agg(
+             CASE WHEN rn = 1 THEN chunk_text END, '' ORDER BY chunk_idx
+           ), '')) AS clean_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def window_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup with reconstruction (the Falcon/
+    RefinedWeb exact-span stage): cut every document into non-overlapping
+    60-char windows, keep only the globally FIRST occurrence of each
+    window text ((doc_id, idx) order), and rebuild each document from
+    its surviving windows in position order.  Shapes: one fan-out
+    (chunking, zero shuffle), one ranking shuffle keyed on window text,
+    one per-doc rollup.  Returns per-doc window/keep counts plus the
+    md5 of the rebuilt text (compact, hash-checkable proof of the
+    reconstruction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = chunking_mod.chunk_documents(
+        docs, chunk_size=60, overlap=0
+    ).filter(F.col("n_chunk_chars") > 0)
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    )
+    r = wins.withColumn("rn", rn)
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("n_chunk_chars")).otherwise(0)
+        ).alias("clean_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+                "",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
 def _classifier_sql(engine: str) -> str:
     """Model-based quality classifier (the CCNet/GPT-3 fasttext-filter
     stage, here a fixed linear model over the engine's text features):
