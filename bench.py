@@ -121,6 +121,7 @@ HEADLINE = [
     "minmax_by_profile",
     "map_functions_profile",
     "multimodal_image_stats",
+    "multimodal_audio_features",
     "stat_aggregates_profile",
     "events_variant_profile",
     "bitmap_distinct_users",

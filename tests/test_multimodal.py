@@ -125,3 +125,57 @@ def test_raw_gray_feature_pipeline(spark, sf_dir):
     assert got["h"] == img.shape[0] and got["w"] == img.shape[1]
     assert got["mean_px"] == pytest.approx(float(small.mean()))
     assert got["std_px"] == pytest.approx(float(small.std()))
+
+
+def test_raw_pcm16_roundtrip():
+    import numpy as np
+
+    from vector_database_api_spark.operators.multimodal import (
+        decode_raw_pcm16,
+        encode_raw_pcm16,
+    )
+
+    s = np.array([0, -32768, 32767, 256, -97], dtype=np.int16)
+    sr, back = decode_raw_pcm16(encode_raw_pcm16(16000, s))
+    assert sr == 16000 and np.array_equal(back, s)
+
+
+def test_raw_pcm16_truncation_raises():
+    import numpy as np
+    import pytest
+
+    from vector_database_api_spark.operators.multimodal import (
+        decode_raw_pcm16,
+        encode_raw_pcm16,
+    )
+
+    blob = encode_raw_pcm16(8000, np.array([1, 2, 3], dtype=np.int16))
+    with pytest.raises(ValueError, match="sample bytes"):
+        decode_raw_pcm16(blob[:-1])
+    with pytest.raises(ValueError, match="header"):
+        decode_raw_pcm16(b"\x00")
+
+
+def test_raw_pcm_features_hand_computed(spark):
+    """Known 4-sample signal: rms, peak, and zero crossings by hand."""
+    import math
+
+    import numpy as np
+
+    from vector_database_api_spark.operators.multimodal import (
+        encode_raw_pcm16,
+        raw_pcm_features,
+    )
+
+    s = np.array([256, -256, 512, 0], dtype=np.int16)  # 3 sign flips: + - + +(0 is >=0)
+    media = spark.createDataFrame(
+        [("a", "audio", bytearray(encode_raw_pcm16(8000, s)), {})],
+        "id string, modality string, content binary, meta map<string,string>",
+    )
+    row = raw_pcm_features(media).collect()[0]
+    assert row["sample_rate"] == 8000 and row["n_samples"] == 4
+    assert row["duration_ms"] == 4 * 1000.0 / 8000
+    assert row["peak"] == 512
+    assert row["n_zero_cross"] == 2  # + -> - -> + -> + (0 counts as >= 0)
+    want_rms = math.sqrt((256**2 + 256**2 + 512**2 + 0) / 4)
+    assert abs(row["rms"] - want_rms) < 1e-12

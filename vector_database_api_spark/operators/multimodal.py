@@ -233,3 +233,108 @@ def raw_gray_features(
             )
 
     return media.mapInPandas(run, RAW_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RAW-PCM16: the audio twin of RAW-GRAY — a fully-specified in-repo format
+# so audio decode + feature extraction are REAL code (header parse + numpy
+# int16 arithmetic), not stubs.  Only external codecs (WAV/MP3/FLAC) stay
+# behind a seam.
+#
+#   content = uint16_be sample_rate | uint16_be n_samples
+#           | n_samples * int16_be PCM samples
+# ---------------------------------------------------------------------------
+
+RAW_PCM_HEADER = 4
+
+
+def encode_raw_pcm16(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Serialize int16 PCM samples into the RAW-PCM16 byte format."""
+    import struct
+
+    s = np.asarray(samples, dtype=">i2")
+    return struct.pack(">HH", sample_rate, len(s)) + s.tobytes()
+
+
+def decode_raw_pcm16(content: bytes) -> tuple[int, np.ndarray]:
+    """Parse RAW-PCM16 bytes back to (sample_rate, int16 array).
+    Truncated payloads raise — corrupt rows fail loudly."""
+    import struct
+
+    if len(content) < RAW_PCM_HEADER:
+        raise ValueError("RAW-PCM16: missing header")
+    sr, n = struct.unpack(">HH", content[:RAW_PCM_HEADER])
+    body = content[RAW_PCM_HEADER:]
+    if len(body) != 2 * n:
+        raise ValueError(f"RAW-PCM16: expected {2 * n} sample bytes, got {len(body)}")
+    return sr, np.frombuffer(body, dtype=">i2").astype(np.int16)
+
+
+def media_raw_pcm16_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic RAW-PCM16 media table from the driver documents:
+    sample i is (byte[i mod L] - 97) * 256 of the UTF-8 text (ASCII
+    corpus, so characters == bytes), sample rate derived from doc_id —
+    every byte reproducible from the parquet inputs, which is what lets
+    the DuckDB oracle replay decode + features symbolically."""
+    from pyspark.sql.types import BinaryType
+
+    @F.udf(BinaryType())
+    def to_raw_pcm(doc_id: int, text: str) -> bytes:
+        sr = 8000 + int(doc_id) % 8 * 1000
+        b = text.encode("utf-8")
+        n = min(len(b), 512)
+        idx = np.arange(n) % max(len(b), 1)
+        samples = (
+            np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int32) - 97
+        ) * 256
+        return encode_raw_pcm16(sr, samples.astype(np.int16))
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("audio").alias("modality"),
+        to_raw_pcm("doc_id", "text").alias("content"),
+        F.create_map(F.lit("format"), F.lit("raw-pcm16")).alias("meta"),
+    )
+
+
+PCM_FEATURE_SCHEMA = (
+    "id string, sample_rate int, n_samples int, duration_ms double, "
+    "rms double, peak int, n_zero_cross bigint"
+)
+
+
+def raw_pcm_features(media: DataFrame) -> DataFrame:
+    """decode -> audio features, one Arrow batch at a time (mapInPandas,
+    zero shuffle): duration, RMS energy, peak amplitude, zero-crossing
+    count — the standard first-pass audio screen (silence/clipping/
+    energy filters) with the real RAW-PCM16 codec.
+
+    Exactness (mirrors _RAW_GRAY_ORACLE's argument): samples and their
+    squares are integers whose sums stay far below 2^53, so float64
+    accumulation is exact in any order; rms = sqrt(sum(s^2)/n) and
+    duration = n*1000/sr are evaluated in the same operation order as
+    the DuckDB oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                sr, s = decode_raw_pcm16(bytes(content))
+                x = s.astype(np.float64)
+                n = len(s)
+                rms = float(np.sqrt(np.sum(x * x) / n)) if n else 0.0
+                peak = int(np.max(np.abs(x))) if n else 0
+                nonneg = x >= 0
+                zc = int(np.sum(nonneg[1:] != nonneg[:-1])) if n > 1 else 0
+                rows.append(
+                    (rid, sr, n, n * 1000.0 / sr, rms, peak, zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "peak", "n_zero_cross",
+                ],
+            )
+
+    return media.mapInPandas(run, PCM_FEATURE_SCHEMA)

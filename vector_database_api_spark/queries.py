@@ -3977,6 +3977,59 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_gray_features(media_raw_gray_from_documents(docs))
 
 
+# RAW-PCM16 audio twin of the RAW-GRAY pipeline: samples are a pure
+# function of the text bytes ((byte - 97) * 256, cyclic index), so DuckDB
+# replays decode + features symbolically.  Integer samples/squares sum far
+# below 2^53 => float64 accumulation exact in any order; rms/duration use
+# the same operation order on both engines.
+_RAW_PCM_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text,
+         8000 + doc_id % 8 * 1000 AS sr,
+         least(length(text), 512) AS n
+  FROM documents WHERE length(text) > 0
+),
+smp AS (
+  SELECT doc_id, sr, n, i,
+         (ascii(substr(text, CAST(i AS BIGINT) + 1, 1)) - 97) * 256 AS s,
+         CASE WHEN i > 0 THEN
+           (ascii(substr(text, CAST(i AS BIGINT), 1)) - 97) * 256
+         END AS sp
+  FROM src CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+  WHERE i < n
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(n AS INTEGER) AS n_samples,
+       n * 1000.0 / sr AS duration_ms,
+       sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) AS rms,
+       CAST(max(abs(s)) AS INTEGER) AS peak,
+       sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                THEN 1 ELSE 0 END) AS n_zero_cross
+FROM smp GROUP BY doc_id, sr, n
+"""
+
+
+@register("multimodal_audio_features", _RAW_PCM_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-PCM16 audio pipeline: documents -> encoded binary audio ->
+    decode -> duration/RMS/peak/zero-crossing features in one mapInPandas
+    stage (operators/multimodal.py::raw_pcm_features) — the standard
+    first-pass audio screen (silence/clipping/energy), with the real
+    RAW-PCM16 codec and the whole pipeline hash-checked: the oracle
+    recomputes every sample from the text bytes and re-derives the
+    features with identical operation order."""
+    from vector_database_api_spark.operators.multimodal import (
+        media_raw_pcm16_from_documents,
+        raw_pcm_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    return raw_pcm_features(media_raw_pcm16_from_documents(docs))
+
+
 # ---------------------------------------------------------------------------
 # Modern-engine surface: statistical aggregates, VARIANT semi-structured
 # path, exact/approximate distinct sketches, recursive CTE gap-filling,
