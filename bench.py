@@ -122,6 +122,7 @@ HEADLINE = [
     "map_functions_profile",
     "multimodal_image_stats",
     "multimodal_audio_features",
+    "multimodal_video_frame_pool",
     "stat_aggregates_profile",
     "events_variant_profile",
     "bitmap_distinct_users",

@@ -338,3 +338,40 @@ def raw_pcm_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, PCM_FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = (
+    "id string, frame_idx int, n_bytes int, sum_bytes bigint, mean_byte double"
+)
+
+
+def frame_byte_features(frames: DataFrame) -> DataFrame:
+    """Per-frame byte statistics for sampled frames (mapInPandas, zero
+    shuffle): byte count, exact integer byte sum, and mean.  Downstream
+    pooling stays JVM-side (groupBy over these scalars); the corpus-wide
+    mean is re-derived from the exact sums so cross-engine float
+    aggregation order cannot matter."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, idx, frame in zip(
+                pdf["id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                b = np.frombuffer(bytes(frame), dtype=np.uint8)
+                total = int(b.sum())
+                rows.append(
+                    (
+                        rid,
+                        int(idx),
+                        len(b),
+                        total,
+                        total / len(b) if len(b) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame_idx", "n_bytes", "sum_bytes", "mean_byte"],
+            )
+
+    return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)

@@ -4030,6 +4030,67 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_pcm_features(media_raw_pcm16_from_documents(docs))
 
 
+# Video pooling over sampled frames (the multimodal 1-to-N-to-1 shape):
+# frames are fixed-stride 1024-byte windows (operators/multimodal.py::
+# sample_frames), per-frame byte stats are exact integer sums, and the
+# pooled mean is re-derived from those sums — no float sum whose
+# cross-engine accumulation order could flip a bit.  min/max of the
+# per-frame means are order-independent.
+_VIDEO_POOL_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text, length(text) AS L,
+         least(8, greatest(length(text) // 1024, 1)) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, j,
+         least((j + 1) * 1024, L) - j * 1024 AS n_bytes,
+         (SELECT sum(ascii(substr(text, CAST(k AS BIGINT) + 1, 1)))
+          FROM range(0, 1024) t(k)
+          WHERE k >= j * 1024 AND k < least((j + 1) * 1024, L)) AS sum_b
+  FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+  WHERE j < n_frames
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       count(*) AS n_frames,
+       sum(n_bytes) AS total_bytes,
+       sum(sum_b) * 1.0 / sum(n_bytes) AS mean_byte_all,
+       min(sum_b * 1.0 / n_bytes) AS min_frame_mean,
+       max(sum_b * 1.0 / n_bytes) AS max_frame_mean
+FROM fr GROUP BY doc_id
+"""
+
+
+@register("multimodal_video_frame_pool", _VIDEO_POOL_ORACLE)
+def multimodal_video_frame_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end: media table -> frame sampling (1-to-N
+    mapInPandas expansion) -> per-frame byte features -> JVM pooled
+    per-video aggregate (N-to-1).  The pooled mean divides the exact
+    integer byte sums (one float division, identical operands on both
+    engines); min/max frame means are order-independent — see
+    _VIDEO_POOL_ORACLE.  This is the pool-over-frames contract a real
+    video-embedding pipeline uses (decode plugs in at the frame seam)."""
+    from vector_database_api_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.media_from_documents(docs))
+    feats = mm.frame_byte_features(frames)
+    sum_b = F.sum("sum_bytes")
+    sum_n = F.sum("n_bytes")
+    fmean = F.col("sum_bytes") * F.lit(1.0) / F.col("n_bytes")
+    return (
+        feats.withColumn("fmean", fmean)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            sum_n.alias("total_bytes"),
+            (sum_b * F.lit(1.0) / sum_n).alias("mean_byte_all"),
+            F.min("fmean").alias("min_frame_mean"),
+            F.max("fmean").alias("max_frame_mean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Modern-engine surface: statistical aggregates, VARIANT semi-structured
 # path, exact/approximate distinct sketches, recursive CTE gap-filling,
