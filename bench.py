@@ -142,6 +142,8 @@ HEADLINE = [
     "pii_redaction",
     "benchmark_contamination",
     "mixture_sample",
+    "dataset_split_assignment",
+    "embedding_norm_outliers",
 ]
 
 

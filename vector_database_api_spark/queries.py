@@ -22,6 +22,7 @@ from vector_database_api_spark.functions.oracle import (
     duck_cosine,
     duck_dot,
     duck_euclidean,
+    duck_norm2,
 )
 from vector_database_api_spark.functions.vector import (
     cosine_similarity,
@@ -1520,6 +1521,82 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", kept.alias("kept"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
+    )
+
+
+@register(
+    "dataset_split_assignment",
+    f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN {text_fns.duck_hash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                  WHEN {text_fns.duck_hash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content hash —
+    the assignment every training pipeline needs to be a pure function
+    of the row (stable under retries, re-partitioning, and incremental
+    re-runs; a doc NEVER migrates between splits as the corpus grows,
+    unlike rand() or row-number splits).  Same hash60 primitive as
+    mixture_sample; per-source split counts verify the stratification."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(text_fns.spark_hash60("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    f"""
+    WITH norms AS (
+      SELECT vec_id, sqrt({duck_norm2("embedding")}) AS nrm
+      FROM embeddings
+    ),
+    bounds AS (
+      SELECT quantile_cont(nrm, 0.01) AS lo, quantile_cont(nrm, 0.99) AS hi
+      FROM norms
+    )
+    SELECT n.vec_id, n.nrm,
+           (n.nrm < b.lo OR n.nrm > b.hi) AS is_outlier
+    FROM norms n CROSS JOIN bounds b
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality screen: flag vectors whose L2 norm falls outside
+    the corpus [p1, p99] band — the cheap first-pass detector for
+    corrupt/degenerate vectors before they poison ANN indexes or
+    near-dup thresholds.  Spark ``percentile`` is exact interpolated
+    quantile_cont (bit-equal to DuckDB, as pinned by
+    acctbal_percentiles); bounds are one tiny aggregation broadcast over
+    the scan."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    norms = embs.select(
+        "vec_id", F.sqrt(vec_norm2("embedding")).alias("nrm")
+    )
+    bounds = norms.agg(
+        F.expr("percentile(nrm, 0.01)").alias("lo"),
+        F.expr("percentile(nrm, 0.99)").alias("hi"),
+    )
+    return norms.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        "nrm",
+        ((F.col("nrm") < F.col("lo")) | (F.col("nrm") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
     )
 
 
