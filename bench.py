@@ -144,6 +144,7 @@ HEADLINE = [
     "mixture_sample",
     "dataset_split_assignment",
     "embedding_norm_outliers",
+    "curation_pipeline_summary",
 ]
 
 

@@ -164,6 +164,29 @@ def main() -> None:
 
     results["pq_refine_search_sec"], _ = timed(pq_refine)
 
+    sq_holder = {}
+
+    def sq_build():
+        from vector_database_api_spark.operators import sq as SQ
+
+        index = SQ.build_sq(embs, id_col="vec_id")
+        index.codes_df = index.codes_df.persist()
+        index.codes_df.count()
+        sq_holder["index"] = index
+        return None
+
+    results["sq8_build_sec"], _ = timed(sq_build)
+
+    def sq_search():
+        from vector_database_api_spark.operators import sq as SQ
+
+        return SQ.sq_search(
+            sq_holder["index"], np.asarray(qvec, dtype=np.float64), k=10
+        ).count()
+
+    results["sq8_adc_search_sec"], _ = timed(sq_search)
+    sq_holder["index"].codes_df.unpersist()
+
     def exact_dedup():
         return D.exact_dedup(docs).count()
 

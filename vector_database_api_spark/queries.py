@@ -1600,6 +1600,106 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_Z_DUCK = (
+    f"(-1.5 + 0.003 * CAST({text_fns.duck_token_count('text')} AS DOUBLE)"
+    f" + 2.0 * {text_fns.duck_quality_score('text')}"
+    f" + 0.5 * (CASE WHEN {text_fns.duck_lang_id('text')} = 'en'"
+    f" THEN 1.0 ELSE 0.0 END))"
+)
+_CURATION_Z_SPARK = (
+    f"(-1.5 + 0.003 * CAST({text_fns.spark_token_count('text')} AS DOUBLE)"
+    f" + 2.0 * {text_fns.spark_quality_score('text')}"
+    f" + 0.5 * (CASE WHEN {text_fns.spark_lang_id('text')} = 'en'"
+    f" THEN 1.0 ELSE 0.0 END))"
+)
+
+
+@register(
+    "curation_pipeline_summary",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {text_fns.duck_token_count("text")} AS n_tok,
+             {_CURATION_Z_DUCK} AS z,
+             {text_fns.duck_fingerprint("text")} AS fp
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE z >= 0.0),
+    canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp),
+    survivors AS (
+      SELECT k.doc_id, k.source, k.n_tok FROM kept k
+      JOIN canon c ON k.doc_id = c.keep_id
+    ),
+    assigned AS (
+      SELECT source, n_tok,
+             CASE WHEN {text_fns.duck_hash60("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                  WHEN {text_fns.duck_hash60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM survivors
+    )
+    SELECT source, split, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM assigned GROUP BY source, split
+    """,
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as ONE Catalyst plan: model-based
+    quality gate (quality_classifier_score's z >= 0) -> near-exact dedup
+    keep-first by token fingerprint -> deterministic hash split ->
+    per-(source, split) corpus stats.  One scan computes every signal;
+    the only shuffles are the fingerprint canonical-min aggregation (+
+    its back-join) and the final rollup — the shape a production corpus
+    build runs nightly, end-to-end hash-checked against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    # stage n_tok once, then derive z from the staged column — the token
+    # regexp is the most expensive signal; same values, one fewer pass
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(text_fns.spark_token_count("text")).alias("n_tok"),
+        F.expr(text_fns.spark_quality_score("text")).alias("_q"),
+        F.expr(text_fns.spark_lang_id("text")).alias("_lang"),
+        F.expr(text_fns.spark_fingerprint("text")).alias("fp"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "fp",
+        (
+            F.lit(-1.5)
+            + F.lit(0.003) * F.col("n_tok").cast("double")
+            + F.lit(2.0) * F.col("_q")
+            + F.lit(0.5)
+            * F.when(F.col("_lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("z"),
+    )
+    kept = scored.filter(F.col("z") >= 0.0)
+    # keep-first as ONE ranking pass: the groupBy-min + back-join form
+    # evaluates the whole signal scan twice (once per join branch); the
+    # window computes the same survivor set in a single pass
+    survivors = (
+        kept.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    bucket = F.expr(text_fns.spark_hash60("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        survivors.select("source", "n_tok", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 @register(
     "dedup_keep_first",
     """
