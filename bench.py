@@ -44,6 +44,7 @@ HEADLINE = [
     "events_hourly_window",
     "events_json_extract",
     "asof_click_before_error",
+    "asof_next_click_after_error",
     "range_join_close_events",
     "session_windows",
     "rollup_revenue",

@@ -43,3 +43,44 @@ def test_range_join_within_gap(spark):
     got = {(r["id_a"], r["id_b"]) for r in out}
     # within 10 min, same user, id_a < id_b
     assert got == {(100, 101), (101, 102), (101, 103), (102, 103), (200, 201)}
+
+
+def test_as_of_join_forward_matches_brute_force(spark):
+    """Forward as-of == per-left-row min over right rows with
+    right.ts >= left.ts, inclusive ties."""
+    import pandas as pd
+
+    from vector_database_api_spark.operators.joins import as_of_join_forward
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 12:00",
+                     "2024-01-01 09:00", "2024-01-01 09:00"]
+                ),
+                "event_id": [10, 11, 20, 30],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pd.to_datetime(
+                    # 100 ties user1's first left row exactly (inclusive);
+                    # user 2's click is BEFORE its error (no match);
+                    # user 3 has no right rows at all
+                    ["2024-01-01 10:00", "2024-01-01 13:00",
+                     "2024-01-01 08:00"]
+                ),
+                "event_id": [100, 101, 200],
+            }
+        )
+    )
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in as_of_join_forward(left, right, on="user_id").collect()
+    }
+    assert got == {10: 100, 11: 101, 20: None, 30: None}

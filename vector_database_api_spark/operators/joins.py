@@ -79,6 +79,93 @@ def as_of_join(
     )
 
 
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    left_id_col: str = "event_id",
+    right_id_col: str = "event_id",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with the
+    same key and ``right.ts >= left.ts`` (ties: the right row matches —
+    >= semantics).  The mirror of :func:`as_of_join`: left rows sort
+    BEFORE right rows at equal timestamps, and a
+    ``first(ignorenulls)`` over the FOLLOWING frame carries the next
+    right value backward.  Same single-shuffle O(n log n)-per-key cost."""
+    right_value_cols = right_value_cols or [right_id_col]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(right_id_col).alias("_oid"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(left_id_col).alias("_oid"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+            for c in right_value_cols
+        ],
+    )
+    unioned = r.unionByName(l)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_oid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        F.col(on),
+        "_ts",
+        "_side",
+        "_oid",
+        *[
+            F.first(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(
+                f"asof_{c}"
+            )
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        F.col(on),
+        F.col("_oid").alias(left_id_col),
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def duck_as_of_join_forward_sql(
+    left_filter: str,
+    right_filter: str,
+    on: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB mirror of :func:`as_of_join_forward` — identical union +
+    FOLLOWING-frame window construction, so results match exactly."""
+    return f"""
+    WITH r AS (SELECT {on}, {ts} AS _ts, 1 AS _side, {id_col} AS _oid,
+                      {id_col} AS _rv FROM {table} WHERE {right_filter}),
+    l AS (SELECT {on}, {ts} AS _ts, 0 AS _side, {id_col} AS _oid,
+                 CAST(NULL AS BIGINT) AS _rv FROM {table} WHERE {left_filter}),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+    w AS (SELECT {on}, _ts, _side, _oid,
+                 first_value(_rv IGNORE NULLS) OVER (
+                   PARTITION BY {on} ORDER BY _ts, _side, _oid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                 ) AS asof_{id_col}
+          FROM u)
+    SELECT {on}, _oid AS {id_col}, _ts AS {ts}, asof_{id_col}
+    FROM w WHERE _side = 0
+    """
+
+
 def duck_as_of_join_sql(
     left_filter: str,
     right_filter: str,

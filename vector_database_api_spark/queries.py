@@ -1103,6 +1103,26 @@ def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_click_after_error",
+    joins_mod.duck_as_of_join_forward_sql(
+        left_filter="event_type = 'error'",
+        right_filter="event_type = 'click'",
+    ),
+)
+def asof_next_click_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every error event, the user's next click
+    at or after it (operators/joins.py::as_of_join_forward) — the
+    mirror direction kdb/TimescaleDB expose, same union + FOLLOWING-frame
+    window shape, one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return joins_mod.as_of_join_forward(
+        events.filter(F.col("event_type") == "error"),
+        events.filter(F.col("event_type") == "click"),
+        on="user_id",
+    )
+
+
+@register(
     "range_join_close_events",
     """
     SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
