@@ -1,0 +1,97 @@
+"""Misra-Gries heavy hitters — bounded-state frequent items at scale.
+
+Exact frequent-item queries (word_count, boilerplate_ngrams) shuffle one
+row per distinct key; at 100 TB with billions of distinct tokens that
+exchange dominates.  The Misra-Gries summary (Misra & Gries 1982; the
+"frequent" sketch in Apache DataSketches) keeps at most ``k`` counters
+per partition and guarantees every item with true frequency > n/k
+survives, with per-item undercount ≤ n/k.
+
+Spark-first shape — two-level, like every mergeable sketch here:
+
+1. **Per-partition summaries** via ``mapInPandas``: one MG pass per
+   Arrow batch stream, emitting ≤ k (item, count, batch_n) rows per
+   partition — state is O(k) regardless of partition size.
+2. **Merge** = groupBy(item).sum(count) over the ≤ k·partitions summary
+   rows (tiny), minus the standard merged-error correction: summing
+   per-partition MG counts keeps the guarantee because each partition's
+   undercount is ≤ n_p/k and errors add to ≤ n/k.
+
+The result depends on partition layout and intra-partition order (like
+any MG deployment), so it is NOT oracle-hashable — its guarantees are
+pinned by tests/test_frequency.py instead: superset-of-true-heavy-
+hitters, undercount bound, and exactness when distinct items ≤ k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MG_SCHEMA = "item string, est bigint, part_n bigint"
+
+
+def _mg_pass(values: Iterator[str], k: int) -> tuple[dict[str, int], int]:
+    """One sequential Misra-Gries pass: ≤ k counters, decrement-all on
+    overflow.  Returns (counters, n_processed)."""
+    counters: dict[str, int] = {}
+    n = 0
+    for v in values:
+        n += 1
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters, n
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """(item, est, k) for the Misra-Gries heavy-hitter candidates of
+    ``df[col]``: per-partition O(k) summaries merged by a tiny
+    aggregation.  Guarantees (tested): any item with true count > n/k is
+    present (if it were below the local threshold n_p/k in EVERY
+    partition, summing would put it below n/k globally — contradiction),
+    and ``est`` ≤ true count ≤ est + n/k."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            part, added = _mg_pass(iter(pdf[col].astype(str)), k)
+            # fold this batch's counters into the partition's (MG merge:
+            # add counts, then decrement by the (k+1)-largest if over k)
+            for item, c in part.items():
+                counters[item] = counters.get(item, 0) + c
+            n += added
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {
+                "item": list(counters),
+                "est": list(counters.values()),
+                "part_n": [n] * len(counters),
+            }
+        )
+
+    summaries = df.select(F.col(col).alias(col)).mapInPandas(
+        summarize, MG_SCHEMA
+    )
+    return (
+        summaries.groupBy("item")
+        .agg(F.sum("est").alias("est"))
+        .withColumn("k", F.lit(k))
+    )
