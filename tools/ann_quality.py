@@ -55,9 +55,14 @@ def main() -> None:
     pq_index_t = pq_mod.build_pq(embs, m=32, k=16, seed=42)
     pq_index_t.codes_df = pq_index_t.codes_df.persist()
     pq_index_t.codes_df.count()
+    from vector_database_api_spark.operators import sq as sq_mod
+
+    sq_index = sq_mod.build_sq(embs)
+    sq_index.codes_df = sq_index.codes_df.persist()
+    sq_index.codes_df.count()
 
     queries = embs.limit(n_queries).collect()
-    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = pq_r_hits = total = 0
+    lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = pq_r_hits = sq_hits = total = 0
     for row in queries:
         qvec = np.asarray(row["embedding"], dtype=np.float64)
         qdf = spark.createDataFrame(
@@ -102,6 +107,9 @@ def main() -> None:
                 pq_index, embs, qvec, k=k, refine=10
             ).collect()
         }
+        sq_res = {
+            r["id"] for r in sq_mod.sq_search(sq_index, qvec, k=k).collect()
+        }
         lsh_hits += len(truth & lsh_res)
         ivf_hits += len(truth & ivf_res)
         lsh_t_hits += len(truth & lsh_t_res)
@@ -109,6 +117,7 @@ def main() -> None:
         pq_hits += len(truth & pq_res)
         pq_t_hits += len(truth & pq_t_res)
         pq_r_hits += len(truth & pq_r_res)
+        sq_hits += len(truth & sq_res)
         total += len(truth)
 
     print(
@@ -124,6 +133,7 @@ def main() -> None:
                 "pq_recall_m8_k16": round(pq_hits / total, 4),
                 "pq_recall_m32_k16": round(pq_t_hits / total, 4),
                 "pq_recall_m8_refine10": round(pq_r_hits / total, 4),
+                "sq8_recall": round(sq_hits / total, 4),
                 "lsh_tables": len(planes),
                 "ivf_nlist": ivf_index.nlist,
                 "ivf_nprobe": ivf_index.nprobe,
