@@ -534,3 +534,66 @@ def test_incremental_sq_equals_batch_encode(spark, tmp_path):
     }
     batch = {r["id"]: list(r["codes"]) for r in index.codes_df.collect()}
     assert streamed == batch
+
+
+def test_incremental_frequency_maintenance_guarantees(spark, tmp_path):
+    """Streaming Misra-Gries fold: after draining the stream, the stored
+    summary satisfies the MG guarantees over ALL folded batches (heavy
+    items survive, est <= true), and a restart with no new data leaves
+    the summary unchanged (batch_id skip makes the non-idempotent merge
+    safe)."""
+    import json
+    import pathlib
+
+    src = str(tmp_path / "freq_events")
+    rows1 = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(40)]
+    rows2 = [("a",)] * 60 + [("c",)] * 45 + [(f"y{i}",) for i in range(40)]
+    spark.createDataFrame(rows1, "event_type string").repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, "event_type string").repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    summary_dir = str(tmp_path / "freq_summary")
+    q = M.incremental_frequency_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        summary_dir,
+        str(tmp_path / "freq_ckpt"),
+        col="event_type",
+        k=8,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["item"]: r["est"]
+        for r in spark.read.parquet(summary_dir).collect()
+    }
+    true = {"a": 110, "b": 30, "c": 45}
+    n = 265
+    meta = json.loads(
+        pathlib.Path(summary_dir + "_meta.json").read_text()
+    )
+    assert meta["n"] == n
+    # heavy items (> n/k = 33.1) must survive; ests are lower bounds
+    assert "a" in got and "c" in got
+    for item, est in got.items():
+        assert est <= true.get(item, 40)
+    # restart on the fully-drained source: no new batches fold, summary
+    # unchanged (checkpoint + batch_id skip)
+    q2 = M.incremental_frequency_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        summary_dir,
+        str(tmp_path / "freq_ckpt"),
+        col="event_type",
+        k=8,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["item"]: r["est"]
+        for r in spark.read.parquet(summary_dir).collect()
+    }
+    assert got2 == got

@@ -379,3 +379,70 @@ def sketch_estimates(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .select("day", "event_type", "est_users")
     )
     return per_slice.unionByName(per_day)
+
+
+def incremental_frequency_maintenance(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    summary_dir: str,
+    checkpoint_dir: str,
+    col: str = "event_type",
+    k: int = 64,
+) -> StreamingQuery:
+    """Streaming Misra-Gries heavy hitters: each micro-batch reduces to a
+    ≤k-row frequency summary (operators/frequency.py) which is MERGED
+    into the stored summary — counter-add then the standard (k+1)-th-
+    largest decrement, preserving the est ≤ true ≤ est + n/k guarantee
+    over everything folded so far.
+
+    Unlike the HLL fold (idempotent union), MG merge DOUBLE-COUNTS a
+    replayed batch, so the processor records the last folded batch_id in
+    the summary metadata and skips batches it has already seen — the
+    standard foreachBatch exactly-once pattern for non-idempotent sinks.
+    """
+    import json as _json
+    from pathlib import Path
+
+    from vector_database_api_spark.operators.frequency import heavy_hitters
+
+    meta_path = Path(summary_dir + "_meta.json")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        meta = (
+            _json.loads(meta_path.read_text())
+            if meta_path.exists()
+            else {"n": 0, "k": k, "last_batch_id": -1}
+        )
+        if batch_id <= meta["last_batch_id"]:
+            return  # replayed batch: already folded, skip (non-idempotent merge)
+        batch_n = batch.count()
+        batch_summary = {
+            r["item"]: r["est"]
+            for r in heavy_hitters(batch, col, k=k).collect()
+        }
+        counters: dict[str, int] = {}
+        if Path(summary_dir).exists() and any(Path(summary_dir).glob("*.parquet")):
+            for r in batch.sparkSession.read.parquet(summary_dir).collect():
+                counters[r["item"]] = r["est"]
+        for item, c in batch_summary.items():
+            counters[item] = counters.get(item, 0) + c
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {i: c - cut for i, c in counters.items() if c - cut > 0}
+        out = batch.sparkSession.createDataFrame(
+            [(i, c) for i, c in counters.items()], "item string, est bigint"
+        )
+        out.write.mode("overwrite").parquet(summary_dir)
+        meta = {
+            "n": meta["n"] + batch_n,
+            "k": k,
+            "last_batch_id": batch_id,
+        }
+        meta_path.write_text(_json.dumps(meta))
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
