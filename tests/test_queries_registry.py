@@ -46,6 +46,17 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         return
     ddf = duck.sql(oracle).df()
     assert sorted(sdf.columns) == sorted(ddf.columns)
+    # dtype-family parity: DuckDB HUGEINT sums materialize as float64 in
+    # pandas while Spark stays int64 — the driver's value-hash tells
+    # ``500`` from ``500.0`` apart (round-2 failure class).  Integer
+    # widths are interchangeable; int-vs-float / int-vs-object are not.
+    for c in sdf.columns:
+        sk = sdf[c].dtype.kind.replace("u", "i")
+        dk = ddf[c].dtype.kind.replace("u", "i")
+        assert sk == dk, (
+            f"{name}.{c}: dtype family mismatch spark={sdf[c].dtype} "
+            f"duck={ddf[c].dtype} — CAST the oracle (driver hash fails on this)"
+        )
     assert len(sdf) == len(ddf)
     s, d = _norm(sdf), _norm(ddf)
     for c in s.columns:

@@ -46,6 +46,28 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_kind(dtype) -> str:
+    """Canonical dtype family for parity checks: integer widths are
+    interchangeable (repr is identical) but int-vs-float is NOT — DuckDB
+    HUGEINT sums materialize as float64 in pandas and the driver's
+    value-hash distinguishes ``500`` from ``500.0`` (round-2 failure
+    class).  'u' folds into 'i'."""
+    k = dtype.kind
+    return "i" if k == "u" else k
+
+
+def dtype_problems(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    out = []
+    for c in spark_df.columns:
+        sk, dk = dtype_kind(spark_df[c].dtype), dtype_kind(duck_df[c].dtype)
+        if sk != dk:
+            out.append(
+                f"dtype mismatch col {c}: spark={spark_df[c].dtype} "
+                f"duck={duck_df[c].dtype} (driver hash distinguishes these)"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -53,6 +75,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
             f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
         )
         return problems
+    problems.extend(dtype_problems(spark_df, duck_df))
     if len(spark_df) != len(duck_df):
         problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
         return problems

@@ -1519,7 +1519,7 @@ WITH decided AS (
               THEN 1 ELSE 0 END AS kept
   FROM documents
 )
-SELECT source, count(*) AS n_total, sum(kept) AS n_kept
+SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
 FROM decided GROUP BY source
 """
 
@@ -1659,7 +1659,8 @@ _CURATION_Z_SPARK = (
                   ELSE 'test' END AS split
       FROM survivors
     )
-    SELECT source, split, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM assigned GROUP BY source, split
     """,
 )
@@ -2067,7 +2068,8 @@ def custkeys_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
            round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
              AS avg_finished_price
     FROM orders GROUP BY o_orderpriority
@@ -3512,10 +3514,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -4201,8 +4203,8 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        n * 1000.0 / sr AS duration_ms,
        sqrt(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) AS rms,
        CAST(max(abs(s)) AS INTEGER) AS peak,
-       sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
-                THEN 1 ELSE 0 END) AS n_zero_cross
+       CAST(sum(CASE WHEN sp IS NOT NULL AND ((s >= 0) != (sp >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
 FROM smp GROUP BY doc_id, sr, n
 """
 
@@ -4250,7 +4252,7 @@ fr AS (
 )
 SELECT CAST(doc_id AS VARCHAR) AS id,
        count(*) AS n_frames,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        sum(sum_b) * 1.0 / sum(n_bytes) AS mean_byte_all,
        min(sum_b * 1.0 / n_bytes) AS min_frame_mean,
        max(sum_b * 1.0 / n_bytes) AS max_frame_mean
@@ -5143,8 +5145,9 @@ def zorder_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_windows,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN rn = 1 THEN n_chunk_chars ELSE 0 END) AS clean_len,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chunk_chars ELSE 0 END)
+                AS BIGINT) AS clean_len,
            md5(coalesce(string_agg(
              CASE WHEN rn = 1 THEN chunk_text END, '' ORDER BY chunk_idx
            ), '')) AS clean_md5
@@ -5250,7 +5253,8 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) - n_tok) / 2048.0) AS BIGINT) AS bin
       FROM toks
     )
-    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM packed GROUP BY source, bin
     """,
 )
@@ -5480,11 +5484,11 @@ def document_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(nullif(l_quantity % 5, 0)) AS n_nonnull_mod,
            round(sum(l_extendedprice / nullif(CAST(l_quantity AS DOUBLE) - 25.0, 0.0)), 2)
              AS safe_div_sum,
-           sum(CASE WHEN nullif(l_quantity % 5, 0)
+           CAST(sum(CASE WHEN nullif(l_quantity % 5, 0)
                          IS NOT DISTINCT FROM nullif(l_linenumber % 5, 0)
-                    THEN 1 ELSE 0 END) AS null_safe_matches,
-           sum(CASE WHEN l_orderkey % 10000 = 7 AND l_orderkey > 0
-                    THEN 1 ELSE 0 END) AS overflow_nulls
+                    THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_matches,
+           CAST(sum(CASE WHEN l_orderkey % 10000 = 7 AND l_orderkey > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overflow_nulls
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -5689,9 +5693,10 @@ def regression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
