@@ -150,7 +150,9 @@ HEADLINE = [
 
 
 def run_once(spark, sf_dir: str, name: str) -> float:
-    fn = q.spark_queries()[name]
+    # demo tier = self-training ANN twins: benched for round-over-round
+    # comparability, excluded from the driver-sampled registry
+    fn = {**q.spark_queries(), **q.demo_queries()}[name]
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
@@ -205,6 +207,19 @@ def main() -> None:
 
     # complete map for humans / logs — stderr, never stdout
     print("bench full timings: " + json.dumps(timings), file=sys.stderr)
+    # persist the full per-query map so future rounds can diff every
+    # query, not just the slowest-N that fit in the stdout line
+    full = {
+        "sf": sf,
+        "total_sec": round(sum(timings.values()), 4),
+        "queries": timings,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     line = json.dumps(bounded_payload(timings, sf))
     assert len(line) <= MAX_LINE_BYTES + 200, f"bench line too long: {len(line)}"
     print(line)

@@ -107,9 +107,28 @@ def test_bench_headline_is_registered():
     every oracle entry must have a Spark twin (the driver's contract)."""
     import bench
 
-    names = set(q.spark_queries())
+    names = set(q.spark_queries()) | set(q.demo_queries())
     assert set(bench.HEADLINE) <= names
-    assert set(q.oracle_queries()) <= names
+    assert set(q.oracle_queries()) <= set(q.spark_queries())
+    # the demo tier exists to keep the driver sample hash-checkable; it
+    # must stay limited to the self-training ANN twins whose frozen
+    # siblings carry the oracle
+    assert set(q.demo_queries()) == {
+        "ivf_search_topk",
+        "pq_search_topk",
+        "ivfpq_search_topk",
+        "pq_refined_search_topk",
+    }
+    assert not (set(q.demo_queries()) & set(q.spark_queries()))
+
+
+@pytest.mark.parametrize("name", ["ivf_search_topk", "pq_search_topk"])
+def test_demo_queries_run(spark, sf_dir, name):
+    """Demo-tier (self-training) queries still execute and return top-k
+    rows at sf0.001 — they are out of the driver registry, not out of
+    the product."""
+    out = q.demo_queries()[name](spark, sf_dir)
+    assert len(out.collect()) > 0
 
 
 def test_coverage_doc_names_every_query():

@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_database_api_spark.functions.vector import (
-    cosine_similarity,
+    dot_product,
     euclidean_distance,
+    norm2,
 )
 from vector_database_api_spark.operators.filters import (
     apply_metadata_filters,
@@ -63,10 +64,34 @@ def knn_brute_force(
     scoped = apply_metadata_filters(scoped, metadata_filters)
     scoped = scoped.filter(F.col(vec_col).isNotNull())
 
-    scored = scoped.crossJoin(F.broadcast(query.select(query_vec_col)))
-    sim = cosine_similarity(vec_col, query_vec_col).alias("similarity")
-    dist = euclidean_distance(vec_col, query_vec_col).alias("distance")
-    scored = scored.select(F.col(id_col), sim, dist)
+    # Stage the norms and dot once per row instead of inlining
+    # cosine_similarity()'s full expression: interpreted HOFs disable
+    # whole-stage codegen and the inline form re-evaluates norm2(vec)
+    # and norm2(query) in both the zero-guard and the denominator (and
+    # the query norm is a constant — it belongs on the 1-row broadcast
+    # side, computed once before the BroadcastExchange, not re-reduced
+    # per corpus row).  CollapseProject keeps the stage because _na2 and
+    # _qn2 are non-cheap and referenced twice.  Bit-identical values:
+    # same operations in the same order as cosine_similarity().
+    qdf = query.select(
+        F.col(query_vec_col), norm2(query_vec_col).alias("_qn2")
+    )
+    staged = scoped.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col),
+        F.col("_qn2"),
+        norm2(vec_col).alias("_na2"),
+        dot_product(vec_col, query_vec_col).alias("_dot"),
+        euclidean_distance(vec_col, query_vec_col).alias("distance"),
+    )
+    sim = (
+        F.when(
+            (F.col("_na2") == F.lit(0.0)) | (F.col("_qn2") == F.lit(0.0)),
+            F.lit(0.0),
+        )
+        .otherwise(F.col("_dot") / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_qn2"))))
+        .alias("similarity")
+    )
+    scored = staged.select(F.col(id_col), sim, F.col("distance"))
 
     if metric == "cosine":
         ordered = scored.orderBy(F.desc("similarity"), F.col(id_col))

@@ -63,6 +63,29 @@ def oracle_queries() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+# Demo tier: runnable + benched locally but NOT exported to the driver's
+# sampled registry.  These are the self-training ANN twins whose k-means /
+# codebook training happens inside Spark (seeded, deterministic, but not
+# SQL-expressible) — each has a frozen-artifact sibling in the main
+# registry that IS value-hash-checked against DuckDB
+# (ivf_probe_fixed_centroids / pq_adc_fixed_codebook /
+# ivfpq_fixed_probe_adc), so keeping the rows-only twins in the driver
+# sample would only dilute it with unavoidable `no_oracle` rows.
+_DEMO_REGISTRY: dict[str, SparkQuery] = {}
+
+
+def register_demo(name: str):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _DEMO_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def demo_queries() -> dict[str, SparkQuery]:
+    return dict(_DEMO_REGISTRY)
+
+
 # ---------------------------------------------------------------------------
 # Serving-path index cache.  The reference builds an index once per library
 # (POST /libraries/{id}/index) and then serves many searches against it
@@ -402,7 +425,7 @@ def lsh_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ivf_search_topk", None)
+@register_demo("ivf_search_topk")
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build IVF (seeded KMeans, nlist=100, nprobe=5) over the embeddings
     table and probe-search the top-10 neighbors of vec_id=9
@@ -2732,20 +2755,32 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join with a
-    non-equi residual (late shipment), then a small groupBy.  The semi
-    join keeps the orders side un-duplicated — no fan-out, one shuffle
-    on l_orderkey."""
+    """TPC-H Q4 shape: EXISTS(l_shipdate > o_orderdate + 60d) is
+    equivalent to max(l_shipdate) per order > o_orderdate + 60d, so the
+    semi join decorrelates to a pre-aggregation + equi join on a UNIQUE
+    key (no fan-out).  The pre-agg is map-side partial (lines-per-order
+    combine before the shuffle) and shrinks the lineitem side to one row
+    per order BEFORE the join, so AQE broadcasts the small filtered
+    orders window instead of the raw lineitem fact — the round-2 plan
+    broadcast all of lineitem (build-side hash of the whole fact table),
+    which regressed the bench 1.85x and would be size-vetoed at scale
+    anyway, flipping to an unaggregated SMJ.  This shape stays one
+    small shuffle at any scale."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1995-07-01")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
-        "left_semi",
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    late = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .filter(
+            F.col("last_ship")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
@@ -3017,7 +3052,7 @@ def _cached_pq_index(spark: SparkSession, sf_dir: str):
     return _SERVING_INDEXES[key]
 
 
-@register("pq_search_topk", None)
+@register_demo("pq_search_topk")
 def pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ (8 subspaces x 16 codes) ADC top-10 for vec_id=9's embedding:
     the memory-scale serving path — codes are 8 bytes/vector (32x smaller
@@ -3037,7 +3072,7 @@ def pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_mod.pq_search(index, np.array(qrow["embedding"], dtype=np.float64), k=10)
 
 
-@register("ivfpq_search_topk", None)
+@register_demo("ivfpq_search_topk")
 def ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composition: probe top-20 clusters, ADC-score only their
     members' codes (operators/pq.py::ivfpq_search) — scan bounded by
@@ -4664,7 +4699,7 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("pq_refined_search_topk", None)
+@register_demo("pq_refined_search_topk")
 def pq_refined_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC shortlist (top-100 by quantized similarity) + exact re-rank
     to top-10 on raw vectors — the FAISS IndexRefine pattern
