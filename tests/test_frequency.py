@@ -64,3 +64,47 @@ def test_partition_layout_insensitive_guarantee(spark, sf_dir):
     got = {r["item"]: r["est"] for r in heavy_hitters(words, "w", k=k).collect()}
     must_survive = {w for w, c in true.items() if c > n / k}
     assert must_survive <= set(got)
+
+
+def test_two_pass_equals_exact_lexicon(spark, sf_dir):
+    """Sketch-then-verify == naive exact thresholded counts when k
+    satisfies the superset precondition (k > n / min_count) — the
+    equivalence that makes the MG lexicon path a drop-in config switch
+    for the boilerplate build."""
+    from vector_database_api_spark.operators.frequency import (
+        frequent_items_two_pass,
+    )
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    min_count = 50
+    n = words.count()
+    k = max(64, int(2 * n / min_count))
+    got = {
+        r["item"]: r["n"]
+        for r in frequent_items_two_pass(words, "w", min_count, k=k).collect()
+    }
+    want = {
+        item: c for item, c in _true_counts(words, "w").items() if c >= min_count
+    }
+    assert got == want and len(want) > 0
+
+
+def test_boilerplate_lexicon_mg_switch(spark, sf_dir):
+    """The lexicon build's method switch: exact and MG paths return the
+    same (shingle, n_docs) set, so boilerplate_ngrams /
+    boilerplate_doc_fraction are method-invariant."""
+    from vector_database_api_spark import queries as q
+
+    exact = {
+        (r["shingle"], r["n_docs"])
+        for r in q._cached_boilerplate_lexicon(spark, sf_dir, "exact").collect()
+    }
+    mg = {
+        (r["shingle"], r["n_docs"])
+        for r in q._cached_boilerplate_lexicon(spark, sf_dir, "mg").collect()
+    }
+    assert exact == mg and len(exact) > 0

@@ -95,3 +95,33 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .agg(F.sum("est").alias("est"))
         .withColumn("k", F.lit(k))
     )
+
+
+def frequent_items_two_pass(
+    df: DataFrame, col: str, min_count: int, k: int = 4096
+) -> DataFrame:
+    """EXACT thresholded frequency via sketch-then-verify — the 100 TB
+    shape for lexicon builds (boilerplate n-grams, stopword discovery):
+
+    1. Misra-Gries candidates (O(k) state/partition, ≤ k·partitions
+       summary rows shuffled) — a SUPERSET of every item with true count
+       > n/k, so provided ``min_count > n/k`` no qualifying item is
+       missed.  The caller picks ``k > n / min_count``.
+    2. Exact recount restricted to candidates: broadcast the ≤ k-item
+       candidate set, semi-join, groupBy count, filter >= min_count.
+
+    Returns (item, n) — bit-identical to the naive
+    ``groupBy(col).count().filter(>= min_count)`` (tested), but the only
+    per-distinct-key shuffle ever performed is over candidate rows, not
+    the corpus's full distinct-item universe.  When the guarantee
+    precondition fails (k too small for the observed n), the superset
+    property can break; callers size k from corpus stats.
+    """
+    cands = heavy_hitters(df, col, k=k).select(F.col("item").alias(col))
+    exact = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return exact.select(F.col(col).alias("item"), "n")

@@ -5329,22 +5329,54 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILER_DF = 4  # doc-frequency threshold (99th pctile at sf0.01)
 
 
-def _cached_boilerplate_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached_boilerplate_lexicon(
+    spark: SparkSession, sf_dir: str, method: str | None = None
+) -> DataFrame:
     """(shingle, n_docs) for every shingle at df >= threshold, persisted
     once per sf_dir — the boilerplate LEXICON is the stored artifact of
     this curation stage (a real pipeline computes it in one corpus pass
     and applies it to every document); both boilerplate queries derive
-    from it."""
-    key = ("boiler-lexicon", sf_dir)
+    from it.
+
+    ``method`` (default from ``$SPARK_GRAFT_BOILER_METHOD``, fallback
+    "exact"):
+
+    - "exact": groupBy over every distinct shingle — one shuffle row per
+      distinct key; fine up to ~1e9 distinct shingles.
+    - "mg": Misra-Gries sketch-then-verify
+      (``frequency.frequent_items_two_pass``) — candidate discovery with
+      O(k) state per partition, then an exact recount of only the ≤ k
+      candidates.  Bit-identical output whenever k > n_shingles / df
+      threshold (tested in test_frequency.py); this is the documented
+      100 TB path where the distinct-shingle universe dwarfs memory."""
+    import os as _os
+
+    method = method or _os.environ.get("SPARK_GRAFT_BOILER_METHOD", "exact")
+    key = ("boiler-lexicon", sf_dir, method)
     if key not in _SERVING_INDEXES:
         sh = _cached_word_shingles(spark, sf_dir, 3)
-        lex = (
-            sh.select(F.explode("shingles").alias("shingle"))
-            .groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") >= _BOILER_DF)
-            .persist()
-        )
+        ex = sh.select(F.explode("shingles").alias("shingle"))
+        if method == "mg":
+            from vector_database_api_spark.operators.frequency import (
+                frequent_items_two_pass,
+            )
+
+            # size k from corpus stats so the MG superset guarantee
+            # (min_count > n/k) holds: k > n / threshold, padded 2x
+            n = ex.count()
+            k = max(1024, int(2 * n / _BOILER_DF))
+            lex = frequent_items_two_pass(
+                ex, "shingle", min_count=_BOILER_DF, k=k
+            ).select(F.col("item").alias("shingle"), F.col("n").alias("n_docs"))
+        elif method == "exact":
+            lex = (
+                ex.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") >= _BOILER_DF)
+            )
+        else:
+            raise ValueError(f"unknown lexicon method: {method}")
+        lex = lex.persist()
         lex.count()
         _SERVING_INDEXES[key] = lex
     return _SERVING_INDEXES[key]
