@@ -146,6 +146,9 @@ HEADLINE = [
     "dataset_split_assignment",
     "embedding_norm_outliers",
     "curation_pipeline_summary",
+    "vocab_growth_by_source",
+    "hard_negative_mining",
+    "knn_join_blocked_topk",
 ]
 
 

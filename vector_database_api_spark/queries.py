@@ -5801,3 +5801,178 @@ def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("session_value"),
         F.min("ts").cast("timestamp").alias("session_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 LLM-pipeline widening: corpus vocabulary statistics, contrastive
+# hard-negative mining, and the blocked kNN JOIN (large query side) that
+# turns the 1-query ANN search surface into an N x M retrieval operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_by_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, count(*) AS c
+      FROM tok WHERE token <> '' GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+           round(ln(count(*)) / ln(sum(c)), 6) AS heaps_exponent
+    FROM tf GROUP BY source
+    """,
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics for tokenizer/corpus planning:
+    token total, distinct vocabulary, hapax legomena, type-token ratio,
+    and the Heaps-law exponent proxy log(V)/log(N).  Shape: one shuffle
+    on (source, token) with map-side combine, then a tiny per-source
+    rollup — the distinct-vocabulary universe never sits in one
+    executor's memory (contrast with a naive collect_set).  At 100 TB
+    the (source, token) cardinality is the only growing term and it
+    partitions cleanly; the MG sketch path (operators/frequency.py) is
+    the fallback when even that exchange is too wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ", -1)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.log(F.count(F.lit(1)).cast("double"))
+            / F.log(F.sum("c").cast("double")),
+            6,
+        ).alias("heaps_exponent"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {duck_cosine('q.qv', 'e.embedding')} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {duck_cosine('q.qv', 'e.embedding')} DESC, e.vec_id
+             ) AS rn
+      FROM q JOIN embeddings e
+        ON e.label <> q.qlabel
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor (first 20
+    vectors), the top-3 most-similar vectors with a DIFFERENT label —
+    the mining step behind every dense-retriever training pipeline.
+    Shape: broadcast the small anchor set against the corpus scan
+    (no corpus shuffle), bit-exact HOF cosine, per-anchor top-k via
+    window.  At scale the anchor side is a sampled minibatch (always
+    small relative to the corpus), so broadcast is the right plan at
+    any corpus size; the label inequality rides the join condition so
+    same-label pairs are never materialized."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    anchors = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = embs.join(
+        F.broadcast(anchors), F.col("label") != F.col("qlabel")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine_similarity("qv", "embedding").alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+@register(
+    "knn_join_blocked_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 20
+    ),
+    assign AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             {duck_cosine('ea.embedding', 'eb.embedding')} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {duck_cosine('ea.embedding', 'eb.embedding')} DESC,
+                        b.vec_id
+             ) AS rn
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rank
+    FROM scored WHERE rn <= 2
+    """,
+)
+def knn_join_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN JOIN — every vector is a query (N x M retrieval, the
+    all-pairs companion of the 1-query search surface): frozen-centroid
+    blocking (the semdedup assignment artifact), within-cluster pair
+    expansion ONLY, bit-exact cosine, top-2 neighbors per query via
+    window.  This is the scale shape for embedding-graph construction
+    (kNN graphs for clustering/label propagation): pair count is
+    sum(|cluster|^2), never N^2, and each cluster's pairs stay inside
+    one shuffle partition.  Approximation surface (recall vs nprobe=1
+    blocking) is measured in tools/ann_quality.py for the same layout;
+    centroids are frozen here for hash-checkability, trained via
+    seeded MLlib KMeans in the service path."""
+    wc = _cached_semdedup_assignment(spark, sf_dir)
+    a = wc.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "cluster_id"
+    )
+    b = wc.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id"
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid", "nid", cosine_similarity("qv", "nv").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select("qid", "nid", "cosine", "rank")
+    )
