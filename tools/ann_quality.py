@@ -120,12 +120,50 @@ def main() -> None:
         sq_hits += len(truth & sq_res)
         total += len(truth)
 
+    # kNN-join blocking recall: fraction of true top-2 neighbors (brute
+    # force, all queries at once) that share the query's frozen-centroid
+    # cluster — the approximation surface of knn_join_blocked_topk
+    # (nprobe=1-style blocking; every vector is a query).
+    from vector_database_api_spark.operators import dedup as ded
+    from pyspark.sql import Window
+
+    cents = embs.limit(20).select(
+        F.col("id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = ded.assign_clusters(embs, cents)  # (id, cluster_id)
+    a = embs.select(F.col("id").alias("qid"), F.col("embedding").alias("qv"))
+    b = embs.select(F.col("id").alias("nid"), F.col("embedding").alias("nv"))
+    from vector_database_api_spark.functions.vector import cosine_similarity
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.col("nid")
+    )
+    true_top2 = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine_similarity("qv", "nv").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "nid")
+    )
+    qa = assigned.select(F.col("id").alias("qid"), F.col("cluster_id").alias("qc"))
+    na = assigned.select(F.col("id").alias("nid"), F.col("cluster_id").alias("nc"))
+    joined = true_top2.join(qa, "qid").join(na, "nid")
+    block_stats = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("qc") == F.col("nc")).cast("int")).alias("n_same"),
+    ).collect()[0]
+    knn_join_block_recall = round(
+        block_stats["n_same"] / max(block_stats["n_pairs"], 1), 4
+    )
+
     print(
         json.dumps(
             {
                 "n_vectors": n,
                 "n_queries": n_queries,
                 "k": k,
+                "knn_join_block_recall_top2": knn_join_block_recall,
                 "lsh_recall_ref_params": round(lsh_hits / total, 4),
                 "ivf_recall_ref_params": round(ivf_hits / total, 4),
                 "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),
