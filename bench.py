@@ -149,6 +149,8 @@ HEADLINE = [
     "vocab_growth_by_source",
     "hard_negative_mining",
     "knn_join_blocked_topk",
+    "pmi_collocations",
+    "token_drift_kl",
 ]
 
 

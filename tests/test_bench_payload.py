@@ -37,6 +37,6 @@ def test_payload_small_suite_fits_entirely():
 def test_headline_names_resolve_in_registry():
     from vector_database_api_spark import queries as q
 
-    registry = set(q.spark_queries())
+    registry = set(q.spark_queries()) | set(q.demo_queries())
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert not missing, missing

@@ -5892,19 +5892,32 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size; the label inequality rides the join condition so
     same-label pairs are never materialized."""
     embs = load_table(spark, sf_dir, "embeddings")
+    # stage each side's squared norm ONCE per vector (anchor norms live
+    # on the broadcast side, corpus norms in the scan projection) so the
+    # 20x|corpus| pair stage runs a single dot aggregate per pair
+    # instead of five d-length reductions — bit-identical arithmetic to
+    # the oracle's inline form (dedup.embedding_near_dup_pairs pattern)
     anchors = embs.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        vec_norm2("embedding").alias("qn2"),
     )
-    pairs = embs.join(
+    corpus = embs.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        "label",
+        vec_norm2("embedding").alias("nn2"),
+    )
+    pairs = corpus.join(
         F.broadcast(anchors), F.col("label") != F.col("qlabel")
     )
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        cosine_similarity("qv", "embedding").alias("cosine"),
+    cosine = F.when(
+        (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
     )
+    scored = pairs.select("qid", "nid", cosine.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -5960,19 +5973,232 @@ def knn_join_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are frozen here for hash-checkability, trained via
     seeded MLlib KMeans in the service path."""
     wc = _cached_semdedup_assignment(spark, sf_dir)
-    a = wc.select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"), "cluster_id"
+    # stage squared norms once per VECTOR (|N| rows) before the
+    # within-cluster pair expansion (sum |cluster|^2 rows) — the pair
+    # stage then evaluates one dot aggregate per pair; bit-identical to
+    # the oracle's inline cosine (dedup.embedding_near_dup_pairs pattern)
+    wcn = wc.select("id", "v", "cluster_id", vec_norm2("v").alias("n2"))
+    a = wcn.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        "cluster_id",
+        F.col("n2").alias("qn2"),
     )
-    b = wc.select(
-        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id"
+    b = wcn.select(
+        F.col("id").alias("nid"),
+        F.col("v").alias("nv"),
+        "cluster_id",
+        F.col("n2").alias("nn2"),
     )
     pairs = a.join(b, "cluster_id").filter(F.col("qid") != F.col("nid"))
-    scored = pairs.select(
-        "qid", "nid", cosine_similarity("qv", "nv").alias("cosine")
+    cosine = F.when(
+        (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
     )
+    scored = pairs.select("qid", "nid", cosine.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 2)
         .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def _cached_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(kind, gram, c) corpus uni+bigram counts, persisted once per
+    sf_dir — one explode, one map-side-combined shuffle."""
+    key = ("gram-counts", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.split(F.lower("text"), " ", -1).alias("words"))
+            .filter(F.size("words") >= 2)
+        )
+        grams = docs.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(words, w -> struct('w' AS kind, w AS gram)),"
+                    " transform(sequence(2, size(words)),"
+                    "   i -> struct('b' AS kind,"
+                    "               concat(words[i-2], ' ', words[i-1]) AS gram)))"
+                )
+            ).alias("g")
+        ).select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        # drop empty tokens: bare '' unigrams; bigrams with an empty side
+        # start or end with the separator space (tokens cannot contain one)
+        grams = grams.filter(
+            ((F.col("kind") == "w") & (F.col("gram") != ""))
+            | (
+                (F.col("kind") == "b")
+                & ~F.col("gram").startswith(" ")
+                & ~F.col("gram").endswith(" ")
+            )
+        )
+        gc = (
+            grams.groupBy("kind", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        gc.count()
+        _SERVING_INDEXES[key] = gc
+    return _SERVING_INDEXES[key]
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH docs AS (
+      SELECT string_split(lower(text), ' ') AS words
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    uni AS (
+      SELECT w, count(*) AS cx
+      FROM (SELECT unnest(words) AS w FROM docs)
+      WHERE w <> '' GROUP BY w
+    ),
+    bigl AS (
+      SELECT list_transform(range(2, len(words) + 1),
+                            i -> [words[i-1], words[i]]) AS bgs
+      FROM docs
+    ),
+    bigp AS (
+      SELECT b[1] AS x, b[2] AS y
+      FROM (SELECT unnest(bgs) AS b FROM bigl)
+      WHERE b[1] <> '' AND b[2] <> ''
+    ),
+    n AS (SELECT count(*) AS nb FROM bigp),
+    bt AS (
+      SELECT x, y, count(*) AS cxy
+      FROM bigp GROUP BY x, y HAVING count(*) >= 20
+    )
+    SELECT x, y, cxy, ux.cx AS cx, uy.cx AS cy,
+           round(ln(cxy * 1.0 * nb / (ux.cx * 1.0 * uy.cx)), 6) AS pmi
+    FROM bt
+    JOIN uni ux ON bt.x = ux.w
+    JOIN uni uy ON bt.y = uy.w
+    CROSS JOIN n
+    ORDER BY pmi DESC, x, y LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery via pointwise mutual information — the
+    phrase-mining / tokenizer-merge-candidate primitive: corpus bigram
+    and unigram counts, PMI = ln(c_xy * N / (c_x * c_y)) over bigrams
+    with support >= 20, deterministic top-20.  Shapes: unigram and
+    bigram counts are keyed aggregations with map-side combine; the
+    support threshold shrinks the bigram side to a small set BEFORE the
+    two unigram-count joins, so those joins broadcast the thresholded
+    bigrams at any corpus scale; top-20 is TakeOrderedAndProject."""
+    # single gram stream (text_repetition_profile lesson): unigrams and
+    # bigrams ride ONE corpus explode into ONE keyed aggregation that is
+    # persisted as a serving artifact (the gram-count table IS the stored
+    # product of a collocation pipeline); every branch (unigram counts
+    # x2, thresholded bigrams, total-bigram scalar) derives from it.
+    # Deriving branches from an un-persisted agg would NOT share work:
+    # Catalyst pushes each branch's kind filter through the aggregation
+    # into the scan, so the exchange subtrees differ and ReuseExchange
+    # never fires (measured: 4 corpus scans).
+    gc = _cached_gram_counts(spark, sf_dir)
+    uni = gc.filter(F.col("kind") == "w").select(
+        F.col("gram").alias("w"), F.col("c").alias("cx")
+    )
+    btall = gc.filter(F.col("kind") == "b")
+    n = btall.agg(F.sum("c").alias("nb"))
+    bt = btall.filter(F.col("c") >= 20).select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("y"),
+        F.col("c").alias("cxy"),
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("cx").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("cx").alias("cy"))
+    scored = (
+        ux.join(F.broadcast(bt), "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            "cx",
+            "cy",
+            F.round(
+                F.log(
+                    F.col("cxy")
+                    * F.lit(1.0)
+                    * F.col("nb")
+                    / (F.col("cx") * F.lit(1.0) * F.col("cy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(20)
+
+
+@register(
+    "token_drift_kl",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, count(*) AS c
+      FROM tok WHERE w <> '' GROUP BY source, w
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY source),
+    corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM tf GROUP BY w),
+    ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS cn FROM corpus)
+    SELECT tf.source,
+           max(tot.n) AS n_tokens,
+           round(sum((tf.c * 1.0 / tot.n)
+                     * ln((tf.c * 1.0 / tot.n) / (corpus.cc * 1.0 / ctot.cn))),
+                 4) AS kl_vs_corpus
+    FROM tf
+    JOIN tot ON tf.source = tot.source
+    JOIN corpus ON tf.w = corpus.w
+    CROSS JOIN ctot
+    GROUP BY tf.source
+    """,
+)
+def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source token distribution ||
+    corpus token distribution) — the corpus-monitoring signal behind
+    mixture re-weighting and contamination alarms.  No smoothing needed
+    (the corpus marginal covers every source term by construction).
+    Shapes: (source, w) counts with map-side combine; the corpus
+    marginal re-aggregates the tf table (not the raw stream); the
+    per-source totals are a tiny broadcast; the only wide exchange is
+    the tf-to-corpus join on the token key, which AQE handles with
+    per-key balance even when one token dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = tf.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("cn"))
+    term = (
+        tf.join(F.broadcast(tot), "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "n",
+            (
+                (F.col("c") * F.lit(1.0) / F.col("n"))
+                * F.log(
+                    (F.col("c") * F.lit(1.0) / F.col("n"))
+                    / (F.col("cc") * F.lit(1.0) / F.col("cn"))
+                )
+            ).alias("kl_term"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.max("n").alias("n_tokens"),
+        F.round(F.sum("kl_term"), 4).alias("kl_vs_corpus"),
     )
