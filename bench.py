@@ -151,6 +151,7 @@ HEADLINE = [
     "knn_join_blocked_topk",
     "pmi_collocations",
     "token_drift_kl",
+    "multimodal_png_roundtrip",
 ]
 
 

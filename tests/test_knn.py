@@ -155,3 +155,24 @@ def test_blas_knn_matches_exact_topk(spark, sf_dir):
     for e, b in zip(exact, blas):
         assert abs(e["similarity"] - b["similarity"]) < 1e-12
         assert abs(e["distance"] - b["distance"]) < 1e-12
+
+
+def test_knn_join_blocked_blas_matches_hof(spark, sf_dir):
+    """The BLAS per-block kNN join returns the same (qid, nid, rank)
+    edges as the oracle-checked HOF query (scores may differ in the last
+    ulp; ids and ranks must not)."""
+    from vector_database_api_spark import queries as q
+    from vector_database_api_spark.operators.knn import knn_join_blocked_blas
+
+    hof = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in q.spark_queries()["knn_join_blocked_topk"](spark, sf_dir).collect()
+    }
+    wc = q._cached_semdedup_assignment(spark, sf_dir)
+    blas = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_join_blocked_blas(
+            wc, k=2, id_col="id", vec_col="v", block_col="cluster_id"
+        ).collect()
+    }
+    assert blas == hof and len(hof) > 0

@@ -412,6 +412,160 @@ def main() -> None:
 
     results["mixture_sample_sec"], _ = timed(mixture)
 
+    # round-3 pipeline operators
+    def vocab_growth():
+        tok = docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ", -1)).alias("t")
+        ).filter(F.col("t") != "")
+        tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+        return tf.groupBy("source").agg(
+            F.sum("c"), F.count(F.lit(1)), F.sum(F.when(F.col("c") == 1, 1))
+        ).count()
+
+    results["vocab_growth_sec"], _ = timed(vocab_growth)
+
+    def gram_counts():
+        d = docs.select(F.split(F.lower("text"), " ", -1).alias("words")).filter(
+            F.size("words") >= 2
+        )
+        grams = d.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " transform(words, w -> struct('w' AS kind, w AS gram)),"
+                    " transform(sequence(2, size(words)),"
+                    "   i -> struct('b' AS kind,"
+                    "               concat(words[i-2], ' ', words[i-1]) AS gram)))"
+                )
+            ).alias("g")
+        )
+        return grams.groupBy("g.kind", "g.gram").agg(
+            F.count(F.lit(1))
+        ).count()
+
+    results["pmi_gram_counts_sec"], _ = timed(gram_counts)
+
+    def lexicon_exact():
+        tok = docs.select(
+            F.explode(F.split(F.lower("text"), " ", -1)).alias("t")
+        ).filter(F.col("t") != "")
+        return (
+            tok.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 100000)
+            .count()
+        )
+
+    results["lexicon_exact_sec"], _ = timed(lexicon_exact)
+
+    def lexicon_mg():
+        from vector_database_api_spark.operators.frequency import (
+            frequent_items_two_pass,
+        )
+
+        tok = docs.select(
+            F.explode(F.split(F.lower("text"), " ", -1)).alias("t")
+        ).filter(F.col("t") != "")
+        # k sized for the guarantee at this corpus: n ~ 64M, threshold 1e5
+        return frequent_items_two_pass(tok, "t", 100000, k=2048).count()
+
+    results["lexicon_mg_sec"], _ = timed(lexicon_mg)
+
+    # hard negatives: 20 broadcast anchors x full corpus, staged norms,
+    # one dot per pair, per-anchor top-3 window — the registered query's
+    # exact shape at 1M vectors
+    def hard_negatives():
+        from pyspark.sql import Window
+        from vector_database_api_spark.functions.vector import (
+            dot_product,
+            norm2,
+        )
+
+        anchors = embs.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+            norm2("embedding").alias("qn2"),
+        )
+        corpus = embs.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nv"),
+            "label",
+            norm2("embedding").alias("nn2"),
+        )
+        pairs = corpus.join(F.broadcast(anchors), F.col("label") != F.col("qlabel"))
+        cos = F.when(
+            (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+        ).otherwise(
+            dot_product("qv", "nv") / (F.sqrt("qn2") * F.sqrt("nn2"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("nid"))
+        return (
+            pairs.select("qid", "nid", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .count()
+        )
+
+    results["hard_negatives_sec"], _ = timed(hard_negatives)
+
+    # kNN-join pair stage at bounded blocking: hash blocks bound
+    # sum(|cluster|^2) (the knob is block count; assignment quality is
+    # ann_quality's concern, the JOIN SHAPE cost is measured here)
+    def knn_join_pairs():
+        from pyspark.sql import Window
+        from vector_database_api_spark.functions.vector import (
+            dot_product,
+            norm2,
+        )
+
+        nblk = 4096
+        wc = embs.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            (F.col("vec_id") % nblk).alias("blk"),
+            norm2("embedding").alias("n2"),
+        )
+        a = wc.select(
+            F.col("id").alias("qid"), F.col("v").alias("qv"),
+            "blk", F.col("n2").alias("qn2"),
+        )
+        b = wc.select(
+            F.col("id").alias("nid"), F.col("v").alias("nv"),
+            "blk", F.col("n2").alias("nn2"),
+        )
+        cos = F.when(
+            (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+        ).otherwise(
+            dot_product("qv", "nv") / (F.sqrt("qn2") * F.sqrt("nn2"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("nid"))
+        return (
+            a.join(b, "blk")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .count()
+        )
+
+    results["knn_join_blocked_sec"], _ = timed(knn_join_pairs)
+
+    def knn_join_blas():
+        from vector_database_api_spark.operators.knn import knn_join_blocked_blas
+
+        nblk = 4096
+        wc = embs.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            (F.col("vec_id") % nblk).alias("blk"),
+        )
+        return knn_join_blocked_blas(
+            wc, k=2, id_col="id", vec_col="v", block_col="blk"
+        ).count()
+
+    results["knn_join_blas_sec"], _ = timed(knn_join_blas)
+
     print(
         json.dumps(
             {

@@ -6,11 +6,14 @@ by Arrow-batched Python stages (``mapInPandas``) because media codecs live
 in Python/native libraries, not SQL.
 
 The Spark-side plumbing here is real and tested — schemas, partitioning
-behavior, batch iteration shape, output contracts.  The codec calls
-themselves are STUBS (this container ships no image/audio libraries):
-``decode_image`` raises ``NotImplementedError`` unless given the
-deterministic fake codec, which tests use.  Swapping in Pillow/librosa is
-a one-line change at the marked seam.
+behavior, batch iteration shape, output contracts — and so are the
+codecs this container can support without native libraries:
+``decode_image`` dispatches REAL pure-Python decoders for PNG (stdlib
+zlib; 8-bit gray/RGB/RGBA, all five scanline filters), binary PGM/PPM,
+uncompressed 24-bit BMP, and the in-repo RAW-GRAY format, with matching
+encoders for round-trip tests and oracle queries.  Only formats that
+require native codecs (JPEG/WebP) raise ``NotImplementedError`` — that
+is the remaining Pillow seam, scoped to those formats alone.
 
 Media schema convention:
 
@@ -73,12 +76,23 @@ def fake_decode(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """REAL-CODEC SEAM: replace the body with e.g.
-    ``np.asarray(PIL.Image.open(io.BytesIO(content)))``."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use codec=fake_decode or install a real decoder"
-    )
+    """Dispatch a real pure-Python decoder by magic bytes: PNG (8-bit
+    gray/RGB/RGBA, all five scanline filters), binary PGM/PPM, RAW-GRAY
+    (in-repo format), uncompressed 24-bit BMP.  Formats that need native
+    codecs (JPEG/WebP/...) raise with a clear message — the seam for
+    Pillow is only for THOSE formats now, not for images in general."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
+    if content[:2] in (b"P5", b"P6"):
+        return decode_pnm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG needs a native codec (Pillow) — not available here"
+        )
+    # fall through: try the in-repo RAW-GRAY format
+    return decode_raw_gray(content)
 
 
 def extract_features(
@@ -375,3 +389,238 @@ def frame_byte_features(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real external-format codecs — pure Python + stdlib zlib, no Pillow.
+#
+# PNG (8-bit grayscale / RGB / RGBA, non-interlaced; all five scanline
+# filters), binary PGM/PPM (P5/P6), and uncompressed 24-bit BMP.  These
+# replace the former NotImplementedError seam for every format this
+# container can decode without native media libraries; formats needing
+# external codecs (JPEG/WebP/AVIF) still raise with a clear message.
+# Format spec: https://www.w3.org/TR/png-3/ (public W3C standard).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (PNG spec 9.4)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/RGBA) to uint8
+    ndarray of shape (h, w) or (h, w, ch).  Full chunk walk, zlib
+    inflate, and per-scanline unfiltering (filters 0-4).  Corrupt or
+    unsupported inputs raise — poison rows fail loudly."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[
+            pos + 4 : pos + 8
+        ]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("PNG: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_v not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"PNG: unsupported (depth={depth} colortype={ctype_v} "
+            f"interlace={interlace}); only 8-bit gray/RGB/RGBA, no interlace"
+        )
+    ch = _PNG_CHANNELS[ctype_v]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: bad decompressed length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # up
+            recon = line + prior
+        elif ftype in (1, 3, 4):  # sub / average / paeth need left state
+            recon = line
+            left = np.zeros(ch, dtype=np.uint8)
+            for x in range(0, stride, ch):
+                seg = recon[x : x + ch]
+                pr = prior[x : x + ch]
+                prl = prior[x - ch : x] if x else np.zeros(ch, dtype=np.uint8)
+                if ftype == 1:
+                    seg += left
+                elif ftype == 3:
+                    seg += (
+                        (left.astype(np.int16) + pr.astype(np.int16)) // 2
+                    ).astype(np.uint8)
+                else:
+                    seg += _paeth(left, pr, prl)
+                left = recon[x : x + ch]
+        else:
+            raise ValueError(f"PNG: bad filter type {ftype}")
+        out[y] = recon
+        prior = recon
+    return out.reshape((h, w)) if ch == 1 else out.reshape((h, w, ch))
+
+
+def encode_png(arr: np.ndarray, filter_mode: int | str = 0) -> bytes:
+    """Encode uint8 (h, w) or (h, w, 3|4) as PNG.  ``filter_mode``: a
+    fixed filter 0-4 for every scanline, or "mixed" to cycle through all
+    five (exercises every unfilter path in round-trip tests)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ch, ctype = 1, 0
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        ch, ctype = a.shape[2], {3: 2, 4: 6}[a.shape[2]]
+    else:
+        raise ValueError("PNG encode: expected (h,w) or (h,w,3|4) uint8")
+    h, w = a.shape[0], a.shape[1]
+    flat = a.reshape(h, w * ch)
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        f = (y % 5) if filter_mode == "mixed" else int(filter_mode)
+        left = np.zeros_like(row)
+        left[ch:] = row[:-ch]
+        prl = np.zeros_like(prior)
+        prl[ch:] = prior[:-ch]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (
+                (left.astype(np.int16) + prior.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif f == 4:
+            filt = row - _paeth(left, prior, prl)
+        else:
+            raise ValueError(f"PNG encode: bad filter {f}")
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(ctag: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctag + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_pnm(content: bytes) -> np.ndarray:
+    """Decode binary PGM (P5, gray) / PPM (P6, RGB), 8-bit maxval."""
+    if content[:2] not in (b"P5", b"P6"):
+        raise ValueError("PNM: only binary P5/P6 supported")
+    # header tokens: magic, width, height, maxval — comments (#) allowed
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("PNM: only maxval 255 supported")
+    ch = 1 if content[:2] == b"P5" else 3
+    body = content[pos : pos + h * w * ch]
+    if len(body) != h * w * ch:
+        raise ValueError("PNM: truncated pixel data")
+    a = np.frombuffer(body, dtype=np.uint8)
+    return a.reshape((h, w)) if ch == 1 else a.reshape((h, w, 3))
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode uncompressed 24-bit bottom-up BMP to (h, w, 3) uint8 RGB."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    data_off = struct.unpack("<I", content[10:14])[0]
+    w, h = struct.unpack("<ii", content[18:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    compression = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("BMP: only uncompressed 24-bit supported")
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((abs(h), w, 3), dtype=np.uint8)
+    for y in range(abs(h)):
+        row = content[data_off + y * stride : data_off + y * stride + w * 3]
+        if len(row) != w * 3:
+            raise ValueError("BMP: truncated pixel data")
+        bgr = np.frombuffer(row, dtype=np.uint8).reshape(w, 3)
+        tgt = abs(h) - 1 - y if h > 0 else y  # bottom-up unless h < 0
+        out[tgt] = bgr[:, ::-1]
+    return out
+
+
+PIXEL_STATS_SCHEMA = (
+    "id string, h int, w int, n_px int, sum_px bigint, min_px int, max_px int"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """decode (real codec dispatch: PNG/PNM/BMP/RAW-GRAY) -> exact
+    integer pixel statistics, one Arrow batch at a time (mapInPandas,
+    zero shuffle).  Integer sums over <= 2^16 pixels of <= 255 are exact
+    in any accumulation order, which is what lets a DuckDB oracle verify
+    the WHOLE encode->decode round trip symbolically: if any codec stage
+    mangled a byte, sum/min/max would differ and the value hash fails."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                flat = img.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        rid,
+                        img.shape[0],
+                        img.shape[1],
+                        int(flat.size),
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "h", "w", "n_px", "sum_px", "min_px", "max_px"],
+            )
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)

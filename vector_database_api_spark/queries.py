@@ -6202,3 +6202,66 @@ def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_tokens"),
         F.round(F.sum("kl_term"), 4).alias("kl_vs_corpus"),
     )
+
+
+_PNG_STATS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS h,
+         8 + length(text) % 9 AS w,
+         length(text) AS L
+  FROM documents WHERE length(text) > 0 AND doc_id < 300
+),
+px AS (
+  SELECT doc_id, h, w,
+         ascii(substr(text, CAST(i % L AS BIGINT) + 1, 1)) AS v
+  FROM dims CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
+  WHERE i < h * w
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(h AS INTEGER) AS h, CAST(w AS INTEGER) AS w,
+       CAST(count(*) AS INTEGER) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_px,
+       CAST(min(v) AS INTEGER) AS min_px,
+       CAST(max(v) AS INTEGER) AS max_px
+FROM px GROUP BY doc_id, h, w
+"""
+
+
+@register("multimodal_png_roundtrip", _PNG_STATS_ORACLE)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end, oracle-verified: documents -> gray
+    pixel arrays (text bytes tiled to h*w) -> PNG ENCODE with a mixed
+    per-scanline filter schedule (cycles none/sub/up/average/paeth, so
+    every unfilter path executes) -> full PNG DECODE (chunk walk, zlib
+    inflate, per-scanline reconstruction; operators/multimodal.py) ->
+    exact integer pixel stats.  The DuckDB oracle computes the same
+    stats symbolically from the SOURCE text without any PNG in the loop
+    — a value-hash match therefore proves the compressed round trip is
+    byte-perfect, not just that the pipeline runs.  Plan shape: one
+    narrow mapInPandas stage over the media table, tiny final agg."""
+    from vector_database_api_spark.operators import multimodal as mm
+    from pyspark.sql.types import BinaryType
+
+    @F.udf(BinaryType())
+    def to_png(doc_id: int, text: str) -> bytes:
+        import numpy as _np
+
+        h = 8 + int(doc_id) % 9
+        w = 8 + len(text) % 9
+        b = text.encode("utf-8")
+        idx = _np.arange(h * w) % len(b)
+        pix = _np.frombuffer(b, dtype=_np.uint8)[idx].reshape(h, w)
+        return mm.encode_png(pix, filter_mode="mixed")
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < 300))
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("image").alias("modality"),
+        to_png("doc_id", "text").alias("content"),
+        F.create_map(F.lit("format"), F.lit("png")).alias("meta"),
+    )
+    return mm.image_pixel_stats(media)
