@@ -168,8 +168,8 @@ def knn_join_blocked_blas(
     query's top-k — ``applyInPandas`` keyed on the block, so each block
     is one Arrow batch and the shuffle key is the block id (identical
     exchange layout to the HOF form; only the per-pair evaluation moves
-    from interpreted expressions to BLAS).  Measured 14x on the 1M-row
-    smoke (tools/scale_smoke.py).  Scores differ from the HOF form only
+    from interpreted expressions to BLAS).  Measured ~20x on the 1M-row smoke
+    (HOF 182-277 s across runs vs 4.5-12.5 s here; tools/scale_smoke.py).  Scores differ from the HOF form only
     in the last ulp (pairwise vs sequential accumulation); ordering ties
     broken by neighbor id like every top-k in the repo.
 
