@@ -597,3 +597,72 @@ def test_incremental_frequency_maintenance_guarantees(spark, tmp_path):
         for r in spark.read.parquet(summary_dir).collect()
     }
     assert got2 == got
+
+
+def test_near_dup_gate_matches_greedy_simulation(spark, tmp_path):
+    """The streaming admission gate admits exactly the greedy-by-id set:
+    a doc is rejected iff it verifies >= threshold against an admitted
+    earlier doc (cross-batch via the signature table, within-batch via
+    the verified pair list).  Chains keep their first element; replaying
+    with no new files changes nothing."""
+    import json
+    import pathlib
+
+    from vector_database_api_spark.operators.dedup import minhash_near_dup_pairs
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    src = str(tmp_path / "gate_src")
+    # three arrival batches in doc_id order → greedy order == id order
+    for lo, hi in [(0, 170), (170, 340), (340, 100000)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    admitted_dir = str(tmp_path / "gate_admitted")
+    sig_dir = str(tmp_path / "gate_sigs")
+    q = M.incremental_near_dup_gate(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        admitted_dir,
+        sig_dir,
+        str(tmp_path / "gate_ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()}
+
+    # driver greedy simulation over the batch near-dup pair graph
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    dup_of: dict = {}
+    for r in pairs:
+        dup_of.setdefault(r["id_b"], []).append(r["id_a"])
+    want: set = set()
+    for rid in sorted(r["doc_id"] for r in docs.collect()):
+        if not any(a in want for a in dup_of.get(rid, [])):
+            want.add(rid)
+    assert got == want
+    assert len(want) < docs.count()  # the corpus HAS near-dups to reject
+
+    meta = json.loads(pathlib.Path(sig_dir + "_meta.json").read_text())
+    assert meta["n_admitted"] == len(want)
+
+    # restart with no new data: replay-safe, nothing double-admitted
+    q2 = M.incremental_near_dup_gate(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        admitted_dir,
+        sig_dir,
+        str(tmp_path / "gate_ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q2.awaitTermination(300)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
+    } == want

@@ -446,3 +446,169 @@ def incremental_frequency_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_near_dup_gate(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    admitted_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming near-duplicate ADMISSION GATE — the ingest-time dedup a
+    training-data pipeline runs so near-dups never enter the corpus:
+    each arriving micro-batch is banded-LSH-matched against the stored
+    signature table of everything admitted so far (plus itself), matches
+    are exact-Jaccard verified, and only novel documents are appended —
+    with their MinHash signatures — for future batches to check against.
+
+    Admission semantics: greedy by (arrival order, id) — a document is
+    rejected iff it verifies >= threshold against an already-ADMITTED
+    document (earlier batch, or earlier id in this batch that was itself
+    admitted).  Chains therefore keep their first element only: for
+    A~B, B~C, A!~C arriving in order, A and C are admitted.  Pinned
+    against a driver-side greedy simulation in tests/test_streaming.py.
+
+    Scale shape: the history check is a distributed equi-join on
+    (band_idx, band_val) against the signature table — per-batch work is
+    |batch| x bands probe rows, never a history scan; the only driver
+    state is this batch's verified pair list and rejected-id set (both
+    bounded by micro-batch size).  Replay safety: admissions append, so
+    the processor records the last admitted batch_id and skips replays
+    (the MG-fold pattern).
+    """
+    import json as _json
+    from pathlib import Path
+
+    from vector_database_api_spark.operators.dedup import minhash_signatures
+
+    rows_per_band = num_perm // bands
+    meta_path = Path(sig_dir + "_meta.json")
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"array_join(slice(sig, {b * rows_per_band + 1},"
+                            f" {rows_per_band}), '_')"
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    def _jaccard(sh_a, sh_b) -> F.Column:
+        inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+        union = F.size(sh_a).cast("double") + F.size(sh_b).cast("double") - inter
+        return inter / union
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        meta = (
+            _json.loads(meta_path.read_text())
+            if meta_path.exists()
+            else {"last_batch_id": -1, "n_admitted": 0, "n_rejected": 0}
+        )
+        if batch_id <= meta["last_batch_id"]:
+            return  # replayed batch — already admitted, skip (append sink)
+        sess = batch.sparkSession
+        sigs = minhash_signatures(
+            batch, text_col, id_col, shingle_n, num_perm
+        ).persist()
+
+        # history rejects: banded candidates vs the stored signature
+        # table, exact-Jaccard verified (distributed; driver sees ids only)
+        rejected: set = set()
+        sig_path = Path(sig_dir)
+        if sig_path.exists() and any(sig_path.glob("*.parquet")):
+            hist = sess.read.parquet(sig_dir)
+            cand = (
+                banded(sigs)
+                .join(
+                    banded(hist).select(
+                        F.col("id").alias("hid"), "band_idx", "band_val"
+                    ),
+                    ["band_idx", "band_val"],
+                )
+                .select("id", "hid")
+                .dropDuplicates()
+            )
+            verified = (
+                cand.join(sigs.select("id", "shingles"), "id")
+                .join(
+                    hist.select(
+                        F.col("id").alias("hid"), F.col("shingles").alias("hsh")
+                    ),
+                    "hid",
+                )
+                .filter(_jaccard(F.col("shingles"), F.col("hsh")) >= jaccard_threshold)
+                .select("id")
+                .distinct()
+            )
+            rejected = {r["id"] for r in verified.collect()}
+
+        # within-batch verified pairs (bounded by micro-batch size), then
+        # greedy admission in id order
+        bb = banded(sigs)
+        pairs_df = (
+            bb.alias("a")
+            .join(bb.alias("b"), ["band_idx", "band_val"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+            .dropDuplicates()
+            .join(
+                sigs.select(F.col("id").alias("ia"), F.col("shingles").alias("sa")),
+                "ia",
+            )
+            .join(
+                sigs.select(F.col("id").alias("ib"), F.col("shingles").alias("sb")),
+                "ib",
+            )
+            .filter(_jaccard(F.col("sa"), F.col("sb")) >= jaccard_threshold)
+            .select("ia", "ib")
+        )
+        dup_of: dict = {}
+        for r in pairs_df.collect():
+            dup_of.setdefault(r["ib"], []).append(r["ia"])
+        admitted: set = set()
+        for rid in sorted(r["id"] for r in sigs.select("id").collect()):
+            if rid in rejected:
+                continue
+            if any(a in admitted for a in dup_of.get(rid, [])):
+                rejected.add(rid)
+                continue
+            admitted.add(rid)
+
+        adm_list = list(admitted)
+        batch.filter(F.col(id_col).isin(adm_list)).withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(admitted_dir)
+        sigs.filter(F.col("id").isin(adm_list)).write.mode("append").parquet(
+            sig_dir
+        )
+        sigs.unpersist()
+        meta_path.write_text(
+            _json.dumps(
+                {
+                    "last_batch_id": batch_id,
+                    "n_admitted": meta["n_admitted"] + len(admitted),
+                    "n_rejected": meta["n_rejected"] + len(rejected),
+                }
+            )
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
