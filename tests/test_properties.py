@@ -207,3 +207,44 @@ def test_pq_adc_equals_reconstructed_dot(n, m, dsub, k, seed):
     for i in range(n):
         recon = np.concatenate([cb[j, codes[i, j]] for j in range(m)])
         assert np.isclose(scores[i], float(qn @ recon), atol=1e-9)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 3, 4]),
+    fm=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(h, w, ch, fm, seed):
+    """encode_png/decode_png are exact inverses for every 8-bit image
+    shape, channel count, and scanline-filter schedule."""
+    from vector_database_api_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    b = decode_png(encode_png(a, fm))
+    assert b.shape == a.shape and (b == a).all()
+
+
+@given(
+    sr=st.integers(min_value=1, max_value=65535),
+    n=st.integers(min_value=0, max_value=512),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_raw_pcm16_roundtrip_property(sr, n, seed):
+    from vector_database_api_spark.operators.multimodal import (
+        decode_raw_pcm16,
+        encode_raw_pcm16,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    sr2, s2 = decode_raw_pcm16(encode_raw_pcm16(sr, s))
+    assert sr2 == sr and (s2 == s).all()
