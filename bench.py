@@ -152,6 +152,7 @@ HEADLINE = [
     "pmi_collocations",
     "token_drift_kl",
     "multimodal_png_roundtrip",
+    "salted_join_cohort_rollup",
 ]
 
 

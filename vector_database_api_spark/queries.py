@@ -6265,3 +6265,40 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("format"), F.lit("png")).alias("meta"),
     )
     return mm.image_pixel_stats(media)
+
+
+@register(
+    "salted_join_cohort_rollup",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT d.cohort,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+)
+def salted_join_cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join through the registry: the events fact
+    joins a per-user dimension via operators/skew.py::salted_join (16-way
+    key splitting — the explicit mitigation for hot keys AQE cannot fix,
+    because every subdivided partition of a hot key still meets the same
+    single dimension row).  Salting is semantically the identity on the
+    join (pinned row-for-row by tests/test_skew.py), so the DuckDB
+    oracle is the PLAIN join — a value-hash match proves the salted plan
+    changes the shuffle layout and nothing else."""
+    from vector_database_api_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 10)
+    )
+    joined = salted_join(events.alias("e"), dim, "user_id", salt=16)
+    return joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
