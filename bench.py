@@ -153,6 +153,7 @@ HEADLINE = [
     "token_drift_kl",
     "multimodal_png_roundtrip",
     "salted_join_cohort_rollup",
+    "knn_join_multiprobe_topk",
 ]
 
 

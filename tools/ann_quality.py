@@ -146,16 +146,25 @@ def main() -> None:
         .filter(F.col("rn") <= 2)
         .select("qid", "nid")
     )
-    qa = assigned.select(F.col("id").alias("qid"), F.col("cluster_id").alias("qc"))
     na = assigned.select(F.col("id").alias("nid"), F.col("cluster_id").alias("nc"))
-    joined = true_top2.join(qa, "qid").join(na, "nid")
-    block_stats = joined.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum((F.col("qc") == F.col("nc")).cast("int")).alias("n_same"),
-    ).collect()[0]
-    knn_join_block_recall = round(
-        block_stats["n_same"] / max(block_stats["n_pairs"], 1), 4
-    )
+    # multi-probe: a true neighbor is found iff its STORAGE cluster is
+    # among the query's p nearest centroids (probe cost x p, storage x1)
+    probes = ded.assign_clusters_topp(embs, cents, p=4, vec_col="embedding")
+    block_recall = {}
+    for p in (1, 2, 4):
+        qp = probes.filter(F.col("probe_rank") <= p).select(
+            F.col("id").alias("qid"), F.col("cluster_id").alias("qc")
+        )
+        joined = true_top2.join(qp, "qid").join(na, "nid")
+        found = (
+            joined.filter(F.col("qc") == F.col("nc"))
+            .select("qid", "nid")
+            .distinct()
+            .count()
+        )
+        total_pairs = true_top2.count()
+        block_recall[p] = round(found / max(total_pairs, 1), 4)
+    knn_join_block_recall = block_recall[1]
 
     print(
         json.dumps(
@@ -164,6 +173,8 @@ def main() -> None:
                 "n_queries": n_queries,
                 "k": k,
                 "knn_join_block_recall_top2": knn_join_block_recall,
+                "knn_join_block_recall_p2": block_recall[2],
+                "knn_join_block_recall_p4": block_recall[4],
                 "lsh_recall_ref_params": round(lsh_hits / total, 4),
                 "ivf_recall_ref_params": round(ivf_hits / total, 4),
                 "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),

@@ -712,3 +712,35 @@ def semdedup_decision(
             F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def assign_clusters_topp(
+    df: DataFrame,
+    centroids: DataFrame,
+    p: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cluster_id, probe_rank): each vector's p NEAREST centroids by
+    raw-vector L2 with lowest-cluster-id tie-break — the multi-probe
+    generalization of :func:`assign_clusters` (probe_rank 1 row equals
+    its output).  Broadcast centroids; the corpus never shuffles for
+    assignment; the window partitions by the vector id, so per-row state
+    is the centroid count, not the corpus."""
+    from pyspark.sql.window import Window
+
+    from vector_database_api_spark.functions.vector import euclidean_distance
+
+    w = Window.partitionBy("id").orderBy("d", "cluster_id")
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "id",
+            "cluster_id",
+            euclidean_distance("v", "cvec").alias("d"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= p)
+        .select("id", "cluster_id", "probe_rank")
+    )

@@ -6302,3 +6302,97 @@ def salted_join_cohort_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "knn_join_multiprobe_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 20
+    ),
+    store AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_euclidean('e.embedding', 'c.cvec')}, c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, s.vec_id AS nid,
+             {duck_cosine('eq.embedding', 'es.embedding')} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('eq.embedding', 'es.embedding')} DESC,
+                        s.vec_id
+             ) AS rn
+      FROM probes q
+      JOIN store s ON q.cluster_id = s.cluster_id AND q.vec_id <> s.vec_id
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings es ON es.vec_id = s.vec_id
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rank
+    FROM scored WHERE rn <= 2
+    """,
+)
+def knn_join_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe kNN join — the recall lever over single-probe
+    blocking (knn_join_blocked_topk): each QUERY vector probes its 2
+    nearest frozen centroids while the corpus stays stored once in its
+    single nearest cluster (the standard IVF trade: probe cost x p,
+    storage unchanged, no duplicate pairs since a neighbor is stored
+    exactly once).  Measured on this corpus: block recall@2 rises
+    0.17 -> 0.29 at p=2 and 0.47 at p=4 (tools/ann_quality.py).  Same
+    staged-norm pair scoring and windowed top-k as the single-probe
+    form; pair count is sum over probes of |cluster|, still never N^2."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    store = _cached_semdedup_assignment(spark, sf_dir)  # (id, v, cluster_id)
+    probes = dedup_mod.assign_clusters_topp(
+        embs, cents, p=2, id_col="vec_id"
+    )
+    sn = store.select(
+        F.col("id").alias("nid"),
+        F.col("v").alias("nv"),
+        "cluster_id",
+        vec_norm2("v").alias("nn2"),
+    )
+    qv = embs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        vec_norm2("embedding").alias("qn2"),
+    )
+    pairs = (
+        probes.select(F.col("id").alias("qid"), "cluster_id")
+        .join(sn, "cluster_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(qv, "qid")
+    )
+    cosine = F.when(
+        (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
+    )
+    scored = pairs.select("qid", "nid", cosine.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select("qid", "nid", "cosine", "rank")
+    )
