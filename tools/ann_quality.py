@@ -166,6 +166,29 @@ def main() -> None:
         block_recall[p] = round(found / max(total_pairs, 1), 4)
     knn_join_block_recall = block_recall[1]
 
+    # same measurement with TRAINED centroids (seeded MLlib KMeans at the
+    # same k=20) — quantifies how much centroid quality alone buys the
+    # kNN join's single-probe blocking vs the frozen-random set
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    km_in = embs.select(
+        "id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=20, seed=42, maxIter=10).fit(km_in)
+    trained_cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cluster_id int, cvec array<double>",
+    )
+    tassigned = ded.assign_clusters(embs, trained_cents)
+    tna = tassigned.select(F.col("id").alias("nid"), F.col("cluster_id").alias("nc"))
+    tqa = tassigned.select(F.col("id").alias("qid"), F.col("cluster_id").alias("qc"))
+    tj = true_top2.join(tqa, "qid").join(tna, "nid")
+    tfound = (
+        tj.filter(F.col("qc") == F.col("nc")).select("qid", "nid").distinct().count()
+    )
+    trained_block_recall = round(tfound / max(true_top2.count(), 1), 4)
+
     print(
         json.dumps(
             {
@@ -175,6 +198,7 @@ def main() -> None:
                 "knn_join_block_recall_top2": knn_join_block_recall,
                 "knn_join_block_recall_p2": block_recall[2],
                 "knn_join_block_recall_p4": block_recall[4],
+                "knn_join_block_recall_trained_k20": trained_block_recall,
                 "lsh_recall_ref_params": round(lsh_hits / total, 4),
                 "ivf_recall_ref_params": round(ivf_hits / total, 4),
                 "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),
