@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "salted_join_cohort_rollup",
     "knn_join_multiprobe_topk",
+    "cross_source_contamination",
 ]
 
 

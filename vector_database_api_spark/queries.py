@@ -6406,3 +6406,44 @@ def knn_join_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+@register(
+    "cross_source_contamination",
+    f"""
+    WITH pairs AS ({dedup_mod.duck_minhash_near_dup_sql(jaccard_threshold=0.5)})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           round(avg(p.jaccard), 4) AS mean_jaccard
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit — which pairs of sources share
+    near-duplicate documents (and how strongly): the signal behind
+    source-level dedup ordering and double-counting corrections in
+    mixture weights.  MinHash banded pairs (the oracle-exact pipeline)
+    joined back to per-document source labels, rolled up per unordered
+    source pair.  The back-joins are FK equi-joins on doc_id; the pair
+    table is small by construction (threshold 0.5), so both joins
+    broadcast at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_mod.minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+        )
+    )
