@@ -15,6 +15,15 @@ Timing methodology: each query is executed with the noop sink (full
 execution, no driver-side materialization cost), after a one-query JVM/
 codegen warmup.  The reported per-query number is the best of two runs
 (steady-state, which is what a long-lived cluster sees).
+
+Anchor ratios: this box is a noisy neighbor — identical plans have
+measured 1.5-2x apart across windows (round-3 analysis).  To make rounds
+comparable on ratios instead of absolute seconds, the fixed anchor query
+(q13_custdist, unchanged since round 1) is re-timed every ANCHOR_EVERY
+queries and each query's ``anchor_ratio`` (its seconds divided by the
+nearest-in-time anchor reading) is persisted in BENCH_FULL_latest.json;
+the stdout line carries the anchor summary.  A query whose seconds moved
+but whose ratio held was box noise; a ratio move is a real plan change.
 """
 
 from __future__ import annotations
@@ -173,7 +182,9 @@ def run_once(spark, sf_dir: str, name: str) -> float:
 MAX_LINE_BYTES = 1600
 
 
-def bounded_payload(timings: dict[str, float], sf: float) -> dict:
+def bounded_payload(
+    timings: dict[str, float], sf: float, anchor_median: float | None = None
+) -> dict:
     """Summary payload whose JSON form stays under MAX_LINE_BYTES: totals
     for everything, per-query seconds for as many of the slowest queries
     as fit."""
@@ -190,6 +201,8 @@ def bounded_payload(timings: dict[str, float], sf: float) -> dict:
         "queries": {},
         "queries_omitted": len(timings),
     }
+    if anchor_median is not None:
+        payload["anchor_median_sec"] = anchor_median
     for name, sec in by_slowest:
         payload["queries"][name] = sec
         payload["queries_omitted"] = len(timings) - len(payload["queries"])
@@ -200,6 +213,10 @@ def bounded_payload(timings: dict[str, float], sf: float) -> dict:
     return payload
 
 
+ANCHOR = "q13_custdist"
+ANCHOR_EVERY = 12  # ~11 anchor readings across the suite
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -207,13 +224,29 @@ def main() -> None:
 
     # warmup: spin up executors + codegen paths
     run_once(spark, sf_dir, "q1_pricing_summary")
+    run_once(spark, sf_dir, ANCHOR)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    anchor_reads: list[float] = []  # anchor seconds at positions i*ANCHOR_EVERY
+    nearest_anchor: dict[str, float] = {}
+    for i, name in enumerate(HEADLINE):
+        if i % ANCHOR_EVERY == 0:
+            a = min(run_once(spark, sf_dir, ANCHOR) for _ in range(2))
+            anchor_reads.append(round(a, 4))
+            print(f"bench anchor[{len(anchor_reads) - 1}]: {a:.4f}s", file=sys.stderr)
         best = min(run_once(spark, sf_dir, name) for _ in range(2))
         timings[name] = round(best, 4)
-        print(f"bench {name}: {timings[name]:.4f}s", file=sys.stderr)
+        nearest_anchor[name] = anchor_reads[-1]
+        print(
+            f"bench {name}: {timings[name]:.4f}s"
+            f" (ratio {timings[name] / anchor_reads[-1]:.2f})",
+            file=sys.stderr,
+        )
 
+    anchor_ratios = {
+        n: round(s / nearest_anchor[n], 3) for n, s in timings.items()
+    }
+    anchor_median = sorted(anchor_reads)[len(anchor_reads) // 2]
     # complete map for humans / logs — stderr, never stdout
     print("bench full timings: " + json.dumps(timings), file=sys.stderr)
     # persist the full per-query map so future rounds can diff every
@@ -222,6 +255,10 @@ def main() -> None:
         "sf": sf,
         "total_sec": round(sum(timings.values()), 4),
         "queries": timings,
+        "anchor": ANCHOR,
+        "anchor_reads": anchor_reads,
+        "anchor_median_sec": anchor_median,
+        "anchor_ratios": anchor_ratios,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
@@ -229,7 +266,7 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    line = json.dumps(bounded_payload(timings, sf))
+    line = json.dumps(bounded_payload(timings, sf, anchor_median))
     assert len(line) <= MAX_LINE_BYTES + 200, f"bench line too long: {len(line)}"
     print(line)
 

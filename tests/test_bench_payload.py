@@ -40,3 +40,26 @@ def test_headline_names_resolve_in_registry():
     registry = set(q.spark_queries()) | set(q.demo_queries())
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert not missing, missing
+
+
+def test_anchor_is_a_headline_query():
+    assert bench.ANCHOR in bench.HEADLINE
+
+
+def test_every_headline_query_has_a_plan_audit_row():
+    """A new bench query can never ship unaudited: PLANS_AUDIT.md (the
+    tools/plan_report.py output committed at the repo root) must carry a
+    row for every bench.HEADLINE name.  Round 3 shipped
+    cross_source_contamination — the round's slowest query — with no
+    audit row because the audit refresh predated the query; this pins
+    the refresh into the gate."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "PLANS_AUDIT.md")
+    audited = set()
+    with open(path) as f:
+        for line in f:
+            if line.startswith("| ") and " | " in line:
+                audited.add(line.split("|")[1].strip())
+    missing = [n for n in bench.HEADLINE if n not in audited]
+    assert not missing, f"bench queries missing from PLANS_AUDIT.md: {missing}"

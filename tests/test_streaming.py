@@ -666,3 +666,103 @@ def test_near_dup_gate_matches_greedy_simulation(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
     } == want
+
+
+def test_near_dup_gate_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the sink writes but
+    before the meta commit replays the batch with the SAME batch_id.  The
+    dynamic-partition-overwrite sinks must make that replay content-
+    idempotent — no duplicate admitted rows, no self-rejection against
+    the batch's own already-written signatures."""
+    import json
+    import pathlib
+    import shutil
+
+    from vector_database_api_spark.sources.tables import load_table
+    from vector_database_api_spark.streaming.maintenance import (
+        near_dup_gate_batch_processor,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    admitted_dir = str(tmp_path / "adm")
+    sig_dir = str(tmp_path / "sigs")
+    proc = near_dup_gate_batch_processor(
+        admitted_dir, sig_dir, jaccard_threshold=0.5
+    )
+    b0 = docs.filter(F.col("doc_id") < 200)
+    b1 = docs.filter(F.col("doc_id") >= 200)
+    proc(b0, 0)
+    proc(b1, 1)
+    want = {r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()}
+    n_rows = spark.read.parquet(admitted_dir).count()
+    assert n_rows == len(want)  # one row per admitted doc
+
+    meta_path = pathlib.Path(sig_dir + "_meta.json")
+
+    # crash A: both sinks committed, meta lost -> replay of batch 1
+    meta_path.unlink()
+    proc(b1, 1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
+    } == want
+    assert spark.read.parquet(admitted_dir).count() == n_rows
+    assert json.loads(meta_path.read_text())["last_batch_id"] == 1
+
+    # crash B: admitted partition written, sig partition + meta lost
+    # (crash between the two sink writes)
+    shutil.rmtree(str(tmp_path / "sigs" / "_batch_id=1"))
+    meta_path.unlink()
+    proc(b1, 1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
+    } == want
+    assert spark.read.parquet(admitted_dir).count() == n_rows
+    # sig store rebuilt: every admitted doc's signature is present exactly once
+    sig_ids = [r["id"] for r in spark.read.parquet(sig_dir).collect()]
+    assert sorted(sig_ids) == sorted(want)
+
+    # fully-committed batch: the meta fast-path skips it outright
+    proc(b1, 1)
+    assert spark.read.parquet(admitted_dir).count() == n_rows
+
+
+def test_near_dup_gate_holds_at_10x_batch_size(spark, tmp_path):
+    """The greedy admission loop collects only this batch's ids and
+    verified pairs — state is O(|batch|), bounded by the micro-batch size
+    a deployment configures (maxFilesPerTrigger / maxBytesPerTrigger).
+    Feed one batch 10x the size of the stream test's batches (the whole
+    sf0.01 corpus, 5000 docs) through the processor and pin the result
+    against the driver-side greedy simulation."""
+    from vector_database_api_spark.operators.dedup import minhash_near_dup_pairs
+    from vector_database_api_spark.sources.tables import load_table
+    from vector_database_api_spark.streaming.maintenance import (
+        near_dup_gate_batch_processor,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    admitted_dir = str(tmp_path / "adm10x")
+    sig_dir = str(tmp_path / "sigs10x")
+    proc = near_dup_gate_batch_processor(
+        admitted_dir, sig_dir, jaccard_threshold=0.5
+    )
+    proc(docs, 0)
+    got = {r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()}
+
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5).collect()
+    dup_of: dict = {}
+    for r in pairs:
+        dup_of.setdefault(r["id_b"], []).append(r["id_a"])
+    want: set = set()
+    for rid in sorted(r["doc_id"] for r in docs.collect()):
+        if not any(a in want for a in dup_of.get(rid, [])):
+            want.add(rid)
+    assert got == want
+    assert len(want) < docs.count()

