@@ -3275,9 +3275,16 @@ def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: seven-table join (nation twice, region gate on the
     customer leg), ratio of conditional to total DECIMAL volume per year.
-    Only the fixed-size nation/region slices carry broadcast hints;
-    part/supplier/customer scale with SF, so their strategy is left to
-    the threshold/AQE (still broadcast at bench scale)."""
+
+    The region gate is pushed DOWN the customer leg before any fact join:
+    nation x region (both fixed-size, broadcast) -> ASIA nation keys ->
+    customers reduced ~5x -> orders reduced ~5x, and only then does the
+    order list meet the PROMO-filtered lineitem side.  Round 3's shape
+    ran the 6x-reduced lineitem through supplier+orders+customer joins
+    first and applied the region cut last — fine under broadcast at bench
+    scale, but at 100 TB every pre-cut row shuffles through three joins.
+    Broadcast hints only on the fixed-size nation/region slices;
+    SF-scaled sides (customer/orders/supplier) are left to threshold/AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = load_table(spark, sf_dir, "supplier")
@@ -3291,16 +3298,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
+    asia_keys = n1.join(
+        F.broadcast(region), F.col("n1_region") == F.col("r_regionkey")
+    ).select("n1_key")
+    cust_asia = cust.join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("n1_key")
+    ).select("c_custkey")
+    orders_asia = orders.join(
+        cust_asia, orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
     )
     base = (
         li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders_asia, li.l_orderkey == F.col("o_orderkey"))
         .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
