@@ -176,3 +176,28 @@ def test_knn_join_blocked_blas_matches_hof(spark, sf_dir):
         ).collect()
     }
     assert blas == hof and len(hof) > 0
+
+
+def test_knn_join_blocked_blas_pool_boundary_ties(spark):
+    """More identical embeddings than the argpartition candidate pool
+    (pool = 4k): every neighbor ties at the boundary similarity, so the
+    exact (-sim, nid) order is the LOWEST neighbor ids — an arbitrary
+    argpartition subset would return higher ids nondeterministically.
+    Also pins the output id type to the input's (here: int, not the
+    previously hardcoded long)."""
+    from vector_database_api_spark.operators.knn import knn_join_blocked_blas
+
+    n, k = 40, 2  # pool = 8 << 39 tied neighbors
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id int, embedding array<double>, cluster_id int"
+    )
+    out = knn_join_blocked_blas(
+        df, k=k, id_col="id", vec_col="embedding", block_col="cluster_id"
+    )
+    assert dict(out.dtypes)["qid"] == "int" and dict(out.dtypes)["nid"] == "int"
+    got = {(r["qid"], r["rank"]): r["nid"] for r in out.collect()}
+    for qid in range(n):
+        expect = [i for i in range(n) if i != qid][:k]
+        for rank, nid in enumerate(expect, 1):
+            assert got[(qid, rank)] == nid, (qid, rank, got[(qid, rank)], nid)

@@ -278,3 +278,46 @@ def test_image_pixel_stats_on_png(spark):
         assert r["n_px"] == v.size
         assert r["sum_px"] == int(v.astype(np.int64).sum())
         assert r["min_px"] == int(v.min()) and r["max_px"] == int(v.max())
+
+
+def test_png_roundtrip_oracle_parity_on_non_ascii(spark, tmp_path):
+    """The png-roundtrip oracle equivalence must not depend on an
+    ASCII-only corpus: both sides fold non-ASCII codepoints to '?'
+    char-wise (Spark: encode('ascii','replace'); SQL: codepoint>=128 ->
+    63), so a corpus with accents/CJK/emoji still value-matches."""
+    import duckdb
+    import pandas as pd
+
+    from vector_database_api_spark import queries as q
+
+    rows = [
+        (0, "héllo wörld ünïcode"),
+        (1, "日本語のテキスト here"),
+        (2, "emoji 🚀 and plain ascii"),
+        (3, "pure ascii baseline text"),
+    ]
+    sf_dir = str(tmp_path / "nonascii")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    got = (
+        q.spark_queries()["multimodal_png_roundtrip"](spark, sf_dir)
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(q.oracle_queries()["multimodal_png_roundtrip"])
+        .df()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)],
+        check_dtype=False,
+    )

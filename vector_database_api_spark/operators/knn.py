@@ -199,10 +199,20 @@ def knn_join_blocked_blas(
             # cheap candidate pool via argpartition, then an exact
             # deterministic (-sim, nid) sort of just that pool
             pool = max(kk * 4, kk)
-            cand = (
-                np.argpartition(-row, pool - 1)[:pool] if pool < n else np.arange(n)
-            )
-            cand = sorted(cand, key=lambda j: (-row[j], ids[j]))[:kk]
+            if pool < n:
+                cand = np.argpartition(-row, pool - 1)[:pool]
+                # Ties at the pool boundary (plausible in dedup corpora
+                # with byte-identical embeddings): argpartition keeps an
+                # ARBITRARY subset of the boundary-similarity entries, so
+                # the (id) tie-break could diverge from the exact HOF
+                # query.  Widen to every entry at-or-above the boundary —
+                # anything excluded is strictly below it and can never
+                # enter the top-k under (-sim, id) ordering.
+                boundary = row[cand].min()
+                cand = np.nonzero(row >= boundary)[0]
+            else:
+                cand = np.arange(n)
+            cand = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
             for r, j in enumerate(cand, 1):
                 out_q.append(ids[i])
                 out_n.append(ids[j])
@@ -217,7 +227,8 @@ def knn_join_blocked_blas(
             }
         )
 
-    out_schema = "qid long, nid long, cosine double, rank int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_type}, nid {id_type}, cosine double, rank int"
     return (
         df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
         .groupBy(block_col)

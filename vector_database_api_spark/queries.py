@@ -6264,9 +6264,13 @@ WITH dims AS (
 ),
 px AS (
   SELECT doc_id, h, w,
-         ascii(substr(text, CAST(i % L AS BIGINT) + 1, 1)) AS v
-  FROM dims CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
-  WHERE i < h * w
+         CASE WHEN cp < 128 THEN cp ELSE 63 END AS v
+  FROM (
+    SELECT doc_id, h, w,
+           ascii(substr(text, CAST(i % L AS BIGINT) + 1, 1)) AS cp
+    FROM dims CROSS JOIN (SELECT unnest(range(0, 256)) AS i)
+    WHERE i < h * w
+  )
 )
 SELECT CAST(doc_id AS VARCHAR) AS id,
        CAST(h AS INTEGER) AS h, CAST(w AS INTEGER) AS w,
@@ -6299,7 +6303,11 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         h = 8 + int(doc_id) % 9
         w = 8 + len(text) % 9
-        b = text.encode("utf-8")
+        # Char-wise ASCII fold ('replace': every non-ASCII CODEPOINT ->
+        # one '?') keeps the byte tiling basis equal to the oracle's
+        # character tiling basis (mirrored there as codepoint>=128 -> 63),
+        # so the parity doesn't silently depend on an ASCII-only corpus.
+        b = text.encode("ascii", "replace")
         idx = _np.arange(h * w) % len(b)
         pix = _np.frombuffer(b, dtype=_np.uint8)[idx].reshape(h, w)
         return mm.encode_png(pix, filter_mode="mixed")
