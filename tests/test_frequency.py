@@ -108,3 +108,25 @@ def test_boilerplate_lexicon_mg_switch(spark, sf_dir):
         for r in q._cached_boilerplate_lexicon(spark, sf_dir, "mg").collect()
     }
     assert exact == mg and len(exact) > 0
+
+
+def test_merged_summary_bounded_by_k(spark):
+    """The raw per-partition merge can hold up to k x partitions items;
+    the merge reduction must cap the OUTPUT at k (the bound the two-pass
+    verify's broadcast decision relies on) while keeping the superset
+    guarantee for heavy items."""
+    import random
+
+    rng = random.Random(7)
+    # 40 partitions, heavy items h0..h4 plus a long tail of uniques
+    rows = [(f"h{i % 5}",) for i in range(5000)] + [
+        (f"tail{i}",) for i in range(3000)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "w string").repartition(40)
+    k = 16
+    out = heavy_hitters(df, "w", k=k).collect()
+    assert len(out) <= k, len(out)
+    n = len(rows)
+    true_heavy = {f"h{i}" for i in range(5)}  # each 1000 > n/k = 500
+    assert true_heavy <= {r["item"] for r in out}

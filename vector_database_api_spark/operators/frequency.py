@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MG_SCHEMA = "item string, est bigint, part_n bigint"
@@ -58,11 +58,18 @@ def _mg_pass(values: Iterator[str], k: int) -> tuple[dict[str, int], int]:
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """(item, est, k) for the Misra-Gries heavy-hitter candidates of
-    ``df[col]``: per-partition O(k) summaries merged by a tiny
-    aggregation.  Guarantees (tested): any item with true count > n/k is
-    present (if it were below the local threshold n_p/k in EVERY
-    partition, summing would put it below n/k globally — contradiction),
-    and ``est`` ≤ true count ≤ est + n/k."""
+    ``df[col]``: per-partition O(k) summaries, merged, then reduced back
+    to ≤ k items by the standard mergeable-summaries step (subtract the
+    (k+1)-largest merged est, keep positive — Agarwal et al. 2012), so
+    the OUTPUT is bounded by k no matter how many partitions contributed
+    (the raw merge can hold up to k·partitions candidates).  Guarantees
+    (tested): any item with true count > n/k is present (if it were
+    below the local threshold n_p/k in EVERY partition, summing would
+    put it below n/k globally — contradiction; the merge reduction's
+    extra decrement keeps total undercount ≤ n/(k+1)), and ``est`` ≤
+    true count ≤ est + n/k.  The reduction sorts the merged summary in
+    one partition — ≤ min(k·partitions, distinct) rows, tiny whenever
+    the sketch is the right tool (k ≪ distinct universe)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -90,25 +97,44 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     summaries = df.select(F.col(col).alias(col)).mapInPandas(
         summarize, MG_SCHEMA
     )
+    merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
+    ranked = merged.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.desc("est"), F.col("item")))
+    )
+    # (k+1)-largest merged est, 0 when fewer than k+1 candidates — the
+    # agg-over-possibly-empty form always yields exactly one row, so the
+    # broadcast cross join can never wipe the result.
+    cut = ranked.filter(F.col("_rn") == k + 1).agg(
+        F.coalesce(F.max("est"), F.lit(0)).alias("_cut")
+    )
     return (
-        summaries.groupBy("item")
-        .agg(F.sum("est").alias("est"))
+        ranked.crossJoin(F.broadcast(cut))
+        .select("item", (F.col("est") - F.col("_cut")).alias("est"))
+        .filter(F.col("est") > 0)
         .withColumn("k", F.lit(k))
     )
 
 
 def frequent_items_two_pass(
-    df: DataFrame, col: str, min_count: int, k: int = 4096
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    k: int = 4096,
+    broadcast_item_limit: int = 1 << 16,
 ) -> DataFrame:
     """EXACT thresholded frequency via sketch-then-verify — the 100 TB
     shape for lexicon builds (boilerplate n-grams, stopword discovery):
 
-    1. Misra-Gries candidates (O(k) state/partition, ≤ k·partitions
-       summary rows shuffled) — a SUPERSET of every item with true count
+    1. Misra-Gries candidates (O(k) state/partition, merge-reduced to
+       ≤ k items total) — a SUPERSET of every item with true count
        > n/k, so provided ``min_count > n/k`` no qualifying item is
        missed.  The caller picks ``k > n / min_count``.
-    2. Exact recount restricted to candidates: broadcast the ≤ k-item
-       candidate set, semi-join, groupBy count, filter >= min_count.
+    2. Exact recount restricted to candidates: semi-join against the
+       ≤ k-item candidate set, groupBy count, filter >= min_count.  The
+       candidate side is broadcast only when ``k`` ≤
+       ``broadcast_item_limit``; above that the semi-join runs as a
+       shuffle join — a huge candidate set must never become a
+       per-executor hashed relation.
 
     Returns (item, n) — bit-identical to the naive
     ``groupBy(col).count().filter(>= min_count)`` (tested), but the only
@@ -116,10 +142,18 @@ def frequent_items_two_pass(
     the corpus's full distinct-item universe.  When the guarantee
     precondition fails (k too small for the observed n), the superset
     property can break; callers size k from corpus stats.
+
+    PAYOFF CONDITION: the sketch path only beats the naive exact groupBy
+    when ``k ≪ distinct(col)`` — equivalently, when ``min_count`` is a
+    large fraction of n (rare-item thresholds force k toward n and the
+    MG state toward O(n) per partition, at which point use the exact
+    path; `_cached_boilerplate_lexicon` documents this trade on a real
+    caller).
     """
     cands = heavy_hitters(df, col, k=k).select(F.col("item").alias(col))
+    build = F.broadcast(cands) if k <= broadcast_item_limit else cands
     exact = (
-        df.join(F.broadcast(cands), col, "left_semi")
+        df.join(build, col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)

@@ -5397,8 +5397,17 @@ def _cached_boilerplate_lexicon(
       (``frequency.frequent_items_two_pass``) — candidate discovery with
       O(k) state per partition, then an exact recount of only the ≤ k
       candidates.  Bit-identical output whenever k > n_shingles / df
-      threshold (tested in test_frequency.py); this is the documented
-      100 TB path where the distinct-shingle universe dwarfs memory."""
+      threshold (tested in test_frequency.py).
+
+      PAYOFF CAVEAT: at THIS corpus's low df threshold (4), sizing k for
+      the guarantee gives k ≈ n/2 — MG state approaches O(n) per
+      partition and the sketch cannot beat the exact groupBy; the path
+      exists here as the executable, equivalence-tested twin of the
+      100 TB shape, which pays off only when min_count is a large
+      fraction of n (k ≪ distinct universe — e.g. stopword or hot-
+      boilerplate discovery, min_count ~ 0.1% of corpus tokens).  With
+      k over the broadcast item limit the verify semi-join runs as a
+      shuffle join, never an O(n) broadcast (advisor round-3 finding)."""
     import os as _os
 
     method = method or _os.environ.get("SPARK_GRAFT_BOILER_METHOD", "exact")
