@@ -147,30 +147,36 @@ def main() -> None:
         .select("qid", "nid")
     )
     na = assigned.select(F.col("id").alias("nid"), F.col("cluster_id").alias("nc"))
-    # multi-probe: a true neighbor is found iff its STORAGE cluster is
-    # among the query's p nearest centroids (probe cost x p, storage x1)
-    probes = ded.assign_clusters_topp(embs, cents, p=4, vec_col="embedding")
-    block_recall = {}
-    for p in (1, 2, 4):
-        qp = probes.filter(F.col("probe_rank") <= p).select(
+    true_top2 = true_top2.persist()
+    total_pairs = true_top2.count()
+
+    def probe_recall(probes_df, neigh_assign, p: int) -> float:
+        qp = probes_df.filter(F.col("probe_rank") <= p).select(
             F.col("id").alias("qid"), F.col("cluster_id").alias("qc")
         )
-        joined = true_top2.join(qp, "qid").join(na, "nid")
         found = (
-            joined.filter(F.col("qc") == F.col("nc"))
+            true_top2.join(qp, "qid")
+            .join(neigh_assign, "nid")
+            .filter(F.col("qc") == F.col("nc"))
             .select("qid", "nid")
             .distinct()
             .count()
         )
-        total_pairs = true_top2.count()
-        block_recall[p] = round(found / max(total_pairs, 1), 4)
+        return round(found / max(total_pairs, 1), 4)
+
+    # multi-probe: a true neighbor is found iff its STORAGE cluster is
+    # among the query's p nearest centroids (probe cost x p, storage x1)
+    probes = ded.assign_clusters_topp(embs, cents, p=4, vec_col="embedding")
+    block_recall = {p: probe_recall(probes, na, p) for p in (1, 2, 4)}
     knn_join_block_recall = block_recall[1]
 
     # same measurement with TRAINED centroids (seeded MLlib KMeans at the
-    # same k=20) — quantifies how much centroid quality alone buys the
-    # kNN join's single-probe blocking vs the frozen-random set
+    # same k=20) x multi-probe — the two levers composed: centroid
+    # quality moves where vectors are STORED, multi-probe moves how many
+    # cells each query READS; the recommended kNN-join layout is the
+    # best (recall, probe-cost) point of this grid.
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     km_in = embs.select(
         "id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
@@ -182,12 +188,11 @@ def main() -> None:
     )
     tassigned = ded.assign_clusters(embs, trained_cents)
     tna = tassigned.select(F.col("id").alias("nid"), F.col("cluster_id").alias("nc"))
-    tqa = tassigned.select(F.col("id").alias("qid"), F.col("cluster_id").alias("qc"))
-    tj = true_top2.join(tqa, "qid").join(tna, "nid")
-    tfound = (
-        tj.filter(F.col("qc") == F.col("nc")).select("qid", "nid").distinct().count()
-    )
-    trained_block_recall = round(tfound / max(true_top2.count(), 1), 4)
+    tprobes = ded.assign_clusters_topp(embs, trained_cents, p=8, vec_col="embedding")
+    trained_block_recall = {
+        p: probe_recall(tprobes, tna, p) for p in (1, 2, 4, 8)
+    }
+    true_top2.unpersist()
 
     print(
         json.dumps(
@@ -198,7 +203,10 @@ def main() -> None:
                 "knn_join_block_recall_top2": knn_join_block_recall,
                 "knn_join_block_recall_p2": block_recall[2],
                 "knn_join_block_recall_p4": block_recall[4],
-                "knn_join_block_recall_trained_k20": trained_block_recall,
+                "knn_join_block_recall_trained_k20": trained_block_recall[1],
+                "knn_join_block_recall_trained_p2": trained_block_recall[2],
+                "knn_join_block_recall_trained_p4": trained_block_recall[4],
+                "knn_join_block_recall_trained_p8": trained_block_recall[8],
                 "lsh_recall_ref_params": round(lsh_hits / total, 4),
                 "ivf_recall_ref_params": round(ivf_hits / total, 4),
                 "lsh_recall_hashlen6": round(lsh_t_hits / total, 4),

@@ -6425,7 +6425,10 @@ def knn_join_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus N x M form is knn_join_blocked_topk; this query
     demonstrates and oracle-checks the multi-probe mechanics.
     Measured on this corpus: block recall@2 rises
-    0.17 -> 0.29 at p=2 and 0.47 at p=4 (tools/ann_quality.py).  Same
+    0.17 -> 0.29 at p=2 and 0.47 at p=4 (tools/ann_quality.py); with
+    TRAINED centroids the ladder is 0.25/0.40/0.59/0.81 at p=1/2/4/8 —
+    the recommended production layout is trained + p=4 (full grid and
+    the near-uniform-corpus ceiling note in PLANS.md).  Same
     staged-norm pair scoring and windowed top-k as the single-probe
     form; pair count is sum over probes of |cluster|, still never N^2."""
     embs = load_table(spark, sf_dir, "embeddings")
