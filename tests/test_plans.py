@@ -260,3 +260,19 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_all_python_seams_are_arrow_batched(spark, sf_dir):
+    """Every deliberate Python seam in the bench surface is Arrow-batched
+    (ArrowEvalPython / mapInPandas) — zero row-at-a-time BatchEvalPython
+    nodes anywhere, including the media SYNTHESIZERS (to_png /
+    to_raw_gray / to_raw_pcm), which were the last row-wise UDFs until
+    round 4."""
+    for name in (
+        "multimodal_png_roundtrip",
+        "multimodal_audio_features",
+        "multimodal_image_stats",
+        "lsh_search_topk",
+    ):
+        a = audit_plan(q.spark_queries()[name](spark, sf_dir))
+        assert a["row_python_udfs"] == 0, name

@@ -195,15 +195,20 @@ def media_raw_gray_from_documents(docs: DataFrame) -> DataFrame:
     doc attributes — every byte reproducible from the parquet inputs."""
     from pyspark.sql.types import BinaryType
 
-    @F.udf(BinaryType())
-    def to_raw_gray(doc_id: int, text: str) -> bytes:
-        h = 8 + int(doc_id) % 9
-        w = 8 + len(text) % 9
-        pix = np.frombuffer(
-            (text.encode("utf-8") * (h * w // max(len(text), 1) + 1))[: h * w],
-            dtype=np.uint8,
-        ).reshape(h, w)
-        return encode_raw_gray(pix)
+    # Arrow-batched like the decoders (one pandas batch per transfer, the
+    # per-item loop stays inside the batch) — no row-at-a-time pickling.
+    @F.pandas_udf(BinaryType())
+    def to_raw_gray(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(doc_id, text):
+            h = 8 + int(d) % 9
+            w = 8 + len(t) % 9
+            pix = np.frombuffer(
+                (t.encode("utf-8") * (h * w // max(len(t), 1) + 1))[: h * w],
+                dtype=np.uint8,
+            ).reshape(h, w)
+            out.append(encode_raw_gray(pix))
+        return pd.Series(out, dtype=object)
 
     return docs.select(
         F.col("doc_id").cast("string").alias("id"),
@@ -292,16 +297,20 @@ def media_raw_pcm16_from_documents(docs: DataFrame) -> DataFrame:
     the DuckDB oracle replay decode + features symbolically."""
     from pyspark.sql.types import BinaryType
 
-    @F.udf(BinaryType())
-    def to_raw_pcm(doc_id: int, text: str) -> bytes:
-        sr = 8000 + int(doc_id) % 8 * 1000
-        b = text.encode("utf-8")
-        n = min(len(b), 512)
-        idx = np.arange(n) % max(len(b), 1)
-        samples = (
-            np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int32) - 97
-        ) * 256
-        return encode_raw_pcm16(sr, samples.astype(np.int16))
+    # Arrow-batched like the decoders — no row-at-a-time pickling.
+    @F.pandas_udf(BinaryType())
+    def to_raw_pcm(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(doc_id, text):
+            sr = 8000 + int(d) % 8 * 1000
+            b = t.encode("utf-8")
+            n = min(len(b), 512)
+            idx = np.arange(n) % max(len(b), 1)
+            samples = (
+                np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int32) - 97
+            ) * 256
+            out.append(encode_raw_pcm16(sr, samples.astype(np.int16)))
+        return pd.Series(out, dtype=object)
 
     return docs.select(
         F.col("doc_id").cast("string").alias("id"),

@@ -39,6 +39,7 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
         "pushed_filters": "PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         "codegen_stages": plan.count("WholeStageCodegen"),
+        "row_python_udfs": plan.count("BatchEvalPython"),
         "python_udfs": len(
             set(re.findall(r"\((\d+)\) (?:Batch|Arrow)EvalPython", plan))
             # simple-mode plans have no numbered nodes; fall back to raw count

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -6306,20 +6307,25 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_database_api_spark.operators import multimodal as mm
     from pyspark.sql.types import BinaryType
 
-    @F.udf(BinaryType())
-    def to_png(doc_id: int, text: str) -> bytes:
+    # Arrow-batched like the decoders — no row-at-a-time pickling.
+    @F.pandas_udf(BinaryType())
+    def to_png(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         import numpy as _np
 
-        h = 8 + int(doc_id) % 9
-        w = 8 + len(text) % 9
-        # Char-wise ASCII fold ('replace': every non-ASCII CODEPOINT ->
-        # one '?') keeps the byte tiling basis equal to the oracle's
-        # character tiling basis (mirrored there as codepoint>=128 -> 63),
-        # so the parity doesn't silently depend on an ASCII-only corpus.
-        b = text.encode("ascii", "replace")
-        idx = _np.arange(h * w) % len(b)
-        pix = _np.frombuffer(b, dtype=_np.uint8)[idx].reshape(h, w)
-        return mm.encode_png(pix, filter_mode="mixed")
+        out = []
+        for d, t in zip(doc_id, text):
+            h = 8 + int(d) % 9
+            w = 8 + len(t) % 9
+            # Char-wise ASCII fold ('replace': every non-ASCII CODEPOINT
+            # -> one '?') keeps the byte tiling basis equal to the
+            # oracle's character tiling basis (mirrored there as
+            # codepoint>=128 -> 63), so the parity doesn't silently
+            # depend on an ASCII-only corpus.
+            b = t.encode("ascii", "replace")
+            idx = _np.arange(h * w) % len(b)
+            pix = _np.frombuffer(b, dtype=_np.uint8)[idx].reshape(h, w)
+            out.append(mm.encode_png(pix, filter_mode="mixed"))
+        return pd.Series(out, dtype=object)
 
     docs = (
         load_table(spark, sf_dir, "documents")
