@@ -164,6 +164,9 @@ HEADLINE = [
     "salted_join_cohort_rollup",
     "knn_join_multiprobe_topk",
     "cross_source_contamination",
+    "span_dedup_by_source",
+    "span_dedup_hot_spans",
+    "bpe_merge_rounds",
 ]
 
 

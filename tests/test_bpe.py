@@ -1,0 +1,57 @@
+"""BPE merge induction: hand-computed merges on a tiny corpus (the
+classic low/lower/newest example), tie-break determinism, and the
+boundary-safety of the separator replace."""
+
+from __future__ import annotations
+
+from vector_database_api_spark.operators import bpe as B
+
+
+def test_first_three_merges_hand_computed(spark):
+    # wf: low:3 lower:2 newest:2 widest:1
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower"), (1, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["round"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in B.bpe_merge_rounds(docs, rounds=3).orderBy("round").collect()
+    ]
+    # r1: (l,o) and (o,w) tie at 5 -> pair-asc tie-break picks (l,o)
+    # r2: (lo,w) at 5
+    # r3: (e,s) and (s,t) tie at 3 -> (e,s)
+    assert got == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "s", 3)]
+
+
+def test_merge_replace_is_boundary_safe(spark):
+    """A learned pair must only merge at SYMBOL boundaries: with symbols
+    ("ab","c") the pair (b,c) must not fire inside "ab c".  Corpus
+    engineered so round 1 merges (a,b); round 2's stats must then count
+    (ab,c) — not a phantom (b,c) match inside the merged symbol."""
+    docs = spark.createDataFrame(
+        [(0, "abc abc abc ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in B.bpe_merge_rounds(docs, rounds=2).orderBy("round").collect()
+    ]
+    # r1: (a,b):5 beats (b,c):3 -> merge ab
+    # r2: only (ab,c):3 remains
+    assert got == [(1, "a", "b", 5), (2, "ab", "c", 3)]
+
+
+def test_greedy_left_to_right_overlap(spark):
+    """BPE merges overlapping pairs left-to-right greedily: "aaaa" with
+    merge (a,a) becomes (aa, aa), never (a, aa, a) — the shared-boundary
+    replace must reproduce that."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["round"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in B.bpe_merge_rounds(docs, rounds=2).orderBy("round").collect()
+    ]
+    # r1: (a,a) appears 3 times per word (positions 1-2,2-3,3-4) x3 words
+    assert got[0] == (1, "a", "a", 9)
+    # r2: reps are ·aa·aa· -> pair (aa,aa) x3
+    assert got[1] == (2, "aa", "aa", 3)

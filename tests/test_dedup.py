@@ -282,3 +282,32 @@ def test_semdedup_drop_iff_lower_id_neighbor(spark, sf_dir):
     )
     expected = {r["id_b"] for r in pairs.collect()}
     assert dropped == expected and dropped
+
+
+def test_span_dup_profile_hand_built(spark):
+    """Two docs share one exact 8-word span (each contributes 1
+    duplicated window); the third doc is unique.  Doc-level dedup sees
+    three distinct documents — span dedup must still find the
+    boilerplate."""
+    shared = "the quick brown fox jumps over the lazy"
+    docs = spark.createDataFrame(
+        [
+            (0, "a", f"intro one two three {shared} alpha beta gamma delta"),
+            (1, "a", f"totally different lead in {shared} and another tail"),
+            (2, "b", "nothing here repeats anywhere at all in this row"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_windows"], r["n_dup_windows"])
+        for r in D.span_dup_profile(docs, w=8).collect()
+    }
+    # doc0: 16 tokens -> 9 windows; doc1: 15 -> 8; doc2: 9 -> 2.
+    # Exactly ONE window per doc matches cross-doc (the 8-gram equal to
+    # `shared` itself; all other windows straddle differing context).
+    assert got["a"] == (2, 17, 2), got
+    assert got["b"] == (1, 2, 0), got
+
+    hot = D.span_hot_spans(docs, w=8, top=5).collect()
+    assert hot[0]["span"] == shared.replace(" ", "_")
+    assert hot[0]["n_docs"] == 2 and hot[0]["n_occurrences"] == 2

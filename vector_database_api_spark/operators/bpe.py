@@ -1,0 +1,201 @@
+"""Byte-pair-encoding merge induction — the vocabulary-learning step of
+a tokenizer training pipeline (Sennrich et al. 2016), expressed as pure
+DataFrame composition so the same corpus scan that powers vocab stats can
+learn merge rules.
+
+Beyond-reference operator (the reference has no text analytics at all);
+rounds are UNROLLED (merge choice r feeds the representation of round
+r+1), so a fixed small number of rounds keeps the whole computation one
+declarative DAG — no driver-side loop over corpus data, only over the
+round count.  Each round is:
+
+1. pair statistics: explode adjacent symbol pairs of every distinct
+   word's current representation, weighted by corpus word frequency —
+   ONE keyed aggregation with map-side combine (the corpus itself is
+   touched once ever, to build the word-frequency table; rounds operate
+   on the distinct-word table, which is vocabulary-sized).
+2. argmax merge: deterministic best pair by (count desc, pair asc) — a
+   1-row DataFrame broadcast into
+3. merge application: a left-to-right FOLD over the symbol list
+   (``aggregate`` in Spark, ``list_reduce`` in DuckDB) rebuilding the
+   separator-wrapped representation; the step merges the current symbol
+   into the accumulator's LAST symbol iff (last, current) == (a, b).
+   That is exactly single-pass greedy BPE — on a run "a a a a" with
+   merge (a,a) it yields (aa, aa), never re-merging a just-created
+   symbol — and the separator suffix check makes symbol boundaries
+   unambiguous (last symbol "xa" never matches pair-left "a").  A plain
+   string ``replace`` of "·a·b·" is NOT equivalent: it consumes the
+   shared trailing separator and skips adjacent occurrences (tested).
+
+The word representation is built with regexp_replace('(.)' -> '$1·'),
+so only ASCII-lowercase words are admitted (filter ^[a-z]+$) — one
+codepoint per symbol by construction on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.functions import text as T
+
+SEP = "·"  # '·' — never appears in ^[a-z]+$ words
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over ASCII-lowercase words of length >= 2 — the single
+    corpus-wide scan; everything after operates on this vocabulary-sized
+    table."""
+    return (
+        df.select(F.explode(F.expr(T.spark_tokens(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_rep(word_col: str = "word") -> F.Column:
+    # "abc" -> "·a·b·c·"
+    return F.concat(
+        F.lit(SEP), F.regexp_replace(F.col(word_col), "(.)", "$1" + SEP)
+    )
+
+
+def _pair_stats(reps: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent-symbol pair counts weighted by word frequency.
+    Symbols come from splitting the rep on the separator and dropping the
+    empty edge elements."""
+    syms = F.expr(f"filter(split(rep, '{SEP}'), x -> x <> '')")
+    # zip the symbol list with its shift-by-one (Spark's sequence(1, 0)
+    # DESCENDS rather than being empty, so an index-based transform blows
+    # up on single-symbol reps; the slice/zip_with form is total)
+    pairs = F.expr(
+        "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+        "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+        "(x, y) -> struct(x AS a, y AS b))"
+    )
+    return (
+        reps.select("cnt", syms.alias("syms"))
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _best_pair(stats: DataFrame) -> DataFrame:
+    """Deterministic argmax merge: 1 row (a, b, c) by (c desc, a, b)."""
+    return stats.orderBy(F.desc("c"), "a", "b").limit(1)
+
+
+def bpe_merge_rounds(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    rounds: int = 3,
+    wf: DataFrame | None = None,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges of the corpus.
+
+    Returns (round, merge_left, merge_right, pair_count) — one row per learned merge,
+    ordered by round.  Every step is DataFrame-declarative; the learned
+    merge of each round enters the next round's representation via a
+    broadcast 1-row cross join (the same tiny-scalar pattern as the
+    repo's top-supplier / max-subquery queries), so Catalyst sees one
+    DAG and the corpus never round-trips through the driver.
+
+    ``wf`` is an optional pre-built :func:`word_frequencies` table — the
+    per-corpus artifact a tokenizer-training service stores; callers that
+    serve repeated BPE queries should build + persist it once and pass
+    it in (the unrolled DAG's branches each re-evaluate their inputs, so
+    an unpersisted wf re-scans the corpus per branch).  This function
+    never persists; the caller owns the cache lifecycle.
+    """
+    if wf is None:
+        if df is None:
+            raise ValueError("bpe_merge_rounds needs df or wf")
+        wf = word_frequencies(df, text_col)
+    reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
+    results = []
+    for r in range(1, rounds + 1):
+        best = _best_pair(_pair_stats(reps))
+        results.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("merge_left"),
+                F.col("b").alias("merge_right"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        merge_fold = F.expr(
+            f"aggregate(filter(split(rep, '{SEP}'), x -> x <> ''), '{SEP}', "
+            f"(acc, x) -> CASE WHEN endswith(acc, '{SEP}' || a || '{SEP}') "
+            f"AND x = b "
+            f"THEN substring(acc, 1, length(acc) - length(a) - 1) "
+            f"|| a || b || '{SEP}' "
+            f"ELSE acc || x || '{SEP}' END)"
+        )
+        reps = reps.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", merge_fold.alias("rep")
+        )
+    out = results[0]
+    for extra in results[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+def duck_bpe_merge_sql(
+    table: str = "documents", text_col: str = "text", rounds: int = 3
+) -> str:
+    """DuckDB mirror of :func:`bpe_merge_rounds`: identical tokenizer,
+    representation, pair statistics, argmax tie-break, and left-to-right
+    ``replace`` merge semantics, with the rounds unrolled as CTE stages."""
+    toks = T.duck_tokens(text_col)
+    parts = [
+        f"""
+    wf AS (
+      SELECT w AS word, count(*) AS cnt
+      FROM (SELECT unnest({toks}) AS w FROM {table})
+      WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+      GROUP BY w
+    ),
+    r0 AS (
+      SELECT word, cnt,
+             '{SEP}' || regexp_replace(word, '(.)', '\\1{SEP}', 'g') AS rep
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"r{r - 1}"
+        parts.append(
+            f"""
+    p{r} AS (
+      SELECT p.a, p.b, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, greatest(len(syms) - 1, 0) + 1),
+                      i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p
+        FROM (SELECT cnt,
+                     list_filter(string_split(rep, '{SEP}'), x -> x <> '') AS syms
+              FROM {prev})
+      )
+      GROUP BY p.a, p.b
+    ),
+    b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    r{r} AS (
+      SELECT word, cnt,
+             list_reduce(
+               list_prepend('{SEP}',
+                 list_filter(string_split(rep, '{SEP}'), x -> x <> '')),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, '{SEP}' || b{r}.a || '{SEP}')
+                      AND x = b{r}.b
+                 THEN substr(acc, 1, length(acc) - length(b{r}.a) - 1)
+                      || b{r}.a || b{r}.b || '{SEP}'
+                 ELSE acc || x || '{SEP}' END) AS rep
+      FROM {prev} CROSS JOIN b{r}
+    )"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, a AS merge_left, b AS merge_right, c AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals

@@ -756,3 +756,163 @@ def assign_clusters_topp(
         .filter(F.col("probe_rank") <= p)
         .select("id", "cluster_id", "probe_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (positional window dedup)
+# ---------------------------------------------------------------------------
+
+
+def _spark_pos_windows(col: str, w: int) -> str:
+    """ALL word w-gram windows of ``col`` in position order (NOT
+    distinct — a span repeated inside one document contributes one
+    window per occurrence, which is what span-fraction accounting
+    needs; contrast text.spark_word_shingles, which dedups)."""
+    toks = T.spark_tokens(col)
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {w - 1}, 0)), "
+        f"i -> array_join(slice({toks}, i, {w}), '_'))"
+    )
+
+
+def _duck_pos_windows(col: str, w: int) -> str:
+    toks = T.duck_tokens(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {w - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), '_'))"
+    )
+
+
+def span_dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    w: int = 8,
+) -> DataFrame:
+    """Exact substring-span dedup profile, rolled up per ``group_col``:
+    for every document, every positional word ``w``-gram window; a window
+    is DUPLICATED when its exact text occurs in >= 2 distinct documents
+    (the span-level dedup signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — doc-level dedup misses
+    boilerplate spans embedded in otherwise-unique pages; word windows
+    stand in for the paper's 50-token windows).
+
+    Returns (group, n_docs, n_windows, n_dup_windows, dup_fraction).
+
+    Scale shape: the window explode is narrow (O(total tokens) rows, like
+    word count); the span aggregation is ONE shuffle with map-side
+    combine on the span key; the dup-span back-join is a shuffle
+    equi-join on the same key (skew on a viral span is AQE-split); the
+    per-doc and per-group rollups reduce monotonically.  Nothing is ever
+    pairwise — cost is linear in corpus tokens at any scale.
+    """
+    win = F.expr(_spark_pos_windows(text_col, w))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(win).alias("span"),
+    )
+    span_docs = exploded.groupBy("span").agg(
+        F.count_distinct("id").alias("nd")
+    )
+    per_doc = (
+        exploded.join(span_docs, "span")
+        .groupBy("id")
+        .agg(
+            F.first("grp").alias("grp"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_windows").alias("n_windows"),
+            F.sum("n_dup").alias("n_dup_windows"),
+            F.round(
+                F.sum("n_dup").cast("double") / F.sum("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def duck_span_dup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    w: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`span_dup_profile` (same tokenizer, same
+    window layout, BIGINT-cast sums for dtype parity)."""
+    return f"""
+    WITH win AS (
+      SELECT {id_col} AS id, {group_col} AS grp,
+             unnest({_duck_pos_windows(text_col, w)}) AS span
+      FROM {table}
+    ),
+    sd AS (SELECT span, count(DISTINCT id) AS nd FROM win GROUP BY span),
+    per AS (
+      SELECT win.id, any_value(win.grp) AS grp,
+             count(*) AS n_windows,
+             sum(CASE WHEN sd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM win JOIN sd USING (span)
+      GROUP BY win.id
+    )
+    SELECT grp AS {group_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+           round(CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_windows) AS DOUBLE), 6)
+             AS dup_fraction
+    FROM per GROUP BY grp
+    """
+
+
+def span_hot_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    top: int = 15,
+) -> DataFrame:
+    """The most-replicated exact spans: (span, n_docs, n_occurrences),
+    deterministic top-``top`` by (n_docs desc, n_occurrences desc, span).
+    The triage view a curation team reads before writing span-removal
+    rules; plans as explode -> one keyed agg -> TakeOrderedAndProject."""
+    win = F.expr(_spark_pos_windows(text_col, w))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(win).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(top)
+    )
+
+
+def duck_span_hot_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    top: int = 15,
+) -> str:
+    return f"""
+    WITH win AS (
+      SELECT {id_col} AS id,
+             unnest({_duck_pos_windows(text_col, w)}) AS span
+      FROM {table}
+    )
+    SELECT span, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM win GROUP BY span
+    HAVING count(DISTINCT id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT {top}
+    """

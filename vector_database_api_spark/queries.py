@@ -6526,3 +6526,69 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
         )
     )
+
+
+from vector_database_api_spark.operators import bpe as bpe_mod  # noqa: E402
+
+
+@register(
+    "span_dedup_by_source",
+    dedup_mod.duck_span_dup_sql(w=8),
+)
+def span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-SPAN dedup profile per source (Lee et al. 2022:
+    span-level dedup catches boilerplate embedded in otherwise-unique
+    documents, which every doc-level method in this repo misses by
+    construction).  Positional word 8-gram windows; a window is
+    duplicated when its exact text occurs in >= 2 distinct docs.  Plan:
+    narrow explode -> one keyed agg (map-side combine) -> shuffle
+    equi-join back on the span key -> monotone rollups; linear in corpus
+    tokens, never pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_mod.span_dup_profile(docs, w=8)
+
+
+@register(
+    "span_dedup_hot_spans",
+    dedup_mod.duck_span_hot_sql(w=8, top=15),
+)
+def span_dedup_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-replicated exact spans (the triage list behind span-removal
+    rules): word 8-grams in >= 2 docs, deterministic top-15 by
+    (n_docs, n_occurrences, span).  Explode -> keyed agg ->
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_mod.span_hot_spans(docs, w=8, top=15)
+
+
+def _cached_bpe_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt) corpus word-frequency table, persisted once per
+    sf_dir — the stored artifact of a tokenizer-training service (like
+    the PMI gram counts); BPE rounds are query-time derivations over it,
+    and without the cache every unrolled round branch would re-scan the
+    corpus."""
+    key = ("bpe-wf", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        wf = bpe_mod.word_frequencies(docs).persist()
+        wf.count()
+        _SERVING_INDEXES[key] = wf
+    return _SERVING_INDEXES[key]
+
+
+@register(
+    "bpe_merge_rounds",
+    bpe_mod.duck_bpe_merge_sql(rounds=3),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the corpus (Sennrich et al. 2016)
+    as one declarative DAG: corpus -> word-frequency table (the served
+    per-corpus artifact, `_cached_bpe_wf`) -> per-round pair stats over
+    the vocabulary-sized rep table -> deterministic argmax merge
+    broadcast into a boundary-safe greedy merge fold.  The DuckDB oracle
+    unrolls the identical rounds as CTE stages, so merge choices AND
+    counts value-hash match — tokenizer-training statistics as a query,
+    not a driver loop."""
+    return bpe_mod.bpe_merge_rounds(wf=_cached_bpe_wf(spark, sf_dir), rounds=3)
