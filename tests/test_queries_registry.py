@@ -112,12 +112,14 @@ def test_bench_headline_is_registered():
     assert set(q.oracle_queries()) <= set(q.spark_queries())
     # the demo tier exists to keep the driver sample hash-checkable; it
     # must stay limited to the self-training ANN twins whose frozen
-    # siblings carry the oracle
+    # siblings carry the oracle, plus the fake-codec multimodal_features
+    # superseded by the oracle-checked multimodal_png_roundtrip
     assert set(q.demo_queries()) == {
         "ivf_search_topk",
         "pq_search_topk",
         "ivfpq_search_topk",
         "pq_refined_search_topk",
+        "multimodal_features",
     }
     assert not (set(q.demo_queries()) & set(q.spark_queries()))
 
