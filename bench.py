@@ -167,6 +167,8 @@ HEADLINE = [
     "span_dedup_by_source",
     "span_dedup_hot_spans",
     "bpe_merge_rounds",
+    "bloom_prefilter_revenue",
+    "char_entropy_by_source",
 ]
 
 

@@ -6592,3 +6592,109 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts value-hash match — tokenizer-training statistics as a query,
     not a driver loop."""
     return bpe_mod.bpe_merge_rounds(wf=_cached_bpe_wf(spark, sf_dir), rounds=3)
+
+
+from vector_database_api_spark.operators import bloom as bloom_mod  # noqa: E402
+
+
+@register(
+    "bloom_prefilter_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by priority for one customer segment, with the
+    fact side pre-filtered through an explicit broadcast Bloom bitset
+    before the exact semi-join (`operators/bloom.py`).  The DuckDB
+    oracle is the PLAIN semi-join — the driver's value hash therefore
+    proves the bloom stage is the identity on results (same proof
+    pattern as `salted_join_cohort_rollup`).  At 100 TB the 8 KiB
+    bitset broadcast drops the non-matching fraction of the fact scan
+    before it reaches the join exchange; false positives ride through
+    and are removed by the exact semi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    semi = bloom_mod.bloom_semi_join(orders, keys, "o_custkey")
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "char_entropy_by_source",
+    """
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, source, ch, count(*) AS c
+      FROM ch GROUP BY doc_id, source, ch
+    ),
+    doc AS (
+      SELECT doc_id, source,
+             (ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2) AS h
+      FROM cc GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(h), 4) AS mean_entropy_bits,
+           CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_entropy_docs
+    FROM doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, rolled up per
+    source — the classic cheap quality screen (low-entropy docs are
+    repeated-char/boilerplate junk; gzip-ratio's deterministic cousin).
+    Entropy is computed as (ln n − Σ c·ln c / n) / ln 2 from exact
+    integer char counts, so both engines feed identical doubles into
+    the ln they already agree on (`pmi_collocations` precedent) instead
+    of trusting cross-engine log2 parity.  Plan: narrow per-char
+    explode (no shuffle) → (doc, char) keyed agg with map-side combine
+    → per-doc entropy → per-source rollup; linear in corpus bytes,
+    same posture as the token-explode queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "source", "ch").agg(F.count("*").alias("c"))
+    doc = cc.groupBy("doc_id", "source").agg(
+        (
+            (
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            )
+            / F.log(F.lit(2.0))
+        ).alias("h")
+    )
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("mean_entropy_bits"),
+            F.sum(F.when(F.col("h") < 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("low_entropy_docs"),
+        )
+        .orderBy("source")
+    )
