@@ -169,6 +169,7 @@ HEADLINE = [
     "bpe_merge_rounds",
     "bloom_prefilter_revenue",
     "char_entropy_by_source",
+    "jl_projection_fidelity",
 ]
 
 

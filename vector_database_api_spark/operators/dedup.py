@@ -783,12 +783,38 @@ def _duck_pos_windows(col: str, w: int) -> str:
     )
 
 
-def span_dup_profile(
+def span_occurrences(
     df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    w: int = 8,
+) -> DataFrame:
+    """(span, id[, grp], occ) — one row per (window text, document):
+    the span OCCURRENCE TABLE a span-dedup pipeline stores (the index
+    artifact, like the MinHash signature table).  The window explode is
+    narrow; the (span, id) groupBy is map-side combinable and collapses
+    within-doc repeats, so every downstream stage shuffles one row per
+    (span, doc) instead of one per window occurrence.  Both span
+    queries derive from this one table — build it once, persist it."""
+    win = F.expr(_spark_pos_windows(text_col, w))
+    cols = [F.col(id_col).alias("id")]
+    if group_col is not None:
+        cols.append(F.col(group_col).alias("grp"))
+    exploded = df.select(*cols, F.explode(win).alias("span"))
+    aggs = [F.count(F.lit(1)).alias("occ")]
+    if group_col is not None:
+        aggs.insert(0, F.first("grp").alias("grp"))
+    return exploded.groupBy("span", "id").agg(*aggs)
+
+
+def span_dup_profile(
+    df: DataFrame = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
     w: int = 8,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring-span dedup profile, rolled up per ``group_col``:
     for every document, every positional word ``w``-gram window; a window
@@ -800,29 +826,27 @@ def span_dup_profile(
 
     Returns (group, n_docs, n_windows, n_dup_windows, dup_fraction).
 
-    Scale shape: the window explode is narrow (O(total tokens) rows, like
-    word count); the span aggregation is ONE shuffle with map-side
-    combine on the span key; the dup-span back-join is a shuffle
-    equi-join on the same key (skew on a viral span is AQE-split); the
-    per-doc and per-group rollups reduce monotonically.  Nothing is ever
-    pairwise — cost is linear in corpus tokens at any scale.
+    Scale shape: everything derives from the (span, id, occ) occurrence
+    table (``span_occurrences`` — pass a persisted one via ``occ`` to
+    share it across queries).  The doc-frequency of a span is a window
+    count over the span partition — one shuffle on the span key, NO
+    self-join back through the exploded lineage (skew on a viral span
+    is AQE-split); the per-doc and per-group rollups reduce
+    monotonically.  Nothing is ever pairwise — cost is linear in corpus
+    tokens at any scale.
     """
-    win = F.expr(_spark_pos_windows(text_col, w))
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(group_col).alias("grp"),
-        F.explode(win).alias("span"),
-    )
-    span_docs = exploded.groupBy("span").agg(
-        F.count_distinct("id").alias("nd")
-    )
+    if occ is None:
+        occ = span_occurrences(df, text_col, id_col, group_col, w)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("span"))
     per_doc = (
-        exploded.join(span_docs, "span")
+        occ.withColumn("nd", nd)
         .groupBy("id")
         .agg(
             F.first("grp").alias("grp"),
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.sum("occ").alias("n_windows"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("occ")).otherwise(F.lit(0))
+            ).alias("n_dup"),
         )
     )
     return (
@@ -872,23 +896,26 @@ def duck_span_dup_sql(
 
 
 def span_hot_spans(
-    df: DataFrame,
+    df: DataFrame = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 8,
     top: int = 15,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """The most-replicated exact spans: (span, n_docs, n_occurrences),
     deterministic top-``top`` by (n_docs desc, n_occurrences desc, span).
     The triage view a curation team reads before writing span-removal
-    rules; plans as explode -> one keyed agg -> TakeOrderedAndProject."""
-    win = F.expr(_spark_pos_windows(text_col, w))
+    rules; over the (span, id, occ) occurrence table the rows are
+    already unique per (span, doc), so doc-frequency is a plain count —
+    one keyed agg -> TakeOrderedAndProject."""
+    if occ is None:
+        occ = span_occurrences(df, text_col, id_col, None, w)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(win).alias("span"))
-        .groupBy("span")
+        occ.groupBy("span")
         .agg(
-            F.count_distinct("id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")

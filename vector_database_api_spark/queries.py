@@ -6531,6 +6531,21 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 from vector_database_api_spark.operators import bpe as bpe_mod  # noqa: E402
 
 
+def _cached_span_occ(spark: SparkSession, sf_dir: str, w: int = 8) -> DataFrame:
+    """(span, id, grp, occ) span occurrence table, persisted once per
+    sf_dir — the stored artifact of a span-dedup pipeline (the analogue
+    of the MinHash signature table): the window explode and the
+    (span, doc) collapse are paid once, and both span queries are
+    cheap derivations over it."""
+    key = ("span-occ", sf_dir, w)
+    if key not in _SERVING_INDEXES:
+        docs = load_table(spark, sf_dir, "documents")
+        occ = dedup_mod.span_occurrences(docs, w=w).persist()
+        occ.count()
+        _SERVING_INDEXES[key] = occ
+    return _SERVING_INDEXES[key]
+
+
 @register(
     "span_dedup_by_source",
     dedup_mod.duck_span_dup_sql(w=8),
@@ -6541,11 +6556,11 @@ def span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, which every doc-level method in this repo misses by
     construction).  Positional word 8-gram windows; a window is
     duplicated when its exact text occurs in >= 2 distinct docs.  Plan:
-    narrow explode -> one keyed agg (map-side combine) -> shuffle
-    equi-join back on the span key -> monotone rollups; linear in corpus
-    tokens, never pairwise."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_mod.span_dup_profile(docs, w=8)
+    persisted (span, doc) occurrence artifact (`_cached_span_occ`) ->
+    doc-frequency as a window count over the span partition (no
+    self-join back through the exploded lineage) -> monotone rollups;
+    linear in corpus tokens, never pairwise."""
+    return dedup_mod.span_dup_profile(occ=_cached_span_occ(spark, sf_dir), w=8)
 
 
 @register(
@@ -6555,10 +6570,13 @@ def span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_dedup_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-replicated exact spans (the triage list behind span-removal
     rules): word 8-grams in >= 2 docs, deterministic top-15 by
-    (n_docs, n_occurrences, span).  Explode -> keyed agg ->
+    (n_docs, n_occurrences, span).  Shares the persisted occurrence
+    artifact with `span_dedup_by_source`; rows there are unique per
+    (span, doc), so doc-frequency is a plain count — one keyed agg ->
     TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_mod.span_hot_spans(docs, w=8, top=15)
+    return dedup_mod.span_hot_spans(
+        occ=_cached_span_occ(spark, sf_dir), w=8, top=15
+    )
 
 
 def _cached_bpe_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6697,4 +6715,67 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_entropy_docs"),
         )
         .orderBy("source")
+    )
+
+
+from vector_database_api_spark.operators import projection as proj_mod  # noqa: E402
+
+
+@register(
+    "jl_projection_fidelity",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             {proj_mod.duck_project_sql('embedding', 64, 16)} AS proj
+      FROM embeddings WHERE vec_id % 29 = 0
+    ),
+    p AS (
+      SELECT {duck_cosine('a.embedding', 'b.embedding')} AS cf,
+             {duck_cosine('a.proj', 'b.proj')} AS cp
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cf * 10) AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(cf - cp)), 4) AS mean_abs_err,
+           round(max(abs(cf - cp)), 4) AS max_abs_err
+    FROM p GROUP BY band ORDER BY band
+    """,
+)
+def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 projection fidelity audit
+    (`operators/projection.py`): project a deterministic sample, expand
+    the a<b pairs, and report |cos_full − cos_projected| error stats per
+    similarity band — the measurement a pipeline reads before trusting
+    the projected space to gate near-dup candidates.  The ±1 sign
+    matrix is pure integer arithmetic evaluated identically by both
+    engines, and the fold order matches `functions/oracle.py`, so the
+    projection itself is bit-exact cross-engine (the production seeded-
+    Gaussian BLAS path is `gaussian_project_udf`, pytest-measured).
+    Pair expansion is sample-bounded; the projection is one narrow
+    JVM-side map over the sample."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 29 == 0
+    )
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(proj_mod.spark_project_sql("embedding", 64, 16)).alias("proj"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cf"),
+        cosine_similarity(F.col("a.proj"), F.col("b.proj")).alias("cp"),
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("cf") * 10).cast("int").alias("band"),
+            (F.abs(F.col("cf") - F.col("cp"))).alias("err"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("err"), 4).alias("mean_abs_err"),
+            F.round(F.max("err"), 4).alias("max_abs_err"),
+        )
+        .orderBy("band")
     )
