@@ -6779,3 +6779,174 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "data_quality_report",
+    """
+    SELECT 'customer' AS entity, 'row_count' AS metric,
+           CAST(count(*) AS BIGINT) AS value FROM customer
+    UNION ALL
+    SELECT 'customer', 'duplicate_pk',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'customer', 'negative_acctbal',
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders', 'row_count', CAST(count(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders', 'null_custkey',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'nonpositive_totalprice',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'fk_violations_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem', 'row_count', CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk_violations_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'documents', 'row_count', CAST(count(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'documents', 'empty_text',
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', 'row_count', CAST(count(*) AS BIGINT) FROM embeddings
+    UNION ALL
+    SELECT 'embeddings', 'wrong_dim',
+           CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    ORDER BY entity, metric
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit as ONE query: per-table constraint
+    metrics (duplicate PKs, nulls, range violations, dimension checks)
+    computed in a SINGLE pass per table via a multi-expression aggregate
+    unpivoted with `stack`, plus FK-violation counts as broadcast
+    anti-joins.  This is the admission report a 100 TB ingest runs
+    before data reaches training; one scan per table regardless of how
+    many constraints are attached (reference has nothing comparable —
+    its integrity audit, storage.py:278-306, walks dicts; SURVEY S10
+    generalized)."""
+
+    def unpivot(entity: str, agg_df: DataFrame, metrics: list[str]) -> DataFrame:
+        n = len(metrics)
+        pairs = ", ".join(f"'{m}', `{m}`" for m in metrics)
+        return agg_df.selectExpr(
+            f"'{entity}' AS entity", f"stack({n}, {pairs}) AS (metric, value)"
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    one = F.lit(1)
+    zero = F.lit(0)
+    parts = [
+        unpivot(
+            "customer",
+            cust.agg(
+                F.count("*").alias("row_count"),
+                (F.count("*") - F.count_distinct("c_custkey")).alias(
+                    "duplicate_pk"
+                ),
+                F.sum(F.when(F.col("c_acctbal") < 0, one).otherwise(zero)).alias(
+                    "negative_acctbal"
+                ),
+            ),
+            ["row_count", "duplicate_pk", "negative_acctbal"],
+        ),
+        unpivot(
+            "orders",
+            orders.agg(
+                F.count("*").alias("row_count"),
+                F.sum(
+                    F.when(F.col("o_custkey").isNull(), one).otherwise(zero)
+                ).alias("null_custkey"),
+                F.sum(
+                    F.when(F.col("o_totalprice") <= 0, one).otherwise(zero)
+                ).alias("nonpositive_totalprice"),
+            ),
+            ["row_count", "null_custkey", "nonpositive_totalprice"],
+        ),
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.lit("orders").alias("entity"),
+            F.lit("fk_violations_customer").alias("metric"),
+            "value",
+        ),
+        unpivot(
+            "lineitem",
+            li.agg(
+                F.count("*").alias("row_count"),
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                        one,
+                    ).otherwise(zero)
+                ).alias("discount_out_of_range"),
+            ),
+            ["row_count", "discount_out_of_range"],
+        ),
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.lit("lineitem").alias("entity"),
+            F.lit("fk_violations_orders").alias("metric"),
+            "value",
+        ),
+        unpivot(
+            "documents",
+            docs.agg(
+                F.count("*").alias("row_count"),
+                F.sum(
+                    F.when(
+                        F.col("text").isNull() | (F.length("text") == 0),
+                        one,
+                    ).otherwise(zero)
+                ).alias("empty_text"),
+            ),
+            ["row_count", "empty_text"],
+        ),
+        unpivot(
+            "embeddings",
+            emb.agg(
+                F.count("*").alias("row_count"),
+                F.sum(
+                    F.when(F.size("embedding") != 64, one).otherwise(zero)
+                ).alias("wrong_dim"),
+            ),
+            ["row_count", "wrong_dim"],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("entity", "metric")
