@@ -170,6 +170,7 @@ HEADLINE = [
     "bloom_prefilter_revenue",
     "char_entropy_by_source",
     "jl_projection_fidelity",
+    "data_quality_report",
 ]
 
 

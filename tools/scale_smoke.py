@@ -566,6 +566,59 @@ def main() -> None:
 
     results["knn_join_blas_sec"], _ = timed(knn_join_blas)
 
+    # round-5 engineered-skew cases: the span doc-frequency and the
+    # keep-first dedup family were rewritten from windows over
+    # content keys (single-task per partition, never AQE-split) to
+    # combinable groupBy(+join) shapes.  These cases build the
+    # adversarial key on purpose — one viral 8-gram in ~100k docs and
+    # one 100k-way exact-duplicate group — and verify the plan is
+    # Window-free and completes without a single-task hot partition.
+    import contextlib
+    import io
+
+    def _plan_text(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def viral_span():
+        viral = (
+            "this exact boilerplate license footer sentence repeats "
+            "verbatim everywhere"
+        )
+        vdocs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(viral + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        prof = D.span_dup_profile(vdocs, w=8)
+        plan = _plan_text(prof)
+        assert "Window" not in plan, "span profile plan regressed to a window"
+        return prof.count()
+
+    results["viral_span_profile_sec"], _ = timed(viral_span)
+
+    def giant_dup_group():
+        one = docs.limit(1).drop("doc_id")
+        big = (
+            spark.range(100_000)
+            .select((F.col("id") + 1_000_000_000).alias("doc_id"))
+            .crossJoin(F.broadcast(one))
+            .select(*docs.columns)
+        )
+        union = docs.unionByName(big)
+        out = D.exact_dedup(union)
+        plan = _plan_text(out)
+        assert "Window" not in plan, "exact_dedup plan regressed to a window"
+        return out.count()
+
+    results["giant_dup_group_dedup_sec"], results["giant_dup_survivors"] = timed(
+        giant_dup_group
+    )
+
     print(
         json.dumps(
             {

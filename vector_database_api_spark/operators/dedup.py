@@ -46,13 +46,22 @@ def exact_dedup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep the lowest-id row per exact content hash (deterministic
-    keep-first; ``dropDuplicates`` would keep an arbitrary row)."""
+    keep-first; ``dropDuplicates`` would keep an arbitrary row).
+
+    Implemented as ONE combinable aggregate — ``min_by(struct(*), id)``
+    per hash — NOT ``row_number`` over ``Window.partitionBy(hash)``:
+    a window partition runs on a single task and AQE never skew-splits
+    windows, so a 100k-way duplicate group (the expected case in a web
+    corpus — PLANS.md's round-1 MinHash lesson) would serialize onto
+    one executor.  ``min_by`` partial-aggregates map-side, so each map
+    task forwards ONE candidate row per (hash) it sees — the shuffle
+    carries surviving candidates, not the whole duplicate group."""
     h = F.md5(F.col(text_col).cast("binary"))
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    keep = F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_keep")
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(h.alias("_h"))
+        .agg(keep)
+        .select("_keep.*")
     )
 
 
@@ -828,24 +837,34 @@ def span_dup_profile(
 
     Scale shape: everything derives from the (span, id, occ) occurrence
     table (``span_occurrences`` — pass a persisted one via ``occ`` to
-    share it across queries).  The doc-frequency of a span is a window
-    count over the span partition — one shuffle on the span key, NO
-    self-join back through the exploded lineage (skew on a viral span
-    is AQE-split); the per-doc and per-group rollups reduce
-    monotonically.  Nothing is ever pairwise — cost is linear in corpus
-    tokens at any scale.
+    share it across queries).  The doc-frequency of a span is a
+    ``groupBy("span").count()`` — the partial aggregate combines
+    map-side — joined back on ``span``, filtered to nd >= 2 first so
+    the join's build side holds only the (rare) duplicated spans.
+    Deliberately NOT a window over ``partitionBy("span")``: a window
+    partition is processed by a single task and AQE never skew-splits
+    windows, so one viral boilerplate span (the exact thing this
+    operator exists to find) would serialize its whole row set onto one
+    executor; the shuffle JOIN on ``span`` IS AQE-skew-splittable.  The
+    per-doc and per-group rollups reduce monotonically.  Nothing is
+    ever pairwise — cost is linear in corpus tokens at any scale.
     """
     if occ is None:
         occ = span_occurrences(df, text_col, id_col, group_col, w)
-    nd = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    dup_spans = (
+        occ.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(True).alias("is_dup"))
+    )
     per_doc = (
-        occ.withColumn("nd", nd)
+        occ.join(dup_spans, "span", "left")
         .groupBy("id")
         .agg(
             F.first("grp").alias("grp"),
             F.sum("occ").alias("n_windows"),
             F.sum(
-                F.when(F.col("nd") >= 2, F.col("occ")).otherwise(F.lit(0))
+                F.when(F.col("is_dup"), F.col("occ")).otherwise(F.lit(0))
             ).alias("n_dup"),
         )
     )

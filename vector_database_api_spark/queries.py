@@ -1752,16 +1752,17 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     kept = scored.filter(F.col("z") >= 0.0)
-    # keep-first as ONE ranking pass: the groupBy-min + back-join form
-    # evaluates the whole signal scan twice (once per join branch); the
-    # window computes the same survivor set in a single pass
-    survivors = (
-        kept.withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "source", "n_tok")
+    # keep-first as ONE combinable aggregate: min_by per fingerprint
+    # partial-aggregates map-side, so the fp shuffle carries one
+    # candidate per (map task, fp) instead of the whole duplicate
+    # group.  Still a single pass over the signal scan (unlike a
+    # groupBy-min + back-join), and unlike row_number over
+    # Window.partitionBy(fp) a giant duplicate group cannot serialize
+    # onto one task (AQE never skew-splits window partitions).
+    survivors = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tok", "doc_id").alias("n_tok"),
     )
     bucket = F.expr(text_fns.spark_hash60("CAST(doc_id AS STRING)")) % 100
     split = (
@@ -5246,26 +5247,35 @@ def window_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-char windows, keep only the globally FIRST occurrence of each
     window text ((doc_id, idx) order), and rebuild each document from
     its surviving windows in position order.  Shapes: one fan-out
-    (chunking, zero shuffle), one ranking shuffle keyed on window text,
-    one per-doc rollup.  Returns per-doc window/keep counts plus the
-    md5 of the rebuilt text (compact, hash-checkable proof of the
+    (chunking, zero shuffle), a combinable ``min(struct(doc_id,
+    chunk_idx))`` per window text joined back on the text key (NOT
+    ``row_number`` over ``Window.partitionBy(chunk_text)`` — a viral
+    boilerplate window would serialize its whole occurrence set onto
+    one task, and AQE never skew-splits window partitions, while the
+    equi-JOIN on chunk_text IS skew-splittable), then one per-doc
+    rollup.  Returns per-doc window/keep counts plus the md5 of the
+    rebuilt text (compact, hash-checkable proof of the
     reconstruction)."""
     docs = load_table(spark, sf_dir, "documents")
     wins = chunking_mod.chunk_documents(
         docs, chunk_size=60, overlap=0
     ).filter(F.col("n_chunk_chars") > 0)
-    rn = F.row_number().over(
-        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    keepers = wins.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_k")
     )
-    r = wins.withColumn("rn", rn)
+    r = wins.join(keepers, "chunk_text").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("_k.doc_id"))
+        & (F.col("chunk_idx") == F.col("_k.chunk_idx")),
+    )
     kept_struct = F.when(
-        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+        F.col("is_first"), F.struct("chunk_idx", "chunk_text")
     )
     return r.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
         F.sum(
-            F.when(F.col("rn") == 1, F.col("n_chunk_chars")).otherwise(0)
+            F.when(F.col("is_first"), F.col("n_chunk_chars")).otherwise(0)
         ).alias("clean_len"),
         F.md5(
             F.array_join(
@@ -6557,9 +6567,10 @@ def span_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction).  Positional word 8-gram windows; a window is
     duplicated when its exact text occurs in >= 2 distinct docs.  Plan:
     persisted (span, doc) occurrence artifact (`_cached_span_occ`) ->
-    doc-frequency as a window count over the span partition (no
-    self-join back through the exploded lineage) -> monotone rollups;
-    linear in corpus tokens, never pairwise."""
+    doc-frequency as a map-side-combinable groupBy joined back on the
+    span key (AQE-skew-splittable, unlike a window over the span
+    partition, which would serialize a viral span onto one task) ->
+    monotone rollups; linear in corpus tokens, never pairwise."""
     return dedup_mod.span_dup_profile(occ=_cached_span_occ(spark, sf_dir), w=8)
 
 
@@ -6806,7 +6817,8 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orders', 'fk_violations_customer',
            CAST(count(*) AS BIGINT)
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     UNION ALL
     SELECT 'lineitem', 'row_count', CAST(count(*) AS BIGINT) FROM lineitem
     UNION ALL
@@ -6817,7 +6829,8 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem', 'fk_violations_orders',
            CAST(count(*) AS BIGINT)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
     SELECT 'documents', 'row_count', CAST(count(*) AS BIGINT) FROM documents
     UNION ALL
@@ -6843,7 +6856,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before data reaches training; one scan per table regardless of how
     many constraints are attached (reference has nothing comparable —
     its integrity audit, storage.py:278-306, walks dicts; SURVEY S10
-    generalized)."""
+    generalized).  FK violations use NOT EXISTS in the oracle (not
+    NOT IN) so a NULL FK row counts as a violation on both engines,
+    matching Spark's left_anti semantics."""
 
     def unpivot(entity: str, agg_df: DataFrame, metrics: list[str]) -> DataFrame:
         n = len(metrics)
