@@ -171,6 +171,7 @@ HEADLINE = [
     "char_entropy_by_source",
     "jl_projection_fidelity",
     "data_quality_report",
+    "knn_join_trained_multiprobe",
 ]
 
 

@@ -276,3 +276,39 @@ def test_all_python_seams_are_arrow_batched(spark, sf_dir):
     ):
         a = audit_plan(q.spark_queries()[name](spark, sf_dir))
         assert a["row_python_udfs"] == 0, name
+
+
+def test_window_partition_key_extraction(spark):
+    """The window-skew gate's parser (plans/audit.py) reads the keys a
+    physical Window node partitions by: partitioned, order-less
+    partitioned, and GLOBAL (no partition spec -> one task for all
+    input, reported as <global>) forms all print Arguments differently."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("g", F.col("id") % 3)
+    ranked = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert audit_plan(ranked)["window_partition_keys"] == {"g"}
+    unordered = df.withColumn("mx", F.max("id").over(Window.partitionBy("g")))
+    assert audit_plan(unordered)["window_partition_keys"] == {"g"}
+    glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert audit_plan(glob)["window_partition_keys"] == {"<global>"}
+
+
+def test_dedup_keep_first_plans_are_window_free(spark, sf_dir):
+    """The keep-first family and the span doc-frequency profile must not
+    plan a Window over an unbounded content key (hash / span / chunk
+    text): window partitions are single-task and AQE never skew-splits
+    them, so a giant duplicate group would serialize.  Rewritten round 5
+    to combinable aggregates; this pins the shape."""
+    for name in (
+        "dedup_exact_keep_first",
+        "window_dedup_rebuild",
+        "curation_pipeline_summary",
+        "span_dedup_by_source",
+        "span_dedup_hot_spans",
+    ):
+        a = audit_plan(q.spark_queries()[name](spark, sf_dir))
+        assert a["window_partition_keys"] == set(), name

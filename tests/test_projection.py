@@ -25,11 +25,14 @@ def _cos(a, b):
 
 
 def test_gaussian_path_matches_numpy_and_preserves_cosine(emb):
-    rows = emb.limit(100).collect()
+    # orderBy pins row identity across the two collects — limit without
+    # orderBy has no guaranteed order once the source is multi-file
+    sample = emb.orderBy("vec_id").limit(100)
+    rows = sample.collect()
     vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
     udf = P.gaussian_project_udf(64, 32, seed=7)
     got = np.array(
-        [r["p"] for r in emb.limit(100).select(udf("embedding").alias("p")).collect()]
+        [r["p"] for r in sample.select(udf("embedding").alias("p")).collect()]
     )
     rng = np.random.default_rng(7)
     mat = rng.standard_normal((64, 32)) / np.sqrt(32)

@@ -120,11 +120,17 @@ def test_bench_headline_is_registered():
         "ivfpq_search_topk",
         "pq_refined_search_topk",
         "multimodal_features",
+        # trained-centroid x p=4 kNN-join layout: the ann_quality grid's
+        # recommended point made runnable; its frozen-centroid twin
+        # knn_join_multiprobe_topk carries the oracle
+        "knn_join_trained_multiprobe",
     }
     assert not (set(q.demo_queries()) & set(q.spark_queries()))
 
 
-@pytest.mark.parametrize("name", ["ivf_search_topk", "pq_search_topk"])
+@pytest.mark.parametrize(
+    "name", ["ivf_search_topk", "pq_search_topk", "knn_join_trained_multiprobe"]
+)
 def test_demo_queries_run(spark, sf_dir, name):
     """Demo-tier (self-training) queries still execute and return top-k
     rows at sf0.001 — they are out of the driver registry, not out of

@@ -52,4 +52,44 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
                 plan,
             )
         ),
+        "window_partition_keys": window_partition_keys(plan),
     }
+
+
+def window_partition_keys(plan: str) -> set[str]:
+    """Base column names every Window node in ``plan`` partitions by.
+
+    Why this is audited: a window partition is processed by a SINGLE
+    task and AQE never skew-splits windows (it splits skewed joins and
+    aggregations only), so ``Window.partitionBy`` over an
+    unbounded-cardinality content key (a text fingerprint, a span, a
+    chunk body) serializes the hottest key's whole row set onto one
+    executor at scale.  Bounded keys (a query id, a user id, a dim
+    attribute) are fine — per-key row counts don't grow with corpus
+    size.  tools/plan_report.py keeps the allowlist of bounded keys;
+    anything else appearing here is a regression (round-4 verdict: the
+    span doc-frequency window).  An empty partition spec (a GLOBAL
+    window — one task for the whole input) is reported as ``<global>``."""
+    keys: set[str] = set()
+    for m in re.finditer(
+        r"\(\d+\) Window\n(?:.*\n)*?Arguments: \[.*?\](.*)", plan
+    ):
+        # Arguments prints [exprs] then only the NON-EMPTY specs:
+        # [exprs], [part], [order] / [exprs], [part] (no order) /
+        # [exprs], [order] (GLOBAL window).  A partition list never
+        # carries sort direction, so ASC/DESC identifies an order spec.
+        rest = m.group(1)
+        lists = re.findall(r"\[(.*?)\]", rest)
+        part = None
+        if lists:
+            first = lists[0]
+            if not re.search(r"\b(?:ASC|DESC)\b", first):
+                part = first
+        if part is None:
+            keys.add("<global>")
+            continue
+        for tok in part.split(","):
+            name = tok.strip().split("#")[0]
+            if name:
+                keys.add(name)
+    return keys

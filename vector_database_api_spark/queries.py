@@ -6494,6 +6494,99 @@ def knn_join_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_trained_multiprobe(
+    spark: SparkSession, sf_dir: str, k: int = 20, p: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """(store, probes): the TRAINED-centroid kNN-join serving layout —
+    seeded MLlib KMeans (k=20, seed=42, the exact grid point
+    tools/ann_quality.py measures), storage assignment at p=1 with
+    staged norms, and the query probe map at probe_rank <= p —
+    persisted once per sf_dir.  Training cost is paid once (bounded:
+    2k-row corpus at bench scale; a 100 TB system trains on a sample,
+    operators/ivf.py does exactly that) and every query-time derivation
+    is codegen joins over the artifacts."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = ("trained-multiprobe", sf_dir, k, p)
+    if key not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings")
+        km_in = embs.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            )
+        )
+        km = KMeans(k=k, seed=42, maxIter=10).fit(km_in)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(km.clusterCenters())
+            ],
+            "cluster_id int, cvec array<double>",
+        )
+        assigned = dedup_mod.assign_clusters(embs, cents, id_col="vec_id")
+        store = (
+            embs.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+            )
+            .join(assigned, "id")
+            .select("id", "v", "cluster_id", vec_norm2("v").alias("nn2"))
+            .persist()
+        )
+        store.count()
+        probes = (
+            dedup_mod.assign_clusters_topp(embs, cents, p=p, id_col="vec_id")
+            .select("id", "cluster_id")
+            .persist()
+        )
+        probes.count()
+        _SERVING_INDEXES[key] = (store, probes)
+    return _SERVING_INDEXES[key]
+
+
+@register_demo("knn_join_trained_multiprobe")
+def knn_join_trained_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED production layout for the full kNN join, as a
+    runnable query: trained centroids (seeded KMeans k=20) x multi-probe
+    p=4 — the recommended point of the ann_quality grid (recall@2 0.59
+    vs 0.47 for frozen-centroid p=4 and 0.25 for trained p=1; ceiling
+    note in PLANS.md).  Same shape as knn_join_multiprobe_topk: the
+    corpus is STORED once in its nearest trained cluster, each query
+    READS its 4 nearest cells, pair count is sum over probes of
+    |cluster| — never N^2.  Demo tier (KMeans training makes the
+    centroids engine-specific, so no DuckDB oracle; the frozen-centroid
+    twin `knn_join_multiprobe_topk` oracle-checks the identical join
+    mechanics, and ann_quality.py pins this layout's recall)."""
+    store, probes = _cached_trained_multiprobe(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    sn = store.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id", "nn2"
+    )
+    qv = embs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        vec_norm2("embedding").alias("qn2"),
+    )
+    pairs = (
+        probes.select(F.col("id").alias("qid"), "cluster_id")
+        .join(sn, "cluster_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(qv, "qid")
+    )
+    cosine = F.when(
+        (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
+    )
+    scored = pairs.select("qid", "nid", cosine.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 @register(
     "cross_source_contamination",
     f"""
@@ -6670,7 +6763,7 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ch AS (
       SELECT doc_id, source, unnest(string_split(text, '')) AS ch
-      FROM documents
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ),
     cc AS (
       SELECT doc_id, source, ch, count(*) AS c
@@ -6700,9 +6793,20 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ln they already agree on (`pmi_collocations` precedent) instead
     of trusting cross-engine log2 parity.  Plan: narrow per-char
     explode (no shuffle) → (doc, char) keyed agg with map-side combine
-    → per-doc entropy → per-source rollup; linear in corpus bytes,
-    same posture as the token-explode queries."""
-    docs = load_table(spark, sf_dir, "documents")
+    (the shuffle carries ~distinct_chars rows per doc, not per-char
+    rows) → per-doc entropy → per-source rollup.  Two HOF
+    alternatives that avoid the explode were measured at sf0.1 and
+    LOST: array_distinct×filter counting 5.9 s, array_sort run-length
+    fold 1.1 s, this explode form 0.72 s (all hash-identical) —
+    interpreted per-element HOF evaluation costs more than the
+    explode's extra scan-stage rows, so the explode stays.  Empty/NULL
+    docs are filtered identically on both engines; chars are UTF-16
+    code units on Spark vs codepoints on DuckDB, identical for BMP
+    text (testdata is ASCII — documented cross-engine assumption, same
+    as the tokenizer's)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     chars = docs.select(
         "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
     ).filter(F.col("ch") != "")
