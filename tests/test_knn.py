@@ -201,3 +201,41 @@ def test_knn_join_blocked_blas_pool_boundary_ties(spark):
         expect = [i for i in range(n) if i != qid][:k]
         for rank, nid in enumerate(expect, 1):
             assert got[(qid, rank)] == nid, (qid, rank, got[(qid, rank)], nid)
+
+
+def test_knn_join_multiprobe_blas_matches_hof(spark, sf_dir):
+    """The cogrouped multi-probe BLAS kernel returns the same
+    (qid, rank) -> nid edges as the oracle-checked HOF multi-probe query
+    when fed the same frozen-centroid artifacts (scores may differ in
+    the last ulp; ids and ranks must not)."""
+    from vector_database_api_spark import queries as q
+    from vector_database_api_spark.operators import dedup as ded
+    from vector_database_api_spark.operators.knn import knn_join_multiprobe_blas
+    from vector_database_api_spark.sources.tables import load_table
+
+    hof = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in q.spark_queries()["knn_join_multiprobe_topk"](
+            spark, sf_dir
+        ).collect()
+    }
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    store = q._cached_semdedup_assignment(spark, sf_dir)
+    probes = ded.assign_clusters_topp(embs, cents, p=2, id_col="vec_id")
+    queries_side = probes.select(F.col("id").alias("qid"), "cluster_id").join(
+        embs.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        "qid",
+    )
+    neighbors = store.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id"
+    )
+    blas = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in knn_join_multiprobe_blas(queries_side, neighbors, k=2).collect()
+    }
+    assert blas == hof and len(hof) > 0

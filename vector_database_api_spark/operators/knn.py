@@ -234,3 +234,82 @@ def knn_join_blocked_blas(
         .groupBy(block_col)
         .applyInPandas(per_block, out_schema)
     )
+
+
+def knn_join_multiprobe_blas(
+    queries: DataFrame,
+    neighbors: DataFrame,
+    k: int = 2,
+    cell_col: str = "cluster_id",
+) -> DataFrame:
+    """Scale-path twin of the MULTI-PROBE kNN join (queries.py::
+    knn_join_trained_multiprobe): ``queries`` is the probe-expanded
+    query side — one (qid, qv, cell) row per probed cell — and
+    ``neighbors`` the storage assignment — one (nid, nv, cell) row per
+    corpus vector.  A cogrouped ``applyInPandas`` keyed on the cell
+    scores each cell's Q x N block with ONE float64 Gram product and
+    emits each query's per-cell top-k; the global top-k is then a
+    window over qid on a BOUNDED input (<= p*k candidate rows per
+    query — the per-cell top-k can never evict a true global top-k
+    member, and a (qid, nid) pair exists in at most one cell because a
+    neighbor is stored exactly once, so no dedup is needed).  Exchange
+    layout matches the HOF form (shuffle both sides on the cell id);
+    only per-pair evaluation moves from interpreted expressions to
+    BLAS.  Deterministic (-cosine, nid) ordering with the same
+    boundary-tie widening as :func:`knn_join_blocked_blas`; zero-norm
+    vectors score exactly 0.0.
+
+    Returns (qid, nid, cosine, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    id_type = neighbors.schema["nid"].dataType.simpleString()
+    out_schema = f"qid {id_type}, nid {id_type}, cosine double"
+
+    def per_cell(qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(npdf) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []})
+        qm = np.vstack(qpdf["qv"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        nm = np.vstack(npdf["nv"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        qn = np.linalg.norm(qm, axis=1)
+        nn = np.linalg.norm(nm, axis=1)
+        sims = (qm @ nm.T) / np.outer(
+            np.where(qn == 0.0, 1.0, qn), np.where(nn == 0.0, 1.0, nn)
+        )
+        sims[qn == 0.0, :] = 0.0
+        sims[:, nn == 0.0] = 0.0
+        qids = qpdf["qid"].to_numpy()
+        nids = npdf["nid"].to_numpy()
+        n = len(nids)
+        kk = min(k, n)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = sims[i].copy()
+            row[nids == qids[i]] = -np.inf  # self-exclusion
+            pool = max(kk * 4, kk)
+            if pool < n:
+                cand = np.argpartition(-row, pool - 1)[:pool]
+                boundary = row[cand].min()
+                cand = np.nonzero(row >= boundary)[0]
+            else:
+                cand = np.arange(n)
+            cand = cand[np.lexsort((nids[cand], -row[cand]))][:kk]
+            for j in cand:
+                if row[j] == -np.inf:
+                    continue
+                out_q.append(qids[i])
+                out_n.append(nids[j])
+                out_s.append(row[j])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "cosine": out_s})
+
+    per_cell_topk = (
+        queries.groupBy(cell_col)
+        .cogroup(neighbors.groupBy(cell_col))
+        .applyInPandas(per_cell, out_schema)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
+    return (
+        per_cell_topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )

@@ -6553,38 +6553,28 @@ def knn_join_trained_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     note in PLANS.md).  Same shape as knn_join_multiprobe_topk: the
     corpus is STORED once in its nearest trained cluster, each query
     READS its 4 nearest cells, pair count is sum over probes of
-    |cluster| — never N^2.  Demo tier (KMeans training makes the
-    centroids engine-specific, so no DuckDB oracle; the frozen-centroid
-    twin `knn_join_multiprobe_topk` oracle-checks the identical join
-    mechanics, and ann_quality.py pins this layout's recall)."""
+    |cluster| — never N^2.  Scoring runs on the cogrouped BLAS kernel
+    (`knn_join_multiprobe_blas`: one Gram product per cell, per-cell
+    top-k, bounded global re-rank) — the demo tier carries no oracle
+    hash, so the scale path IS the serving path here, exactly as
+    PLANS.md prescribes for production.  The frozen-centroid twin
+    `knn_join_multiprobe_topk` oracle-checks the identical join
+    mechanics with exact HOF scoring, and ann_quality.py pins this
+    layout's recall; a pytest pins BLAS == HOF edge sets."""
+    from vector_database_api_spark.operators.knn import knn_join_multiprobe_blas
+
     store, probes = _cached_trained_multiprobe(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
-    sn = store.select(
-        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id", "nn2"
-    )
     qv = embs.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        vec_norm2("embedding").alias("qn2"),
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    pairs = (
-        probes.select(F.col("id").alias("qid"), "cluster_id")
-        .join(sn, "cluster_id")
-        .filter(F.col("qid") != F.col("nid"))
-        .join(qv, "qid")
+    queries_side = probes.select(F.col("id").alias("qid"), "cluster_id").join(
+        qv, "qid"
     )
-    cosine = F.when(
-        (F.col("qn2") == 0.0) | (F.col("nn2") == 0.0), F.lit(0.0)
-    ).otherwise(
-        dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
+    neighbors = store.select(
+        F.col("id").alias("nid"), F.col("v").alias("nv"), "cluster_id"
     )
-    scored = pairs.select("qid", "nid", cosine.alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 2)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return knn_join_multiprobe_blas(queries_side, neighbors, k=2)
 
 
 @register(
