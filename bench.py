@@ -172,6 +172,7 @@ HEADLINE = [
     "jl_projection_fidelity",
     "data_quality_report",
     "knn_join_trained_multiprobe",
+    "lm_cross_entropy_screen",
 ]
 
 

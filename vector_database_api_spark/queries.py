@@ -7059,3 +7059,132 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("entity", "metric")
+
+
+@register(
+    "lm_cross_entropy_screen",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS words
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    fact AS (
+      SELECT doc_id, source, b[1] AS w1, b[1] || ' ' || b[2] AS bg
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(2, len(words) + 1),
+                                     i -> [words[i-1], words[i]])) AS b
+        FROM toks
+      )
+      WHERE b[1] <> '' AND b[2] <> ''
+    ),
+    lm_uni AS (
+      SELECT w1 AS w, count(*) AS c1
+      FROM fact WHERE source = 'src0' GROUP BY w1
+    ),
+    lm_big AS (
+      SELECT bg, count(*) AS c2
+      FROM fact WHERE source = 'src0' GROUP BY bg
+    ),
+    vocab AS (SELECT count(*) AS v FROM lm_uni),
+    scored AS (
+      SELECT f.doc_id, f.source,
+             ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+                / CAST(coalesce(u.c1, 0) + vocab.v AS DOUBLE)) AS lp
+      FROM fact f
+      LEFT JOIN lm_big b ON f.bg = b.bg
+      LEFT JOIN lm_uni u ON f.w1 = u.w
+      CROSS JOIN vocab
+    ),
+    perdoc AS (
+      SELECT doc_id, any_value(source) AS source,
+             -sum(lp) / (count(*) * ln(2)) AS h_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h_bits), 4) AS mean_xent_bits,
+           CAST(sum(CASE WHEN h_bits > 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS flagged_docs
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def lm_cross_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet / KenLM quality stage (Wenzek et al. 2020, public; the
+    GPT-3 pipeline's 'distance to a trusted corpus' filter) with a
+    bigram LM standing in for the 5-gram KenLM: train add-one-smoothed
+    bigram counts on ONE trusted source (src0), score EVERY document's
+    per-token cross-entropy against it, roll up per source — documents
+    far from the trusted distribution (high bits/token) are the
+    junk/outlier candidates a curation pipeline routes to review.
+    Unseen continuation: P = 1/(c1+V); unseen history: P = 1/V — both
+    fall out of one coalesce formulation, no special-casing, identical
+    on both engines; ln of an exactly-rounded IEEE quotient of exact
+    integer counts keeps the score hash-matchable (char-entropy
+    precedent).  Plan: ONE bigram explode feeds both the LM aggregates
+    (source-filtered, map-side-combined, vocab-bounded) and the scoring
+    fact; the two LM joins broadcast at bench scale and stay
+    AQE-splittable equi-joins at 100 TB; per-doc and per-source rollups
+    are combinable.  The reference has no corpus-quality surface at all
+    (SURVEY §2 ends at vector search; this extends the engine's
+    LLM-pipeline tier alongside token_drift_kl, which is corpus-level
+    KL — this is the per-DOCUMENT screen)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split(F.lower("text"), " ", -1).alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    fact = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(words)),"
+                " i -> struct(words[i-2] AS w1, words[i-1] AS w2))"
+            )
+        ).alias("g"),
+    ).filter((F.col("g.w1") != "") & (F.col("g.w2") != "")).select(
+        "doc_id",
+        "source",
+        F.col("g.w1").alias("w1"),
+        F.concat_ws(" ", "g.w1", "g.w2").alias("bg"),
+    )
+    lm_src = fact.filter(F.col("source") == "src0")
+    lm_uni = lm_src.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    lm_big = lm_src.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = lm_uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        fact.join(lm_big, "bg", "left")
+        .join(lm_uni, fact["w1"] == lm_uni["w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                    "double"
+                )
+            ).alias("lp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        (-F.sum("lp") / (F.count(F.lit(1)) * F.log(F.lit(2.0)))).alias(
+            "h_bits"
+        ),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("h_bits"), 4).alias("mean_xent_bits"),
+            F.sum(F.when(F.col("h_bits") > 10.0, 1).otherwise(0))
+            .cast("long")
+            .alias("flagged_docs"),
+        )
+        .orderBy("source")
+    )
