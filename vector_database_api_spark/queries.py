@@ -2964,18 +2964,21 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
-    quantity) decorrelated into an aggregate-then-join — the rewrite
-    Catalyst itself applies to correlated scalar subqueries.  The
-    per-part aggregate is map-side combinable; the final sum is exact
-    DECIMAL before one double division."""
+    quantity) decorrelated into a WINDOW average over the
+    brand-filtered lineitem stream — the per-part avg only matters for
+    parts passing the brand filter, so the part join cuts the stream
+    BEFORE the window, and l_partkey is a bounded key (lineitems per
+    part are SF-independent).  One lineitem scan; the earlier
+    aggregate-then-join form scanned it twice (round-5 q21 lesson).
+    The final sum is exact DECIMAL before one double division."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    threshold = F.lit(0.2) * F.avg("l_quantity").over(
+        Window.partitionBy("l_partkey")
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .withColumn("threshold", threshold)
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (
@@ -3477,13 +3480,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "s_name", "s_acctbal", "n_name")
     )
-    best = costs.groupBy("ps_partkey").agg(F.min("s_acctbal").alias("best_bal"))
+    # per-part min as a WINDOW over the costs stream (ps_partkey is a
+    # bounded key: suppliers per part are data-bounded, SF-independent)
+    # — the groupBy + equality-join-back form planned the whole
+    # ps+supplier+nation+region subtree twice (round-5 q21 lesson)
+    best = F.min("s_acctbal").over(Window.partitionBy("ps_partkey"))
     return (
-        costs.join(
-            best.withColumnRenamed("ps_partkey", "b_partkey"),
-            (F.col("ps_partkey") == F.col("b_partkey"))
-            & (F.col("s_acctbal") == F.col("best_bal")),
-        )
+        costs.withColumn("best_bal", best)
+        .filter(F.col("s_acctbal") == F.col("best_bal"))
         .join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
@@ -3735,10 +3739,13 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested aggregate-over-aggregate with a per-part correlated threshold,
     then a semi-join chain into the nation-scoped supplier list.  The
     quantity sums are exact DECIMAL, cast to DOUBLE identically on both
-    sides of the ratio comparison.  shipped→tot reuses the same
-    partitioning key (l_partkey first), and the final IN is a semi-join
-    (AQE picks broadcast at bench scale; heavy scales with supplier, so
-    no explicit hint)."""
+    sides of the ratio comparison.  The per-part total is a WINDOW sum
+    over the per-(part, supplier) rows (l_partkey is a bounded key —
+    suppliers per part are data-bounded, 4 in TPC-H, SF-independent),
+    keeping lineitem scanned once: the groupBy + join-back form planned
+    the scan+semi-join+agg subtree twice (same round-5 lesson as q21).
+    The final IN is a semi-join (AQE picks broadcast at bench scale;
+    heavy scales with supplier, so no explicit hint)."""
     # part predicate pushed below BOTH aggregations: the per-part total only
     # involves lineitems of that part, so restricting l_partkey to small%
     # parts up front (semi-join at the scan) shrinks the heavy
@@ -3759,9 +3766,10 @@ def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
     )
-    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     heavy = (
-        shipped.join(tot, "l_partkey")
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty").cast("double") > 0.5 * F.col("total_qty").cast("double"))
         .select("l_suppkey")
         .distinct()
@@ -3807,9 +3815,14 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic EXISTS(other supplier) ∧ NOT EXISTS(other late supplier)
     pair, decorrelated into per-(order, supplier) lateness flags plus
     per-order supplier/late counts — one pass over the fact instead of
-    two correlated subqueries.  Both aggregations and the final join
-    share the l_orderkey shuffle key, so the whole pipeline is a single
-    exchange of lineitem plus a supplier join the threshold/AQE sizes
+    two correlated subqueries.  The per-order counts are WINDOW
+    aggregates over the per-(order, supplier) rows (l_orderkey is a
+    bounded key — lineitems per order are data-bounded, ~7 in TPC-H,
+    SF-independent — so this passes the window-skew policy), which
+    keeps lineitem scanned ONCE: the earlier groupBy + self-join form
+    planned the whole join+agg subtree twice because the two branches'
+    exchanges differ (round-5 plan inspection: 2 lineitem scans, 0
+    ReusedExchange).  The supplier join is threshold/AQE-sized
     (broadcast at bench scale; supplier grows with SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -3821,12 +3834,11 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    per_order = f.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        f.join(per_order, "l_orderkey")
+        f.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
