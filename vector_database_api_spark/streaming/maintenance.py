@@ -674,3 +674,136 @@ def incremental_near_dup_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_bigram_lm_artifact(
+    docs: DataFrame,
+    lm_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Train the trusted-corpus bigram LM (operators/lm.py) and store it
+    as the serving artifact the streaming quality gate scores against:
+    ``{lm_dir}/uni`` (w, c1), ``{lm_dir}/big`` (bg, c2) parquet plus a
+    ``{lm_dir}_meta.json`` holding the vocabulary size.  One batch job,
+    vocabulary-bounded outputs; returns the meta dict."""
+    import json as _json
+    from pathlib import Path
+
+    from vector_database_api_spark.operators.lm import train_bigram_lm
+
+    uni, big = train_bigram_lm(docs, text_col, id_col)
+    uni.write.mode("overwrite").parquet(lm_dir + "/uni")
+    big.write.mode("overwrite").parquet(lm_dir + "/big")
+    spark = docs.sparkSession
+    meta = {"vocab_size": spark.read.parquet(lm_dir + "/uni").count()}
+    Path(lm_dir + "_meta.json").write_text(_json.dumps(meta))
+    return meta
+
+
+def lm_gate_batch_processor(
+    lm_dir: str,
+    admitted_dir: str,
+    quarantine_dir: str,
+    threshold_bits: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch body of :func:`incremental_lm_quality_gate`, exposed
+    at module level so tests drive crash/replay directly.
+
+    Each arriving micro-batch is scored against the FROZEN trusted-LM
+    artifact (per-token cross-entropy bits, operators/lm.py); documents
+    at or under ``threshold_bits`` are admitted, the rest — including
+    unscorable docs with < 2 tokens — are quarantined with their score
+    for human triage.  Unlike the near-dup gate the LM gate is
+    STATELESS across batches (the LM never changes mid-stream; retrain
+    + swap the artifact dir to update it), so admission of a doc never
+    depends on arrival order and replay only needs the per-batch sink
+    discipline: both sinks partitioned by _batch_id with dynamic
+    partition overwrite (a replayed batch rewrites its own partition),
+    meta committed last as the fast-skip guard.
+
+    Scale shape: two vocabulary-bounded LM joins + combinable rollups
+    per batch; driver state is the meta counters only."""
+    import json as _json
+    from pathlib import Path
+
+    from vector_database_api_spark.operators.lm import doc_cross_entropy
+
+    meta_path = Path(admitted_dir + "_meta.json")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        meta = (
+            _json.loads(meta_path.read_text())
+            if meta_path.exists()
+            else {"last_batch_id": -1, "n_admitted": 0, "n_quarantined": 0}
+        )
+        if batch_id <= meta["last_batch_id"]:
+            return  # fully-committed batch replayed — skip
+        sess = batch.sparkSession
+        lm_meta = _json.loads(Path(lm_dir + "_meta.json").read_text())
+        uni = sess.read.parquet(lm_dir + "/uni")
+        big = sess.read.parquet(lm_dir + "/big")
+        scores = doc_cross_entropy(
+            batch, uni, big, lm_meta["vocab_size"], text_col, id_col
+        ).select(F.col("id").alias(id_col), "h_bits")
+        judged = batch.join(scores, id_col, "left").persist()
+        admitted = judged.filter(F.col("h_bits") <= threshold_bits)
+        quarantined = judged.filter(
+            F.col("h_bits").isNull() | (F.col("h_bits") > threshold_bits)
+        )
+        n_adm = admitted.count()
+        n_quar = quarantined.count()
+        for df, sink in ((admitted, admitted_dir), (quarantined, quarantine_dir)):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(sink)
+            )
+        judged.unpersist()
+        meta_path.write_text(
+            _json.dumps(
+                {
+                    "last_batch_id": batch_id,
+                    "n_admitted": meta["n_admitted"] + n_adm,
+                    "n_quarantined": meta["n_quarantined"] + n_quar,
+                }
+            )
+        )
+
+    return process_batch
+
+
+def incremental_lm_quality_gate(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    lm_dir: str,
+    admitted_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    threshold_bits: float = 10.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming LM quality ADMISSION GATE — the ingest-time form of the
+    batch `lm_cross_entropy_screen` query: score each arriving
+    micro-batch against the stored trusted-corpus LM and route documents
+    to admitted/quarantine sinks.  Semantics, replay safety, and scale
+    shape documented on :func:`lm_gate_batch_processor`."""
+    process_batch = lm_gate_batch_processor(
+        lm_dir,
+        admitted_dir,
+        quarantine_dir,
+        threshold_bits,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
