@@ -53,6 +53,20 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
             )
         ),
         "window_partition_keys": window_partition_keys(plan),
+        # Arrow grouped-map seams (applyInPandas / cogroup / mapInPandas /
+        # applyInPandasWithState): batch-level Python, allowed by design
+        # (one NumPy/BLAS call per group or batch) but must stay VISIBLE
+        # in the audit — these nodes carry no EvalPython marker.
+        "pandas_grouped_nodes": {
+            kind: plan.count(f"{kind} (") + plan.count(f"{kind} [")
+            for kind in (
+                "FlatMapGroupsInPandas",
+                "FlatMapCoGroupsInPandas",
+                "MapInPandas",
+                "FlatMapGroupsInPandasWithState",
+            )
+            if kind in plan
+        },
     }
 
 

@@ -3356,7 +3356,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate view + scalar-max subquery (argmax with
     ties kept).  The max over exact DECIMAL revenue makes the equality
-    reliable cross-engine; the one-row max broadcasts back."""
+    reliable cross-engine; the one-row max broadcasts back.  Known
+    trade (round-5 plan sweep): the revenue subtree is planned twice
+    (the scalar branch's column pruning differs, so neither static nor
+    AQE exchange reuse fires — verified empirically, including with
+    pruning-identical branches).  The q21/q20/q2/q17 window rewrite
+    does NOT apply here: max-with-ties needs the GLOBAL max, and a
+    global window serializes supplier-cardinality rows onto one task
+    (banned by the window-skew policy), while the duplicated branch is
+    one 3-month-filtered fact scan — the cheaper side of that trade at
+    every scale."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
