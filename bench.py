@@ -173,6 +173,7 @@ HEADLINE = [
     "data_quality_report",
     "knn_join_trained_multiprobe",
     "lm_cross_entropy_screen",
+    "join_key_skew_profile",
 ]
 
 

@@ -7209,3 +7209,76 @@ def lm_cross_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "join_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT 'events.user_id' AS keyspace,
+             CAST(user_id AS VARCHAR) AS k, count(*) AS c
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR), count(*)
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR), count(*)
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'documents.fingerprint', md5(text), count(*)
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT keyspace,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           round(avg(c), 4) AS mean_rows,
+           quantile_cont(c, 0.99) AS p99_rows,
+           round(CAST(max(c) AS DOUBLE) / avg(c), 4) AS skew_factor
+    FROM per_key GROUP BY keyspace ORDER BY keyspace
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/dedup KEY SKEW diagnostics — the measurement behind this
+    repo's window-skew policy (PLANS.md) and every salting/AQE decision:
+    per-key row counts for the shuffle keys the engine's own joins and
+    dedups actually use (user activity, order lines, customer orders,
+    content fingerprints), reduced to n_keys / max / mean / p99 /
+    skew-factor per keyspace.  An ops team runs exactly this before
+    choosing broadcast vs salt vs AQE for a hot join; skew_factor ~1
+    means hash partitioning balances, >>1 means the hottest key
+    serializes a task and needs salting (`salted_join_cohort_rollup`)
+    or an AQE-splittable shape (the round-5 dedup rewrites).  Plan:
+    each keyspace is one map-side-combinable count, unioned
+    vocabulary-bounded summaries; percentile parity is the
+    acctbal_percentiles precedent (shared p*(n-1) interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def profile(df: DataFrame, keyspace: str, key: Column) -> DataFrame:
+        per_key = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(keyspace).alias("keyspace"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            F.round(F.avg("c"), 4).alias("mean_rows"),
+            F.percentile("c", 0.99).alias("p99_rows"),
+            F.round(
+                F.max("c").cast("double") / F.avg("c"), 4
+            ).alias("skew_factor"),
+        )
+    parts = [
+        profile(ev, "events.user_id", F.col("user_id").cast("string")),
+        profile(li, "lineitem.l_orderkey", F.col("l_orderkey").cast("string")),
+        profile(orders, "orders.o_custkey", F.col("o_custkey").cast("string")),
+        profile(
+            docs,
+            "documents.fingerprint",
+            F.md5(F.col("text").cast("binary")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("keyspace")
