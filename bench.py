@@ -174,6 +174,7 @@ HEADLINE = [
     "knn_join_trained_multiprobe",
     "lm_cross_entropy_screen",
     "join_key_skew_profile",
+    "mixture_reweight_sqrt",
 ]
 
 

@@ -7282,3 +7282,67 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("keyspace")
+
+
+@register(
+    "mixture_reweight_sqrt",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum({text_fns.duck_token_count('text')}) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS sample_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / z
+                 * total_tokens / n_tokens, 6) AS effective_epochs
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def mixture_reweight_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REWEIGHTING for training-data sampling: sqrt-smoothed
+    source weights (the multilingual-sampling temperature trick —
+    p_i ∝ n_i^alpha with alpha=1/2 flattens the head so small sources
+    are not drowned; GPT-3/XLM-R use alpha in [0.3, 0.7], and 1/2 is
+    the one exponent computable as sqrt, which is IEEE-correctly-
+    rounded on BOTH engines, unlike libm pow — this repo's bit-exact
+    discipline).  Reports per source: doc/token counts, the normalized
+    sampling share, and effective epochs (share x corpus / own tokens
+    — >1 means the source is over-sampled and will repeat).  The
+    downstream sampler is `mixture_sample` (hash-threshold keep with
+    exactly these rates).  Plan: one map-side-combinable token-count
+    agg per source (vocabulary-bounded output), 1-row normalizer
+    broadcast back — no second corpus scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(text_fns.spark_token_count("text")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w / F.col("z"), 6).alias("sample_share"),
+            F.round(
+                w / F.col("z") * F.col("total_tokens") / F.col("n_tokens"), 6
+            ).alias("effective_epochs"),
+        )
+        .orderBy("source")
+    )
