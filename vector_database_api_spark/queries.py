@@ -7311,8 +7311,10 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_docs, n_tokens,
            round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS sample_share,
-           round(sqrt(CAST(n_tokens AS DOUBLE)) / z
-                 * total_tokens / n_tokens, 6) AS effective_epochs
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE sqrt(CAST(n_tokens AS DOUBLE)) / z
+                           * total_tokens / n_tokens END, 6)
+             AS effective_epochs
     FROM per_source CROSS JOIN tot
     ORDER BY source
     """,
@@ -7350,8 +7352,16 @@ def mixture_reweight_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             F.round(w / F.col("z"), 6).alias("sample_share"),
+            # zero-token source: 0/0 is NULL on Spark but NaN-ish on
+            # DuckDB — pin both engines to 0.0 (latent-NULL discipline)
             F.round(
-                w / F.col("z") * F.col("total_tokens") / F.col("n_tokens"), 6
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    w
+                    / F.col("z")
+                    * F.col("total_tokens")
+                    / F.col("n_tokens")
+                ),
+                6,
             ).alias("effective_epochs"),
         )
         .orderBy("source")
