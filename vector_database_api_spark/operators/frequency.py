@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MG_SCHEMA = "item string, est bigint, part_n bigint"
@@ -98,17 +98,22 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         summarize, MG_SCHEMA
     )
     merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
-    ranked = merged.withColumn(
-        "_rn", F.row_number().over(Window.orderBy(F.desc("est"), F.col("item")))
-    )
-    # (k+1)-largest merged est, 0 when fewer than k+1 candidates — the
-    # agg-over-possibly-empty form always yields exactly one row, so the
-    # broadcast cross join can never wipe the result.
-    cut = ranked.filter(F.col("_rn") == k + 1).agg(
-        F.coalesce(F.max("est"), F.lit(0)).alias("_cut")
+    # (k+1)-largest merged est, 0 when fewer than k+1 candidates.  A
+    # deterministic top-(k+1) (TakeOrderedAndProject: per-partition
+    # heaps + driver merge) whose MIN is the boundary — NOT row_number
+    # over a global Window, which would move the whole merged summary
+    # to one task (the summary is bounded by k·partitions, but the
+    # window-skew policy bans <global> windows outright and the top-k
+    # form is strictly cheaper anyway).  The agg always yields exactly
+    # one row, so the broadcast cross join can never wipe the result.
+    topk1 = merged.orderBy(F.desc("est"), F.col("item")).limit(k + 1)
+    cut = topk1.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("est"))
+        .otherwise(F.lit(0))
+        .alias("_cut")
     )
     return (
-        ranked.crossJoin(F.broadcast(cut))
+        merged.crossJoin(F.broadcast(cut))
         .select("item", (F.col("est") - F.col("_cut")).alias("est"))
         .filter(F.col("est") > 0)
         .withColumn("k", F.lit(k))
