@@ -7403,8 +7403,10 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "text")
             # spread the md5-per-position HOF stage across all cores:
             # the source is one small parquet file locally (one input
-            # split); at 100 TB the scan has thousands of splits and
-            # this repartition is dropped
+            # split).  This IS an extra exchange, but it is in the
+            # one-time artifact build (rows are pre-explode and tiny);
+            # at real scan widths the scan already has enough splits
+            # and the exchange just rebalances them
             .repartition(spark.sparkContext.defaultParallelism)
         )
         fp = docs.select(
