@@ -619,6 +619,85 @@ def main() -> None:
         giant_dup_group
     )
 
+    def viral_winnow_fingerprint():
+        # every 5th doc carries the same >=17-char boilerplate run, so
+        # one fingerprint's doc frequency is ~n_doc/5 — an all-pairs
+        # join on it would emit ~(n_doc/5)^2 rows, which NO skew-split
+        # shrinks.  The df cap (the winnow_fingerprint_pairs shape)
+        # must drop it before pairing; the case asserts the pair count
+        # stays bounded by true near-dups, not the viral bucket.
+        from vector_database_api_spark.functions import text as T
+
+        viral = "zzqqxxjjkkvvwwpp boilerplate footer zzqqxxjjkkvvwwpp"
+        base = load_table(spark, SF_DIR, "documents")
+        reps = F.explode(
+            F.sequence(F.lit(0), F.lit(doc_mult - 1))
+        ).alias("_rep")
+        # unique per-replica tail: replicated copies must NOT be exact
+        # dups of each other, or every fingerprint is trivially hot and
+        # the case degenerates to an empty kept set
+        vdocs = (
+            base.select("*", reps)
+            .select(
+                (F.col("doc_id") * doc_mult + F.col("_rep")).alias("doc_id"),
+                "source",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" replica tail "),
+                    F.col("_rep").cast("string"),
+                ).alias("text"),
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit(viral + " "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+            .filter(F.length("text") >= 17)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        fp = vdocs.select(
+            "doc_id",
+            "source",
+            F.expr(T.spark_kgram_hashes("text", 12)).alias("hashes"),
+        ).select(
+            "doc_id",
+            "source",
+            F.expr(T.spark_winnow_select("hashes", 6)).alias("fps"),
+        )
+        ex = fp.select(
+            "doc_id",
+            "source",
+            F.size("fps").alias("nf"),
+            F.explode("fps").alias("f"),
+        )
+        hot = (
+            ex.groupBy("source", "f")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 32)
+            .select("source", "f")
+        )
+        kept = ex.join(F.broadcast(hot), ["source", "f"], "left_anti")
+        a = kept.select(
+            F.col("doc_id").alias("id_a"), "source", "f",
+        )
+        b = kept.select(
+            F.col("doc_id").alias("id_b"), "source", "f",
+        )
+        n_pairs = (
+            a.join(b, ["source", "f"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .count()
+        )
+        return n_pairs
+
+    results["viral_winnow_pairs_sec"], results["viral_winnow_pairs"] = timed(
+        viral_winnow_fingerprint
+    )
+
     print(
         json.dumps(
             {

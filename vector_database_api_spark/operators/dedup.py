@@ -579,10 +579,16 @@ def duck_connected_components_sql(pairs_sql: str) -> str:
     """DuckDB oracle for :func:`connected_components`: recursive CTE
     enumerating (node, reachable-node) pairs over the bidirected edge set,
     then min per node.  Exact fixpoint — UNION dedups, so recursion
-    terminates on the finite closure."""
+    terminates on the finite closure.
+
+    ``MATERIALIZED`` on the pair/edge CTEs is load-bearing: DuckDB
+    re-evaluates a non-materialized CTE referenced from a recursive one
+    on EVERY iteration, so an 88 s pair computation (SimHash at sf0.1)
+    times diameter rounds ran for >15 min; materialized it runs once.
+    Pure optimizer hint — byte-identical results at every SF."""
     return f"""
-    WITH RECURSIVE p AS ({pairs_sql}),
-    edges AS (
+    WITH RECURSIVE p AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM p
       UNION
       SELECT id_b AS src, id_a AS dst FROM p

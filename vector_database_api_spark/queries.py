@@ -620,8 +620,11 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "child_scan_2hop",
     """
+    -- LEFT join: chunks exist for every document; embeddings are a
+    -- 1:1 cover only at sf0.01 (at sf0.1 only 2000 of 5000 docs have
+    -- one), so an inner join would silently drop label-less chunks
     SELECT CAST(d.doc_id AS VARCHAR) AS id, e.label
-    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     WHERE d.source = 'src3'
     """,
 )
@@ -792,8 +795,10 @@ def nested_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cascade_delete_effect",
     """
-    SELECT CAST(e.vec_id AS VARCHAR) AS id, d.source
-    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    -- chunk identity comes from the document row alone; joining
+    -- embeddings would drop chunks without one (real at sf0.1)
+    SELECT CAST(d.doc_id AS VARCHAR) AS id, d.source
+    FROM documents d
     WHERE d.source <> 'src0'
     """,
 )
@@ -7369,11 +7374,19 @@ fp AS (
 ex AS (
   SELECT doc_id, source, len(fps) AS nf, unnest(fps) AS f FROM fp
 ),
+hot AS (
+  SELECT source, f FROM ex GROUP BY source, f HAVING count(*) > 32
+),
+kept AS (
+  SELECT ex.* FROM ex
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.source = ex.source AND hot.f = ex.f)
+),
 pairs AS (
   SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
          a.nf AS na, b.nf AS nb, count(*) AS n_shared
-  FROM ex a
-  JOIN ex b ON a.source = b.source AND a.f = b.f AND a.doc_id < b.doc_id
+  FROM kept a
+  JOIN kept b ON a.source = b.source AND a.f = b.f AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4, 5
 )
 SELECT source,
@@ -7389,7 +7402,7 @@ FROM pairs GROUP BY source ORDER BY source
 
 def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-corpus winnowing fingerprint ARTIFACT (exploded (doc_id,
-    source, nf, f) occurrence table), built once and persisted — the
+    source, nf, f) occurrence table, hot-capped), built once and persisted — the
     fingerprint index of a plagiarism/near-dup service is write-once
     serve-many, exactly like the MinHash signature store above.  The
     build stage is the expensive part (interpreted HOF md5 per char
@@ -7423,9 +7436,25 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.size("fps").alias("nf"),
             F.explode("fps").alias("f"),
-        ).persist()
-        ex.count()
-        _SERVING_INDEXES[key] = ex
+        )
+        # hot-fingerprint cap (df > 32 per (source, f)) applied at BUILD
+        # time: a viral boilerplate fingerprint makes any downstream
+        # pair join's OUTPUT quadratic in its bucket — AQE splits a
+        # skewed join's input but nothing shrinks its output — and
+        # boilerplate fingerprints carry no near-dup signal, so the
+        # index simply does not store them (MinHash pipelines drop
+        # super-frequent shingles the same way).  nf keeps the doc's
+        # FULL fingerprint count so containment denominators stay
+        # honest.
+        hot = (
+            ex.groupBy("source", "f")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 32)
+            .select("source", "f")
+        )
+        kept = ex.join(F.broadcast(hot), ["source", "f"], "left_anti").persist()
+        kept.count()
+        _SERVING_INDEXES[key] = kept
     return _SERVING_INDEXES[key]
 
 
@@ -7452,15 +7481,20 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving artifact (build once — both HOF stages narrow, the k-gram
     hash array let-bound so it is built ONCE per doc, O(L) md5s not
     O(L^2) — then persist); the pair join shuffles on (source, fp) —
-    high-cardinality fingerprint keys, and a viral boilerplate
-    fingerprint is an AQE-skew-splittable JOIN, not a window; rollups
-    are map-side combinable.  BMP-only character indexing, same
+    high-cardinality fingerprint keys — and viral boilerplate
+    fingerprints (whose pair OUTPUT would be quadratic in the bucket,
+    which no skew-split fixes) are dropped by a df > 32 cap before
+    pairing, the same super-frequent-shingle drop MinHash pipelines
+    use; rollups are map-side combinable.  BMP-only character indexing, same
     documented assumption as char_entropy_by_source."""
-    ex = _cached_winnow_fingerprints(spark, sf_dir)
-    a = ex.select(
+    # the artifact is already hot-capped at build time (df > 32 drop —
+    # see _cached_winnow_fingerprints), so serving is just the pair
+    # join + rollup
+    kept = _cached_winnow_fingerprints(spark, sf_dir)
+    a = kept.select(
         F.col("doc_id").alias("id_a"), "source", "f", F.col("nf").alias("na")
     )
-    b = ex.select(
+    b = kept.select(
         F.col("doc_id").alias("id_b"), "source", "f", F.col("nf").alias("nb")
     )
     pairs = (
