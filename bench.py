@@ -177,6 +177,7 @@ HEADLINE = [
     "mixture_reweight_sqrt",
     "winnow_fingerprint_pairs",
     "dsir_importance_weights",
+    "bpe_tokenize_profile",
 ]
 
 

@@ -55,3 +55,22 @@ def test_greedy_left_to_right_overlap(spark):
     assert got[0] == (1, "a", "a", 9)
     # r2: reps are ·aa·aa· -> pair (aa,aa) x3
     assert got[1] == (2, "aa", "aa", 3)
+
+
+def test_final_reps_hand_computed(spark):
+    """bpe_final_reps applies the same learned merges the induction
+    reports: low/lower corpus after 3 rounds (l,o)->(lo,w)->(e,s)."""
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower"), (1, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    wf = B.word_frequencies(docs)
+    reps = {
+        r["word"]: r["rep"]
+        for r in B.bpe_final_reps(wf, rounds=3).collect()
+    }
+    # low -> ·low·; lower -> ·low·e·r·; newest -> ·n·e·w·es·t·
+    assert reps["low"] == "·low·"
+    assert reps["lower"] == "·low·e·r·"
+    assert reps["newest"] == "·n·e·w·es·t·"
+    assert reps["widest"] == "·w·i·d·es·t·"

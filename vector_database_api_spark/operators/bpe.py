@@ -199,3 +199,69 @@ def duck_bpe_merge_sql(
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
+    """APPLY side of the tokenizer lifecycle: the vocabulary's final
+    symbol representation after learning + applying ``rounds`` merges —
+    (word, cnt, rep).  Same unrolled DAG as :func:`bpe_merge_rounds`
+    (each round's argmax merge enters the next fold via a broadcast
+    1-row cross join); this returns the post-merge representations
+    instead of the merge list, i.e. the trained tokenizer MODEL a
+    serving pipeline persists and joins against incoming text.  Never
+    persists; the caller owns the cache lifecycle."""
+    reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
+    for _ in range(rounds):
+        best = _best_pair(_pair_stats(reps))
+        merge_fold = F.expr(
+            f"aggregate(filter(split(rep, '{SEP}'), x -> x <> ''), '{SEP}', "
+            f"(acc, x) -> CASE WHEN endswith(acc, '{SEP}' || a || '{SEP}') "
+            f"AND x = b "
+            f"THEN substring(acc, 1, length(acc) - length(a) - 1) "
+            f"|| a || b || '{SEP}' "
+            f"ELSE acc || x || '{SEP}' END)"
+        )
+        reps = reps.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", merge_fold.alias("rep")
+        )
+    return reps
+
+
+def duck_bpe_tokenize_sql(
+    table: str = "documents", text_col: str = "text", rounds: int = 3
+) -> str:
+    """DuckDB mirror of the tokenize-profile query: learn ``rounds``
+    merges exactly as :func:`duck_bpe_merge_sql`, then apply the final
+    representations back to the corpus word stream and report per-source
+    token statistics (integer-exact; the chars/token ratio is one
+    IEEE division of exact counts)."""
+    toks = T.duck_tokens(text_col)
+    # reuse the learning CTE chain verbatim up to r{rounds}: everything
+    # before the merge-list SELECTs (which start at the first SELECT at
+    # 4-space indent; CTE-internal SELECTs sit deeper)
+    learn = duck_bpe_merge_sql(table, text_col, rounds)
+    parts = learn.split("\n    SELECT")[0]
+    return (
+        parts
+        + f""",
+    nsym AS (
+      SELECT word,
+             length(word) AS n_chars,
+             len(list_filter(string_split(rep, '{SEP}'), x -> x <> ''))
+               AS n_sym
+      FROM r{rounds}
+    ),
+    fact AS (
+      SELECT source, w AS word
+      FROM (SELECT source, unnest({toks}) AS w FROM {table})
+      WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n.n_sym) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n.n_chars) AS DOUBLE) / sum(n.n_sym), 4)
+             AS chars_per_token
+    FROM fact f JOIN nsym n ON f.word = n.word
+    GROUP BY f.source ORDER BY f.source"""
+    )

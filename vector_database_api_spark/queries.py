@@ -7430,7 +7430,12 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.expr(text_fns.spark_winnow_select("hashes", 6)).alias("fps"),
-        )
+        ).persist()
+        fp.count()
+        # size + explode BOTH reference fps: un-persisted, CollapseProject
+        # inlines the whole HOF chain into each (2x the md5/winnow work —
+        # measured 417 s vs ~210 s at 500k docs); cached, both read the
+        # materialized array
         ex = fp.select(
             "doc_id",
             "source",
@@ -7454,6 +7459,7 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         kept = ex.join(F.broadcast(hot), ["source", "f"], "left_anti").persist()
         kept.count()
+        fp.unpersist()
         _SERVING_INDEXES[key] = kept
     return _SERVING_INDEXES[key]
 
@@ -7679,6 +7685,60 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
             .cast("long")
             .alias("target_like_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "bpe_tokenize_profile",
+    bpe_mod.duck_bpe_tokenize_sql(rounds=3),
+)
+def bpe_tokenize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE lifecycle
+    (`bpe_merge_rounds` learns the merges; this tokenizes the corpus
+    with them): per-source word/char/token counts and the chars-per-
+    token compression after the 3 learned merges.  The trained model is
+    the post-merge vocabulary representation table — a per-corpus
+    serving artifact (`operators/bpe.py::bpe_final_reps` over the shared
+    `_cached_bpe_wf` word frequencies), persisted once like a real
+    tokenizer's merges file.  Plan at 100 TB: learning operates only on
+    the vocabulary-sized word-frequency artifact (corpus scanned once
+    ever for it); tokenization is ONE corpus word explode joined to the
+    broadcast vocab model (an AQE-splittable equi-join if the vocab
+    outgrows broadcast) and a map-side-combinable per-source rollup.
+    Integer-exact everywhere; the chars/token ratio is one IEEE division
+    of exact counts (hash-safe)."""
+    key = ("bpe-reps", sf_dir)
+    if key not in _SERVING_INDEXES:
+        reps = bpe_mod.bpe_final_reps(
+            _cached_bpe_wf(spark, sf_dir), rounds=3
+        ).persist()
+        reps.count()
+        _SERVING_INDEXES[key] = reps
+    reps = _SERVING_INDEXES[key]
+    nsym = reps.select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.size(F.expr("filter(split(rep, '·'), x -> x <> '')")).alias(
+            "n_sym"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    fact = docs.select(
+        "source",
+        F.explode(F.expr(text_fns.spark_tokens("text"))).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z]{2,}$"))
+    return (
+        fact.join(F.broadcast(nsym), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_sym"), 4
+            ).alias("chars_per_token"),
         )
         .orderBy("source")
     )
