@@ -178,6 +178,7 @@ HEADLINE = [
     "winnow_fingerprint_pairs",
     "dsir_importance_weights",
     "bpe_tokenize_profile",
+    "quality_retention_sweep",
 ]
 
 

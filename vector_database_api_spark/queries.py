@@ -7742,3 +7742,86 @@ def bpe_tokenize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RETENTION_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, {text_fns.duck_quality_score('text')} AS q,
+         {text_fns.duck_token_count('text')} AS n_tok
+  FROM documents
+),
+grid AS (
+  SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[]))
+    AS thr
+),
+tot AS (
+  SELECT count(*) AS n_all, CAST(sum(n_tok) AS BIGINT) AS tok_all
+  FROM scored
+)
+SELECT thr,
+       CAST(count(CASE WHEN q >= thr THEN 1 END) AS BIGINT) AS kept_docs,
+       CAST(coalesce(sum(CASE WHEN q >= thr THEN n_tok END), 0) AS BIGINT)
+         AS kept_tokens,
+       round(CAST(count(CASE WHEN q >= thr THEN 1 END) AS DOUBLE) / n_all, 6)
+         AS doc_retention,
+       round(CAST(coalesce(sum(CASE WHEN q >= thr THEN n_tok END), 0)
+                  AS DOUBLE) / tok_all, 6) AS token_retention
+FROM grid CROSS JOIN scored CROSS JOIN tot
+GROUP BY thr, n_all, tok_all ORDER BY thr
+"""
+
+
+@register("quality_retention_sweep", _RETENTION_ORACLE)
+def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation OPERATING CURVE: document and token retention at every
+    quality-score cutoff in a 0.1..0.9 grid — the chart a data-curation
+    team reads before committing to a threshold (C4 kept ~what survives
+    its heuristics; Gopher chose rule cutoffs from exactly this kind of
+    sweep).  Pairs with `quality_classifier_score` (the per-doc score)
+    and `document_filter_decision` (the single-threshold verdict); this
+    is the aggregate view across ALL candidate thresholds at once.
+    Plan at 100 TB: ONE corpus scan computes (q, n_tok) per doc; the
+    9-way threshold explode multiplies only that tiny two-column
+    intermediate (constant factor, not data-dependent), and the
+    per-threshold rollup is map-side combinable — no second scan, no
+    window, no driver loop.  The score is the engine-identical
+    quality heuristic (oracle-green in quality_classifier_score), the
+    retention ratios are single IEEE divisions of exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr(text_fns.spark_quality_score("text")).alias("q"),
+        F.expr(text_fns.spark_token_count("text")).alias("n_tok"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("n_tok").cast("long").alias("tok_all"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(t / 10.0) for t in range(1, 10)])
+    ).alias("thr")
+    kept = F.when(F.col("q") >= F.col("thr"), 1)
+    kept_tok = F.when(F.col("q") >= F.col("thr"), F.col("n_tok"))
+    return (
+        scored.select("q", "n_tok", grid)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr", "n_all", "tok_all")
+        .agg(
+            F.count(kept).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum(kept_tok), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.round(
+                F.count(kept).cast("double") / F.col("n_all"), 6
+            ).alias("doc_retention"),
+            F.round(
+                F.coalesce(F.sum(kept_tok), F.lit(0)).cast("double")
+                / F.col("tok_all"),
+                6,
+            ).alias("token_retention"),
+        )
+        .select(
+            "thr", "kept_docs", "kept_tokens", "doc_retention",
+            "token_retention",
+        )
+        .orderBy("thr")
+    )
