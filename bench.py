@@ -179,6 +179,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "bpe_tokenize_profile",
     "quality_retention_sweep",
+    "ivfpq_residual_adc",
 ]
 
 

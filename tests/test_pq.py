@@ -151,3 +151,83 @@ def test_refined_search_recovers_exact_topk(spark, sf_dir):
     exact_ids = {i for i, _ in exact}
     refined_ids = {i for i, _ in got}
     assert len(refined_ids & exact_ids) >= len(adc_ids & exact_ids)
+
+
+def test_residual_encoding_beats_direct(spark, sf_dir):
+    """The IVFADC claim (Jegou et al. 2011): product-quantizing the
+    residual x - c(x) under the SAME codebook budget reconstructs x
+    with smaller L2 error than product-quantizing x directly, because
+    residuals concentrate around 0.  The win requires REAL cluster
+    centers: with the oracle queries' frozen arbitrary centroids the
+    residual is x minus an unrelated vector and is LARGER than x
+    (measured: 1.19 vs 1.09 mean L2 on the fixture corpus), so this
+    test trains the seeded KMeans the production layout uses
+    (`_cached_trained_multiprobe`'s k=20/seed=42 recipe) — the
+    frozen-centroid oracle query verifies the residual ARITHMETIC
+    cross-engine; the error win lives with trained centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from vector_database_api_spark import queries as q
+    from vector_database_api_spark.operators import dedup as dedup_mod
+    from vector_database_api_spark.functions.vector import euclidean_distance
+    from vector_database_api_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    raw = embs.select("vec_id", F.col("embedding").alias("nv"))
+
+    # direct: PQ the raw vectors with the frozen first-8-rows codebook
+    cb_d = q._pq_fixed_codebook(raw)
+    recon_d = q._pq_fixed_recon(q._pq_fixed_codes(raw, cb_d), cb_d)
+    err_d = (
+        raw.join(recon_d, "vec_id")
+        .agg(F.avg(euclidean_distance("nv", "rvec")).alias("e"))
+        .collect()[0]["e"]
+    )
+
+    # residual: PQ x - c(x) against TRAINED centroids, same codebook rule
+    km_in = embs.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    km = KMeans(k=20, seed=42, maxIter=10).fit(km_in)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cluster_id int, cvec array<double>",
+    )
+    assign = dedup_mod.assign_clusters(embs, cents, id_col="vec_id").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    resid = (
+        embs.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.expr(
+                "zip_with(embedding, cvec,"
+                " (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))"
+            ).alias("nv"),
+        )
+    )
+    cb_r = q._pq_fixed_codebook(resid)
+    rhat = q._pq_fixed_recon(q._pq_fixed_codes(resid, cb_r), cb_r)
+    recon_r = (
+        rhat.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(cvec, rvec,"
+                " (c, r) -> CAST(c AS DOUBLE) + CAST(r AS DOUBLE))"
+            ).alias("fvec"),
+        )
+    )
+    err_r = (
+        embs.join(recon_r, "vec_id")
+        .agg(F.avg(euclidean_distance("embedding", "fvec")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert err_r < err_d, f"residual {err_r} not < direct {err_d}"

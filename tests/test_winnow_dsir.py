@@ -97,3 +97,20 @@ def test_dsir_prefers_target_language(spark, sf_dir):
         # same corpus: bounded magnitudes, never NaN
         assert abs(r.mean_log_importance) < 20.0
         assert 0 <= r.target_like_docs <= r.n_docs
+
+
+def test_cross_engine_bmp_nonascii(spark):
+    """BMP non-ASCII text (accented Latin, Greek): Spark counts UTF-16
+    code units, DuckDB counts code points — identical for BMP chars, so
+    fingerprints must match exactly.  (Non-BMP/surrogate text is the
+    documented exclusion, as in char_entropy_by_source.)"""
+    rows = [
+        (1, "café au lait déjà vu — ein schönes Übungsbeispiel für alle"),
+        (2, "αλφα βήτα γάμμα δέλτα έψιλον ζήτα ήτα θήτα ιώτα κάππα"),
+        (3, "café au lait déjà vu — ein schönes Übungsbeispiel für alle"),
+    ]
+    sp = _spark_fps(spark, rows)
+    du = _duck_fps(rows)
+    assert sp == du
+    assert sp[1] == sp[3]  # identical text, identical fingerprints
+    assert not (sp[1] & sp[2])
