@@ -180,6 +180,7 @@ HEADLINE = [
     "bpe_tokenize_profile",
     "quality_retention_sweep",
     "ivfpq_residual_adc",
+    "winnow_passage_lookup",
 ]
 
 

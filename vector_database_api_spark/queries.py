@@ -7357,8 +7357,7 @@ def mixture_reweight_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE = f"""
-WITH d AS (
+_WINNOW_KEPT_CTES = f"""d AS (
   SELECT doc_id, source, text FROM documents WHERE length(text) >= 17
 ),
 h AS (
@@ -7381,7 +7380,10 @@ kept AS (
   SELECT ex.* FROM ex
   WHERE NOT EXISTS (SELECT 1 FROM hot
                     WHERE hot.source = ex.source AND hot.f = ex.f)
-),
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH {_WINNOW_KEPT_CTES},
 pairs AS (
   SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
          a.nf AS na, b.nf AS nb, count(*) AS n_shared
@@ -7988,4 +7990,94 @@ def ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("adc_distance", "vec_id")
         .limit(10)
+    )
+
+
+_WINNOW_LOOKUP_ORACLE = f"""
+WITH {{kept}},
+passage AS (
+  SELECT substr(text, 11, 80) AS ptxt FROM documents
+  WHERE doc_id = 3 AND length(substr(text, 11, 80)) >= 17
+),
+ph AS (
+  SELECT {text_fns.duck_kgram_hashes('ptxt', 12)} AS hashes FROM passage
+),
+pfp AS (
+  SELECT unnest(fps) AS f, len(fps) AS np
+  FROM (SELECT {text_fns.duck_winnow_select('hashes', 6)} AS fps FROM ph)
+),
+cand AS (
+  SELECT k.doc_id AS doc_id, any_value(pf.np) AS np, count(*) AS n_shared
+  FROM kept k JOIN pfp pf ON k.f = pf.f
+  GROUP BY k.doc_id
+)
+SELECT c.doc_id AS doc_id, CAST(c.n_shared AS BIGINT) AS n_shared,
+       round(CAST(c.n_shared AS DOUBLE) / c.np, 4) AS share,
+       CASE WHEN contains(d2.text, pg.ptxt) THEN 1 ELSE 0 END AS verified
+FROM cand c
+JOIN documents d2 ON c.doc_id = d2.doc_id
+CROSS JOIN passage pg
+WHERE CAST(c.n_shared AS DOUBLE) / c.np >= 0.5
+ORDER BY n_shared DESC, c.doc_id
+""".format(kept=_WINNOW_KEPT_CTES)
+
+
+@register("winnow_passage_lookup", _WINNOW_LOOKUP_ORACLE)
+def winnow_passage_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage -> document CONTAINMENT LOOKUP over the winnowing
+    fingerprint artifact — the MOSS serving use-case (find every doc
+    containing a known passage): fingerprint the query passage with the
+    same k=12/w=6 rule, probe the per-corpus artifact by fingerprint
+    equality, keep docs sharing >= 50% of the passage's fingerprints,
+    then VERIFY with an exact substring check on just those candidates.
+    The winnowing guarantee makes the probe lossless for any contained
+    passage of length >= 17 whose fingerprints survived the hot cap;
+    the verify step removes any hash-collision false positives, so the
+    output is exact at candidate-probe cost.  Plan at 100 TB: the
+    passage fingerprint set is a handful of rows broadcast against the
+    artifact (an equi-join that touches only matching fingerprint
+    partitions), the verify `contains` runs on candidate docs only —
+    never a corpus regex scan (`benchmark_contamination`'s shape, but
+    position-sensitive instead of token-set)."""
+    kept = _cached_winnow_fingerprints(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    passage = (
+        docs.filter(F.col("doc_id") == 3)
+        .select(F.expr("substring(text, 11, 80)").alias("ptxt"))
+        # guard the winnowing minimum (k + w - 1 = 17) so a short doc 3
+        # at some future SF yields an empty result, not a degenerate
+        # descending `sequence` feeding `slice(_, 0, _)`
+        .filter(F.length("ptxt") >= 17)
+    )
+    pfp = (
+        passage.select(
+            F.expr(text_fns.spark_kgram_hashes("ptxt", 12)).alias("hashes")
+        )
+        .select(
+            F.expr(text_fns.spark_winnow_select("hashes", 6)).alias("fps")
+        )
+        .select(F.size("fps").alias("np"), F.explode("fps").alias("f"))
+    )
+    cand = (
+        kept.join(F.broadcast(pfp), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.first("np").alias("np"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    share = F.col("n_shared").cast("double") / F.col("np")
+    return (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .crossJoin(F.broadcast(passage))
+        .filter(share >= 0.5)
+        .select(
+            "doc_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(share, 4).alias("share"),
+            F.when(F.col("text").contains(F.col("ptxt")), 1)
+            .otherwise(0)
+            .alias("verified"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_id")
     )
