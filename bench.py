@@ -239,8 +239,20 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    # warmup: spin up executors + codegen paths
+    # warmup: spin up executors + codegen paths, and PRE-BUILD every
+    # per-corpus serving artifact (signature stores, LM count tables,
+    # fingerprint/assignment indexes) by running the whole suite once
+    # untimed.  Indexes are built once per process — the reference's
+    # build-once/serve-many lifecycle (PLANS.md) — and without this
+    # pre-pass the first-build GC/cleanup debris of the heavy artifact
+    # queries (span/BPE/multiprobe) leaks into the timed runs of their
+    # NEIGHBORS: measured 3 runs in a row where the queries right after
+    # the artifact block read 3-6x their quiet-box times while the
+    # local anchor spiked 4x.  min-of-2 protects a query from its own
+    # build; only an untimed pre-pass protects the queries around it.
     run_once(spark, sf_dir, "q1_pricing_summary")
+    for name in HEADLINE:
+        run_once(spark, sf_dir, name)
     run_once(spark, sf_dir, ANCHOR)
 
     timings: dict[str, float] = {}
