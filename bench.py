@@ -181,6 +181,11 @@ HEADLINE = [
     "quality_retention_sweep",
     "ivfpq_residual_adc",
     "winnow_passage_lookup",
+    "bm25_keyword_topk",
+    "hybrid_rrf_fusion",
+    "mmr_diversified_topk",
+    "phrase_search_positional",
+    "search_facet_counts",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Hybrid-retrieval family: BM25 keyword scoring, RRF fusion, MMR.
+
+The DuckDB oracles prove cross-engine value equality; these tests pin the
+semantics against independent Python recomputation on the small SF and the
+plan-level contracts (no explode / no corpus shuffle in the BM25 scan leg).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import vector_database_api_spark.queries as q
+from vector_database_api_spark.queries import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    _bm25_scored,
+)
+from vector_database_api_spark.sources.tables import load_table
+
+
+def _tokenize(text: str) -> list[str]:
+    return text.lower().split(" ")
+
+
+def test_bm25_matches_python_recomputation(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    toks = {d: _tokenize(t) for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in _BM25_TERMS
+    }
+    rows = q.spark_queries()["bm25_keyword_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    prev = None
+    for r in rows:
+        expected = 0.0
+        for t in _BM25_TERMS:
+            tf = toks[r["doc_id"]].count(t)
+            assert tf == r[f"tf_{t}"]
+            if tf:
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                dl = len(toks[r["doc_id"]])
+                expected += (
+                    idf
+                    * (tf * (_BM25_K1 + 1.0))
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl))
+                )
+        assert r["bm25"] == pytest.approx(expected, abs=2e-6)
+        if prev is not None:  # descending, doc_id tie-break
+            assert (prev["bm25"], -prev["doc_id"]) >= (r["bm25"], -r["doc_id"])
+        prev = r
+
+
+def test_bm25_scan_leg_has_no_explode_and_no_corpus_shuffle(spark, sf_dir):
+    plan = _bm25_scored(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # term frequencies via HOFs, not explode
+    # the only shuffle feeds the 5-scalar stats aggregate (SinglePartition);
+    # the broadcast exchange returning those scalars is expected
+    for line in plan.splitlines():
+        if "ShuffleExchange" in line or "Exchange hashpartitioning" in line:
+            assert "SinglePartition" in line, line
+
+
+def test_hybrid_rrf_scores_follow_from_ranks(spark, sf_dir):
+    rows = q.spark_queries()["hybrid_rrf_fusion"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        exp = 0.0
+        if r["r_kw"] is not None:
+            assert 1 <= r["r_kw"] <= 20
+            exp += 1.0 / (60 + r["r_kw"])
+        if r["r_vec"] is not None:
+            assert 1 <= r["r_vec"] <= 20
+            exp += 1.0 / (60 + r["r_vec"])
+        assert r["rrf"] == pytest.approx(exp, abs=1e-6)
+    # both legs contribute somewhere in the fused set
+    assert any(r["r_kw"] is not None for r in rows)
+    assert any(r["r_vec"] is not None for r in rows)
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    out = q.spark_queries()["mmr_diversified_topk"](spark, sf_dir).collect()
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == 5
+    # first pick is the relevance argmax: its recorded score is 0.7*rel and
+    # the largest any pick can attain; later picks pay a diversity penalty
+    assert out[0]["mmr"] == max(r["mmr"] for r in out)
+    # every pick must come from the cosine top-20 pool of vec_id=0
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = embs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    from vector_database_api_spark.functions.vector import cosine_similarity
+
+    pool = {
+        r["vec_id"]
+        for r in embs.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(20)
+        .collect()
+    }
+    assert set(ids) <= pool
+
+
+def test_phrase_search_matches_substring_scan(spark, sf_dir):
+    """Every doc the positional join finds must actually contain the
+    phrase as a substring (single-space-tokenized corpus), with the
+    same occurrence count as a direct regex count."""
+    import re
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    expected = {}
+    for d, t in docs.items():
+        toks = t.lower().split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "vector" and toks[i + 1] == "hash"
+        )
+        if n:
+            first = next(
+                i
+                for i in range(len(toks) - 1)
+                if toks[i] == "vector" and toks[i + 1] == "hash"
+            )
+            expected[d] = (n, first + 1)  # 1-based
+    rows = q.spark_queries()["phrase_search_positional"](spark, sf_dir).collect()
+    got = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in rows}
+    assert got == expected
+    # sanity: a regex over the raw text agrees on the count
+    for d, (n, _) in expected.items():
+        assert len(re.findall(r"(?=\bvector hash\b)", docs[d].lower())) == n
+
+
+def test_search_facet_counts_covers_exactly_top50(spark, sf_dir):
+    rows = q.spark_queries()["search_facet_counts"](spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert total == min(50, n_emb)
+    for r in rows:
+        # mean rounds to 4dp, max to 6dp — allow the rounding gap
+        assert r["mean_sim"] <= r["max_sim"] + 5e-5
+
+
+def test_streaming_bm25_stats_match_batch_and_replay(spark, tmp_path, sf_dir):
+    """Streamed term-statistics artifact == batch recomputation over the
+    same corpus, and a crash-replay of a committed batch is a no-op
+    (dynamic partition overwrite rewrites identical content)."""
+    import vector_database_api_spark.streaming.maintenance as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 20), (20, 35), (35, 10**9)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stats_dir = str(tmp_path / "bm25_stats")
+    M.incremental_bm25_stats_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        stats_dir,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination(300)
+
+    terms, corpus = M.bm25_stats_serving(spark, stats_dir)
+    got_terms = {
+        r["term"]: (r["df"], r["tf"]) for r in terms.collect()
+    }
+    got_corpus = corpus.collect()[0]
+
+    # batch recomputation
+    toks = {
+        r["doc_id"]: r["text"].lower().split(" ") for r in docs.collect()
+    }
+    want_terms: dict[str, list[int]] = {}
+    for tk in toks.values():
+        seen = set()
+        for t in tk:
+            e = want_terms.setdefault(t, [0, 0])
+            e[1] += 1
+            if t not in seen:
+                e[0] += 1
+                seen.add(t)
+    assert got_terms == {t: (d, f) for t, (d, f) in want_terms.items()}
+    assert got_corpus["n_docs"] == len(toks)
+    assert got_corpus["avgdl"] == pytest.approx(
+        sum(len(t) for t in toks.values()) / len(toks)
+    )
+
+    # crash-replay: reprocess batch 0's file content under the same id
+    proc = M.bm25_stats_batch_processor(stats_dir)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    proc(b0, 0)
+    terms2, corpus2 = M.bm25_stats_serving(spark, stats_dir)
+    assert {
+        r["term"]: (r["df"], r["tf"]) for r in terms2.collect()
+    } == got_terms
+    assert corpus2.collect()[0]["n_docs"] == got_corpus["n_docs"]

@@ -619,6 +619,47 @@ def main() -> None:
         giant_dup_group
     )
 
+    # round-5 retrieval family at 500k docs: BM25 is HOF-per-row + one
+    # 5-scalar aggregate (zero corpus shuffle by construction — asserted
+    # on the plan); phrase search shuffles only the 2 query terms'
+    # postings, keyed by doc_id (per-doc position counts are tiny, so no
+    # skewable key exists even with viral terms).
+    def bm25_scaled():
+        from vector_database_api_spark.queries import _bm25_scored_docs
+
+        scored = _bm25_scored_docs(docs)
+        plan = _plan_text(scored)
+        assert "Generate" not in plan, "BM25 scan leg regressed to explode"
+        return scored.orderBy(F.desc("bm25"), "doc_id").limit(10).count()
+
+    results["bm25_topk_sec"], _ = timed(bm25_scaled)
+
+    def phrase_scaled():
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ", -1)).alias(
+                "pos0", "term"
+            ),
+        )
+        a = toks.filter(F.col("term") == "vector").select(
+            "doc_id", F.col("pos0").alias("pa")
+        )
+        b = toks.filter(F.col("term") == "hash").select(
+            F.col("doc_id").alias("doc_id_b"), F.col("pos0").alias("pb")
+        )
+        return (
+            a.join(
+                b,
+                (F.col("doc_id") == F.col("doc_id_b"))
+                & (F.col("pb") == F.col("pa") + 1),
+            )
+            .groupBy("doc_id")
+            .count()
+            .count()
+        )
+
+    results["phrase_search_sec"], _ = timed(phrase_scaled)
+
     def viral_winnow_fingerprint():
         # every 5th doc carries the same >=17-char boilerplate run, so
         # one fingerprint's doc frequency is ~n_doc/5 — an all-pairs

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -8080,4 +8082,507 @@ def winnow_passage_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verified"),
         )
         .orderBy(F.desc("n_shared"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword scoring + reciprocal-rank fusion.  The
+# reference serves pure vector search (search_service.py:112-153); a user
+# switching a real corpus onto it immediately needs the keyword leg and a
+# fusion rule next to it (the classic vector-DB "hybrid search" surface).
+# Both engines evaluate the SAME scalar-expression text so the float math
+# is bit-exact (the functions/oracle.py convention).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "hash")  # one rare term (df~5%) + two common
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_contrib_sql(t: str) -> str:
+    """Per-term BM25 contribution as a scalar SQL fragment valid (and
+    textually identical -> bit-identical doubles) in both Spark SQL and
+    DuckDB.  Lucene-style idf = ln(1 + (N - df + 0.5) / (df + 0.5)), so
+    it is positive even for terms in most documents."""
+    k1 = _BM25_K1
+    return (
+        f"CASE WHEN tf_{t} > 0 THEN "
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * {k1 + 1.0})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {k1} * ({1.0 - _BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / avgdl))) ELSE 0.0 END"
+    )
+
+
+# fixed left-to-right association on both engines
+_BM25_SUM = " + ".join(f"({_bm25_contrib_sql(t)})" for t in _BM25_TERMS)
+
+_BM25_HIT = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+
+
+def _duck_tf(t: str) -> str:
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+    )
+
+
+_BM25_SCORED_CTES = f"""
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+         {", ".join(_duck_tf(t) for t in _BM25_TERMS)}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+         round({_BM25_SUM}, 6) AS bm25
+  FROM base CROSS JOIN stats
+  WHERE {_BM25_HIT} > 0
+)
+"""
+
+
+def _bm25_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_*) per document — zero explode, zero shuffle.
+
+    The token array is STAGED as its own projected column so tokenize
+    runs once per doc, not once per derived column — CollapseProject
+    keeps the stage because the alias is non-cheap and referenced 4
+    times (the knn staged-norm / winnowing let-binding rule,
+    PLANS.md)."""
+    staged = docs.select(
+        "doc_id", F.expr("split(lower(text), ' ', -1)").alias("_toks")
+    )
+    cols = [
+        F.col("doc_id"),
+        F.size("_toks").cast("long").alias("dl"),
+    ]
+    for t in _BM25_TERMS:
+        cols.append(
+            F.expr(f"size(filter(_toks, x -> x = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{t}")
+        )
+    return staged.select(*cols)
+
+
+def _bm25_stats(base: DataFrame) -> DataFrame:
+    """ONE map-side-combinable aggregate producing the 5 corpus scalars
+    (N, avgdl, per-term df) BM25 scoring needs."""
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")]
+    for t in _BM25_TERMS:
+        aggs.append(
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+        )
+    return base.agg(*aggs)
+
+
+def _bm25_score(base: DataFrame, stats: DataFrame) -> DataFrame:
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.round(F.expr(_BM25_SUM), 6))
+        .filter(F.expr(_BM25_HIT) > 0)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "bm25")
+    )
+
+
+def _cached_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-scalar BM25 statistics row, persisted once per sf_dir — the
+    statistics artifact a keyword engine maintains next to its postings
+    (streaming/maintenance.py::incremental_bm25_stats_maintenance keeps
+    the same statistics fresh under ingest; deterministic, so the oracle
+    gate is unaffected).  Serving a query then costs ONE corpus scan
+    (score + top-k) instead of two (stats pass + scoring pass)."""
+    key = ("bm25-stats", sf_dir)
+    if key not in _SERVING_INDEXES:
+        stats = _bm25_stats(
+            _bm25_base(load_table(spark, sf_dir, "documents"))
+        ).persist()
+        stats.count()
+        _SERVING_INDEXES[key] = stats
+    return _SERVING_INDEXES[key]
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tf_*, bm25) for docs hitting >= 1 query term, served
+    from the cached statistics artifact.
+
+    100 TB plan: per-doc term frequencies come from higher-order
+    functions over the token array (zero explode, zero shuffle on the
+    corpus); the 5 corpus scalars come from the maintained artifact
+    (broadcast); scoring is whole-stage codegen.  One corpus scan,
+    never shuffled."""
+    return _bm25_score(
+        _bm25_base(load_table(spark, sf_dir, "documents")),
+        _cached_bm25_stats(spark, sf_dir),
+    )
+
+
+def _bm25_scored_docs(docs: DataFrame) -> DataFrame:
+    """Self-contained variant for ad-hoc corpora (scale_smoke, tests):
+    inline stats aggregate instead of the serving artifact — the base
+    subtree evaluates twice (stats pass + scoring pass), which is the
+    cold-start cost the artifact avoids."""
+    base = _bm25_base(docs)
+    return _bm25_score(base, _bm25_stats(base))
+
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_keyword_topk", _BM25_ORACLE)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-10 for the query {dup, vector, hash} — the
+    keyword-retrieval leg the reference's vector-only search surface
+    lacks (SURVEY §2.5/§2.7 extension; search_service.py:112-153 is the
+    vector twin).  k1=1.2, b=0.75, Lucene idf.  Top-k is
+    TakeOrderedAndProject; no explode, no corpus shuffle (see
+    _bm25_scored)."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+_HYBRID_RRF_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+kw AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
+kwr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_kw
+  FROM kw
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id, {duck_cosine('embedding', 'q.qv')} AS sim
+  FROM embeddings, q
+),
+vv AS (SELECT doc_id, sim FROM vs ORDER BY sim DESC, doc_id LIMIT 20),
+vr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec
+  FROM vv
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, r_kw, r_vec,
+         COALESCE(1.0 / (60 + r_kw), 0.0)
+         + COALESCE(1.0 / (60 + r_vec), 0.0) AS rrf_raw
+  FROM kwr k FULL OUTER JOIN vr v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, r_kw, r_vec, round(rrf_raw, 6) AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_rrf_fusion", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (k=60) of the BM25 keyword
+    top-20 and the cosine vector top-20 for the same information need
+    (query terms {dup, vector, hash}; query vector vec_id=0) — the
+    standard two-leg hybrid a vector DB serves next to pure ANN.  Each
+    leg is an independent TakeOrderedAndProject over its own
+    single-scan scoring plan — the only data-sized work at 100 TB.
+    Rank assignment + RRF over the two COLLECTED 20-row legs is O(k)
+    coordinator work (the fusion locus of every real hybrid engine; a
+    first cut ranked via a broadcast self-join peer count, which
+    re-executed each leg's corpus-scan subtree on both join sides —
+    2x the scans for zero distribution benefit on 20 rows).  The
+    1.0/(60+r) arithmetic is the same double math in Python and both
+    engines, and the top-10 cutoff compares RAW rrf on both sides, so
+    the fusion is bit-exact with the SQL oracle."""
+    kw = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id", "bm25")
+        .collect()
+    )
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    vv = (
+        embs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    r_kw = {
+        row["doc_id"]: i + 1
+        for i, row in enumerate(
+            sorted(kw, key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    r_vec = {
+        row["doc_id"]: i + 1
+        for i, row in enumerate(
+            sorted(vv, key=lambda r: (-r["sim"], r["doc_id"]))
+        )
+    }
+    fused = []
+    for d in set(r_kw) | set(r_vec):
+        rk, rv = r_kw.get(d), r_vec.get(d)
+        raw = (1.0 / (60 + rk) if rk else 0.0) + (
+            1.0 / (60 + rv) if rv else 0.0
+        )
+        fused.append((d, rk, rv, raw))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    out = spark.createDataFrame(
+        fused[:10], "doc_id: bigint, r_kw: bigint, r_vec: bigint, rrf: double"
+    )
+    return out.select(
+        "doc_id", "r_kw", "r_vec", F.round("rrf", 6).alias("rrf")
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, lam: str = "CAST(0.7 AS DOUBLE)", one_minus: str = "CAST(0.3 AS DOUBLE)") -> str:
+    """Unrolled greedy-MMR oracle (the BPE-merge precedent: iterative
+    algorithms get unrolled CTE rounds so DuckDB can replay them
+    exactly).  Round 1 picks argmax lam*rel; round n scores
+    lam*rel - (1-lam)*max(sim to selected) over the remaining pool."""
+    sels = []
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        "rels AS (SELECT vec_id AS doc_id, "
+        f"{duck_cosine('embedding', 'q.qv')} AS rel, embedding "
+        "FROM embeddings, q)",
+        "pool AS (SELECT doc_id, rel, embedding FROM rels "
+        "ORDER BY rel DESC, doc_id LIMIT 20)",
+        "pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, "
+        f"{duck_cosine('a.embedding', 'b.embedding')} AS s "
+        "FROM pool a JOIN pool b ON a.doc_id <> b.doc_id)",
+        f"sel1 AS (SELECT doc_id, {lam} * rel AS mmr, 1 AS mmr_rank "
+        "FROM pool ORDER BY rel DESC, doc_id LIMIT 1)",
+    ]
+    sels.append("sel1")
+    for n in range(2, k + 1):
+        chosen = " UNION ALL ".join(f"SELECT doc_id FROM {s}" for s in sels)
+        parts.append(
+            f"cand{n} AS (SELECT p.doc_id, p.rel, max(pr.s) AS ms "
+            f"FROM pool p JOIN pairs pr ON pr.i = p.doc_id "
+            f"AND pr.j IN ({chosen}) "
+            f"WHERE p.doc_id NOT IN ({chosen}) GROUP BY p.doc_id, p.rel)"
+        )
+        parts.append(
+            f"sel{n} AS (SELECT doc_id, {lam} * rel - {one_minus} * ms AS mmr, "
+            f"{n} AS mmr_rank FROM cand{n} ORDER BY mmr DESC, doc_id LIMIT 1)"
+        )
+        sels.append(f"sel{n}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, doc_id, "
+        "round(mmr, 6) AS mmr FROM (" + union + ") ORDER BY mmr_rank"
+    )
+
+
+@register("mmr_diversified_topk", _mmr_oracle_sql())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (lambda=0.7, 5 picks from the
+    cosine top-20 pool for query vec_id=0) — the diversity re-ranker a
+    vector DB offers next to plain top-k (reference serves plain top-k
+    only, search_service.py:112-153).  Plan: relevance scan + top-20 is
+    TakeOrderedAndProject over one corpus scan (the only data-sized
+    work), collected ONCE with embeddings; the 20x20 pairwise
+    similarities and the greedy selection are O(k'^2) driver work over
+    that bounded pool — constant regardless of corpus size, the same
+    bounded-driver adjudication as the gated union-find
+    (operators/dedup.py).  (A first cut computed the pair table via a
+    distributed broadcast self-join of the pool, which re-executed the
+    corpus-scan subtree on both join sides — 2x the scans for zero
+    distribution benefit on 400 pairs.)  The Python pairwise cosine
+    replays the engines' fold EXACTLY — sequential left-to-right
+    double accumulation, same operation order as functions/vector.py
+    and the DuckDB fragments — and the 0.7*rel - 0.3*maxsim greedy is
+    the same double math, so the oracle hash-matches."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    pool_rows = (
+        embs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    rel = {r["doc_id"]: r["rel"] for r in pool_rows}
+    vec = {r["doc_id"]: r["embedding"] for r in pool_rows}
+
+    def _cos(a: list, b: list) -> float:
+        # exact replay of cosine_similarity / duck_cosine: sequential
+        # left-to-right double accumulation, dot/(sqrt(na)*sqrt(nb))
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    sim = {
+        (i, j): _cos(vec[i], vec[j])
+        for i in vec
+        for j in vec
+        if i != j
+    }
+    picked: list[tuple[int, int, float]] = []  # (rank, doc_id, mmr)
+    chosen: list[int] = []
+    first = min(rel, key=lambda d: (-rel[d], d))
+    picked.append((1, first, 0.7 * rel[first]))
+    chosen.append(first)
+    for n in range(2, 6):
+        best = None
+        for d in rel:
+            if d in chosen:
+                continue
+            ms = max(sim[(d, c)] for c in chosen)
+            score = 0.7 * rel[d] - 0.3 * ms
+            if best is None or (score, -d) > (best[1], -best[0]):
+                best = (d, score)
+        picked.append((n, best[0], best[1]))
+        chosen.append(best[0])
+    out = spark.createDataFrame(
+        picked, "mmr_rank: bigint, doc_id: bigint, mmr: double"
+    )
+    return out.select(
+        "mmr_rank", "doc_id", F.round("mmr", 6).alias("mmr")
+    ).orderBy("mmr_rank")
+
+
+_PHRASE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+a AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = 'hash')
+SELECT a.doc_id AS doc_id, count(*) AS n_hits,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+ORDER BY n_hits DESC, doc_id
+"""
+
+
+@register("phrase_search_positional", _PHRASE_ORACLE)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the 2-gram "vector hash" — the
+    inverted-POSITIONAL-index capability keyword engines add on top of
+    BM25's bag-of-words: tokenize with positions, keep ONLY the two
+    query terms' postings (the filter runs in the scan stage, so the
+    shuffle carries 2 terms' postings, not the corpus), then an
+    adjacency self-join (same doc, pos_b = pos_a + 1) and a per-doc
+    rollup.  At 100 TB both join legs are already partitioned by the
+    doc_id join key from the same exchange, and posting volume is
+    query-term-bounded.  Positions are reported 1-based (the
+    generate_subscripts convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ", -1)).alias("pos0", "term"),
+    )
+    a = toks.filter(F.col("term") == "vector").select(
+        "doc_id", F.col("pos0").alias("pa")
+    )
+    b = toks.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos0").alias("pb")
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.col("pb") == F.col("pa") + 1),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.min("pa") + 1).cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+    )
+
+
+_FACET_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS doc_id, {duck_cosine('embedding', 'q.qv')} AS sim
+  FROM embeddings, q
+),
+top AS (SELECT doc_id, sim FROM scored ORDER BY sim DESC, doc_id LIMIT 50)
+SELECT d.lang, d.source, count(*) AS n_docs,
+       round(avg(t.sim), 4) AS mean_sim, round(max(t.sim), 6) AS max_sim
+FROM top t JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang, d.source
+ORDER BY lang, source
+"""
+
+
+@register("search_facet_counts", _FACET_ORACLE)
+def search_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: metadata facet counts (lang x source) with
+    similarity stats over the cosine top-50 for query vec_id=0 — the
+    "aggregations on the result set" surface search engines bolt onto
+    top-k, absent from the reference's plain list results
+    (search_service.py:112-153).  Plan: scoring scan ->
+    TakeOrderedAndProject(50) -> the 50-row candidate set BROADCAST
+    against documents (never the reverse), then a tiny facet rollup —
+    at 100 TB the only data-sized work is the two scans."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    top = (
+        embs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(50)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return (
+        F.broadcast(top)
+        .join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sim"), 4).alias("mean_sim"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+        .orderBy("lang", "source")
     )

@@ -807,3 +807,127 @@ def incremental_lm_quality_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch body of :func:`incremental_bm25_stats_maintenance`,
+    exposed at module level so tests drive crash/replay directly.
+
+    Maintains the BM25 term-statistics artifact (per-term document
+    frequency / term frequency + the corpus scalars N and sum(dl)) the
+    keyword-retrieval leg serves from (`queries.py::_bm25_scored_docs`
+    derives the same statistics inline for the batch query).  Each
+    micro-batch writes ONLY its own PARTIAL aggregates, partitioned by
+    ``_batch_id`` with dynamic partition overwrite, so a replayed batch
+    rewrites its own partition with identical content — the sink is
+    fully idempotent with no meta guard needed for correctness (meta
+    carries ops counters only, committed last).  Serving merges the
+    partials with combinable sums (:func:`bm25_stats_serving`) — the
+    merge-on-read discipline that avoids rewriting a corpus-sized
+    statistics table on every batch at 100 TB; a nightly compaction can
+    fold partials without changing served values.
+
+    Two sinks under ``stats_dir``: ``/terms`` (term, df, tf) and
+    ``/corpus`` (n_docs, sum_dl)."""
+    import json as _json
+    from pathlib import Path
+
+    meta_path = Path(stats_dir + "_meta.json")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        meta = (
+            _json.loads(meta_path.read_text())
+            if meta_path.exists()
+            else {"last_batch_id": -1, "n_docs": 0}
+        )
+        toks = batch.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ", -1)
+            ).alias("term"),
+        )
+        term_partial = (
+            toks.groupBy(F.col(id_col), "term")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("c").alias("tf"),
+            )
+        )
+        corpus_partial = batch.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.split(F.lower(F.col(text_col)), " ", -1)).cast("long")
+            ).alias("sum_dl"),
+        )
+        n_batch_docs = None
+        for df, sink in (
+            (term_partial, stats_dir + "/terms"),
+            (corpus_partial, stats_dir + "/corpus"),
+        ):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(sink)
+            )
+        if batch_id > meta["last_batch_id"]:
+            n_batch_docs = batch.count()
+            meta_path.write_text(
+                _json.dumps(
+                    {
+                        "last_batch_id": batch_id,
+                        "n_docs": meta["n_docs"] + n_batch_docs,
+                    }
+                )
+            )
+
+    return process_batch
+
+
+def incremental_bm25_stats_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    stats_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming maintenance of the BM25 term-statistics artifact — the
+    keyword-index twin of the M1 vector-index maintenance
+    (`incremental_index_maintenance`): as documents arrive, the term df /
+    tf table and the corpus scalars stay fresh without ever recomputing
+    over the full corpus.  Semantics, replay safety, and scale shape on
+    :func:`bm25_stats_batch_processor`."""
+    process_batch = bm25_stats_batch_processor(
+        stats_dir, text_col=text_col, id_col=id_col
+    )
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bm25_stats_serving(spark: SparkSession, stats_dir: str):
+    """Merge the per-batch partials into served BM25 statistics:
+    (terms_df, corpus_df) where terms = (term, df, tf) and corpus =
+    (n_docs, avgdl).  Both merges are combinable sums (map-side
+    partial aggregation), so serving cost scales with the number of
+    distinct terms, never with corpus row count."""
+    terms = (
+        spark.read.parquet(stats_dir + "/terms")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf"))
+    )
+    corpus = spark.read.parquet(stats_dir + "/corpus").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    return terms, corpus
