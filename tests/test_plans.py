@@ -295,6 +295,27 @@ def test_window_partition_key_extraction(spark):
     assert audit_plan(unordered)["window_partition_keys"] == {"g"}
     glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
     assert audit_plan(glob)["window_partition_keys"] == {"<global>"}
+    # literal ']' inside the window-function expression list (array
+    # indexing + a HOF lambda): a non-greedy bracket regex truncates the
+    # exprs group at the inner ']' and misreads the spec lists (r5
+    # ADVICE); the depth-counter parser must still see partition key g
+    arr = df.withColumn("a", F.array(F.col("id"), F.col("id") + 1))
+    idxed = arr.withColumn(
+        "s",
+        F.max(
+            F.col("a")[0] + F.expr("aggregate(a, 0L, (x, y) -> x + y)")
+        ).over(Window.partitionBy("g")),
+    )
+    assert audit_plan(idxed)["window_partition_keys"] == {"g"}
+    # multi-key partition spec with nested function calls in the order
+    # spec: top-level comma split must not break inside parentheses
+    multi = df.withColumn("h", F.col("id") % 2).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("g", "h").orderBy(F.abs(F.col("id") - 3))
+        ),
+    )
+    assert audit_plan(multi)["window_partition_keys"] == {"g", "h"}
 
 
 def test_dedup_keep_first_plans_are_window_free(spark, sf_dir):

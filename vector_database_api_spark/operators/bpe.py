@@ -142,12 +142,14 @@ def bpe_merge_rounds(
     return out
 
 
-def duck_bpe_merge_sql(
+def _duck_learn_cte_chain(
     table: str = "documents", text_col: str = "text", rounds: int = 3
 ) -> str:
-    """DuckDB mirror of :func:`bpe_merge_rounds`: identical tokenizer,
-    representation, pair statistics, argmax tie-break, and left-to-right
-    ``replace`` merge semantics, with the rounds unrolled as CTE stages."""
+    """The learning CTE chain (``wf``/``r0`` .. ``p{r}``/``b{r}``/``r{r}``)
+    shared by :func:`duck_bpe_merge_sql` and :func:`duck_bpe_tokenize_sql`
+    — exposed as its own helper so the tokenize oracle composes the chain
+    directly instead of string-splitting generated SQL (r5 ADVICE: a
+    formatting change in the merge SQL silently truncated the prefix)."""
     toks = T.duck_tokens(text_col)
     parts = [
         f"""
@@ -194,11 +196,20 @@ def duck_bpe_merge_sql(
       FROM {prev} CROSS JOIN b{r}
     )"""
         )
+    return "WITH " + ",".join(parts)
+
+
+def duck_bpe_merge_sql(
+    table: str = "documents", text_col: str = "text", rounds: int = 3
+) -> str:
+    """DuckDB mirror of :func:`bpe_merge_rounds`: identical tokenizer,
+    representation, pair statistics, argmax tie-break, and left-to-right
+    ``replace`` merge semantics, with the rounds unrolled as CTE stages."""
     finals = "\n    UNION ALL ".join(
         f"SELECT {r} AS round, a AS merge_left, b AS merge_right, c AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",".join(parts) + "\n    " + finals
+    return _duck_learn_cte_chain(table, text_col, rounds) + "\n    " + finals
 
 
 def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
@@ -236,13 +247,10 @@ def duck_bpe_tokenize_sql(
     token statistics (integer-exact; the chars/token ratio is one
     IEEE division of exact counts)."""
     toks = T.duck_tokens(text_col)
-    # reuse the learning CTE chain verbatim up to r{rounds}: everything
-    # before the merge-list SELECTs (which start at the first SELECT at
-    # 4-space indent; CTE-internal SELECTs sit deeper)
-    learn = duck_bpe_merge_sql(table, text_col, rounds)
-    parts = learn.split("\n    SELECT")[0]
+    # the learning CTE chain, composed from the shared helper (never
+    # re-derived by splitting generated SQL)
     return (
-        parts
+        _duck_learn_cte_chain(table, text_col, rounds)
         + f""",
     nsym AS (
       SELECT word,

@@ -251,8 +251,10 @@ def knn_join_multiprobe_blas(
     emits each query's per-cell top-k; the global top-k is then a
     window over qid on a BOUNDED input (<= p*k candidate rows per
     query — the per-cell top-k can never evict a true global top-k
-    member, and a (qid, nid) pair exists in at most one cell because a
-    neighbor is stored exactly once, so no dedup is needed).  Exchange
+    member; a (qid, nid) pair exists in at most one cell when a
+    neighbor is stored exactly once, and a max-combine dedup before the
+    rank window enforces that invariant mechanically for any multi-
+    stored input).  Exchange
     layout matches the HOF form (shuffle both sides on the cell id);
     only per-pair evaluation moves from interpreted expressions to
     BLAS.  Deterministic (-cosine, nid) ordering with the same
@@ -307,9 +309,19 @@ def knn_join_multiprobe_blas(
         .cogroup(neighbors.groupBy(cell_col))
         .applyInPandas(per_cell, out_schema)
     )
+    # Enforce the single-storage invariant at the seam instead of only
+    # documenting it (r5 ADVICE): if a caller ever feeds a multi-stored
+    # neighbor side, the same (qid, nid) pair survives per-cell top-k in
+    # several cells and would consume multiple ranks below.  The pair's
+    # cosine is identical in every cell, so a max-combine dedup is exact
+    # — and a no-op shuffle-wise for valid inputs (the candidate set is
+    # bounded at <= p*k rows per query either way).
+    deduped = per_cell_topk.groupBy("qid", "nid").agg(
+        F.max("cosine").alias("cosine")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
     return (
-        per_cell_topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        deduped.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
     )

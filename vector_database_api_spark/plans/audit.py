@@ -85,25 +85,75 @@ def window_partition_keys(plan: str) -> set[str]:
     span doc-frequency window).  An empty partition spec (a GLOBAL
     window — one task for the whole input) is reported as ``<global>``."""
     keys: set[str] = set()
-    for m in re.finditer(
-        r"\(\d+\) Window\n(?:.*\n)*?Arguments: \[.*?\](.*)", plan
-    ):
+    for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan):
         # Arguments prints [exprs] then only the NON-EMPTY specs:
         # [exprs], [part], [order] / [exprs], [part] (no order) /
-        # [exprs], [order] (GLOBAL window).  A partition list never
-        # carries sort direction, so ASC/DESC identifies an order spec.
-        rest = m.group(1)
-        lists = re.findall(r"\[(.*?)\]", rest)
+        # [exprs], [order] (GLOBAL window).  Bracket groups are parsed
+        # with a DEPTH COUNTER, not a non-greedy regex: window-function
+        # expressions legitimately contain literal ']' (array indexing,
+        # lambda/HOF expressions) that would truncate a `\[.*?\]` match
+        # and shift every downstream group (r5 ADVICE).
+        groups = _bracket_groups(m.group(1))
         part = None
-        if lists:
-            first = lists[0]
-            if not re.search(r"\b(?:ASC|DESC)\b", first):
-                part = first
+        if len(groups) >= 3:
+            part = groups[1]
+        elif len(groups) == 2:
+            # two groups is either [exprs],[part] or [exprs],[order]:
+            # an order spec's top-level items ALL end in the canonical
+            # "ASC|DESC NULLS FIRST|LAST" tail (a partition expression
+            # merely containing the substring ASC/DESC does not)
+            items = _split_top_level(groups[1])
+            is_order = items and all(
+                re.search(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\s*$", it)
+                for it in items
+            )
+            if not is_order:
+                part = groups[1]
         if part is None:
             keys.add("<global>")
             continue
-        for tok in part.split(","):
+        for tok in _split_top_level(part):
             name = tok.strip().split("#")[0]
             if name:
                 keys.add(name)
     return keys
+
+
+def _bracket_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` group contents of ``line``, nested brackets
+    kept intact (depth-counted, so literal brackets inside window
+    expressions cannot truncate a group)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start:i])
+    return groups
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split ``s`` on commas not nested inside (), [] or {}."""
+    items: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        items.append(tail)
+    return items

@@ -8134,6 +8134,7 @@ base AS (
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
          {", ".join(_duck_tf(t) for t in _BM25_TERMS)}
   FROM documents
+  WHERE text IS NOT NULL
 ),
 stats AS (
   SELECT count(*) AS n_docs, avg(dl) AS avgdl,
@@ -8156,8 +8157,13 @@ def _bm25_base(docs: DataFrame) -> DataFrame:
     runs once per doc, not once per derived column — CollapseProject
     keeps the stage because the alias is non-cheap and referenced 4
     times (the knn staged-norm / winnowing let-binding rule,
-    PLANS.md)."""
-    staged = docs.select(
+    PLANS.md).
+
+    NULL text is filtered out on BOTH engines: Spark's size(split(NULL))
+    is -1 while DuckDB's len(string_split(NULL)) is NULL (ignored by
+    avg), so an unfiltered NULL row would skew n_docs/avgdl differently
+    per engine (the char_entropy_by_source convention)."""
+    staged = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.expr("split(lower(text), ' ', -1)").alias("_toks")
     )
     cols = [

@@ -840,6 +840,11 @@ def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: s
             if meta_path.exists()
             else {"last_batch_id": -1, "n_docs": 0}
         )
+        # NULL text never reaches the statistics: the batch query's
+        # _bm25_base filters identically, so streamed stats == batch
+        # stats even on corpora with NULL rows (ADVICE r5: Spark's
+        # size(split(NULL)) is -1 while the oracle's avg ignores NULL)
+        batch = batch.filter(F.col(text_col).isNotNull())
         toks = batch.select(
             F.col(id_col),
             F.explode(
@@ -855,13 +860,20 @@ def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: s
                 F.sum("c").alias("tf"),
             )
         )
-        corpus_partial = batch.agg(
+        # the 1-row corpus partial is computed ONCE (first() runs the
+        # aggregate) and re-emitted as a literal for the sink write, so
+        # the meta counter below reuses it instead of re-counting the
+        # batch — one pass over the batch total, not two
+        corpus_row = batch.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
                 F.size(F.split(F.lower(F.col(text_col)), " ", -1)).cast("long")
             ).alias("sum_dl"),
+        ).first()
+        corpus_partial = batch.sparkSession.createDataFrame(
+            [(corpus_row["n_docs"], corpus_row["sum_dl"])],
+            "n_docs bigint, sum_dl bigint",
         )
-        n_batch_docs = None
         for df, sink in (
             (term_partial, stats_dir + "/terms"),
             (corpus_partial, stats_dir + "/corpus"),
@@ -874,12 +886,11 @@ def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: s
                 .parquet(sink)
             )
         if batch_id > meta["last_batch_id"]:
-            n_batch_docs = batch.count()
             meta_path.write_text(
                 _json.dumps(
                     {
                         "last_batch_id": batch_id,
-                        "n_docs": meta["n_docs"] + n_batch_docs,
+                        "n_docs": meta["n_docs"] + int(corpus_row["n_docs"]),
                     }
                 )
             )
