@@ -183,6 +183,7 @@ HEADLINE = [
     "winnow_passage_lookup",
     "bm25_keyword_topk",
     "hybrid_rrf_fusion",
+    "hybrid_rrf_filtered",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",
@@ -258,6 +259,14 @@ def main() -> None:
     run_once(spark, sf_dir, "q1_pricing_summary")
     for name in HEADLINE:
         run_once(spark, sf_dir, name)
+    # settle barrier: force a full JVM GC and give the cleaner threads a
+    # beat, so allocation debris from the pre-pass (artifact builds,
+    # codegen compilation) is paid HERE and not inside the first timed
+    # windows (round-5 driver window read simhash_near_dup at 27x its
+    # warm time with an unchanged plan — first-window GC debris is the
+    # prime suspect the anchor cannot fully absorb)
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    time.sleep(2.0)
     run_once(spark, sf_dir, ANCHOR)
 
     timings: dict[str, float] = {}

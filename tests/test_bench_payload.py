@@ -63,3 +63,39 @@ def test_every_headline_query_has_a_plan_audit_row():
                 audited.add(line.split("|")[1].strip())
     missing = [n for n in bench.HEADLINE if n not in audited]
     assert not missing, f"bench queries missing from PLANS_AUDIT.md: {missing}"
+
+
+def test_coordinator_fusion_legs_have_audit_rows():
+    """Queries that fuse COLLECTED legs on the driver run their
+    data-sized plans inside collect(), invisible to an audit of the
+    returned frame (r5 verdict: hybrid_rrf_fusion read "0 shuffles").
+    Every such query must expose its legs via queries.AUDIT_SUBPLANS,
+    and the committed PLANS_AUDIT.md must carry one "query:leg" row per
+    leg."""
+    import os
+
+    from vector_database_api_spark import queries as q
+
+    # the fusion queries on the bench surface must be registered
+    for name in (
+        "hybrid_rrf_fusion",
+        "hybrid_rrf_filtered",
+        "mmr_diversified_topk",
+    ):
+        assert name in q.AUDIT_SUBPLANS, name
+        assert q.AUDIT_SUBPLANS[name], name
+
+    path = os.path.join(os.path.dirname(bench.__file__), "PLANS_AUDIT.md")
+    audited = set()
+    with open(path) as f:
+        for line in f:
+            if line.startswith("| ") and " | " in line:
+                audited.add(line.split("|")[1].strip())
+    expected = [
+        f"{name}:{leg}"
+        for name, legs in q.AUDIT_SUBPLANS.items()
+        if name in bench.HEADLINE
+        for leg in legs
+    ]
+    missing = [n for n in expected if n not in audited]
+    assert not missing, f"fusion legs missing from PLANS_AUDIT.md: {missing}"

@@ -1,0 +1,121 @@
+"""BM25 inverted-index operator: build shape, scoring math (hand-checked
+against the Lucene-flavored formula the oracle-checked queries.py family
+uses), filter-then-search candidates, and RRF fusion."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.operators import bm25 as bm25_mod
+
+
+@pytest.fixture()
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "x y"),
+            ("b", "x x z"),
+            ("c", "y z z"),
+            ("d", None),  # NULL text never enters the index
+        ],
+        "id string, text string",
+    )
+    return bm25_mod.build_bm25_index(docs)
+
+
+def test_build_shapes(tiny_index):
+    postings, doclens, stats = tiny_index
+    p = {(r["term"], r["id"]): r["tf"] for r in postings.collect()}
+    assert p == {
+        ("x", "a"): 1,
+        ("x", "b"): 2,
+        ("y", "a"): 1,
+        ("y", "c"): 1,
+        ("z", "b"): 1,
+        ("z", "c"): 2,
+    }
+    dl = {r["id"]: r["dl"] for r in doclens.collect()}
+    assert dl == {"a": 2, "b": 3, "c": 3}
+    s = stats.first()
+    assert s["n_docs"] == 3
+    assert s["avgdl"] == pytest.approx(8 / 3)
+
+
+def _expected(tf: int, df: int, dl: int, n: int, avgdl: float) -> float:
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+
+def test_score_math_hand_checked(tiny_index):
+    postings, doclens, _ = tiny_index
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_mod.bm25_search(
+            postings, doclens, 3, 8 / 3, ["x", "z"], k=10
+        ).collect()
+    }
+    n, avgdl = 3, 8 / 3
+    assert got["a"] == pytest.approx(_expected(1, 2, 2, n, avgdl))
+    assert got["b"] == pytest.approx(
+        _expected(2, 2, 3, n, avgdl) + _expected(1, 2, 3, n, avgdl)
+    )
+    assert got["c"] == pytest.approx(_expected(2, 2, 3, n, avgdl))
+    # b hits both terms and must outrank the single-term docs
+    assert got["b"] > got["c"] > 0
+
+
+def test_duplicate_and_empty_query_terms(tiny_index):
+    postings, doclens, _ = tiny_index
+    once = bm25_mod.bm25_search(postings, doclens, 3, 8 / 3, ["x"], k=10)
+    twice = bm25_mod.bm25_search(
+        postings, doclens, 3, 8 / 3, ["x", "", "x"], k=10
+    )
+    assert {(r["id"], r["score"]) for r in once.collect()} == {
+        (r["id"], r["score"]) for r in twice.collect()
+    }
+    assert (
+        bm25_mod.bm25_search(postings, doclens, 3, 8 / 3, [""], k=10).count()
+        == 0
+    )
+
+
+def test_filter_then_search_keeps_corpus_df(tiny_index, spark):
+    """Candidate restriction must not change idf: df stays corpus-level,
+    so a doc's score is identical with and without the filter — only
+    WHICH docs may appear changes (reference filter-then-search)."""
+    postings, doclens, _ = tiny_index
+    unfiltered = {
+        r["id"]: r["score"]
+        for r in bm25_mod.bm25_search(
+            postings, doclens, 3, 8 / 3, ["x", "z"], k=10
+        ).collect()
+    }
+    cand = spark.createDataFrame([("b",)], "id string")
+    got = bm25_mod.bm25_search(
+        postings, doclens, 3, 8 / 3, ["x", "z"], k=10, candidate_ids=cand
+    ).collect()
+    assert [r["id"] for r in got] == ["b"]
+    assert got[0]["score"] == pytest.approx(unfiltered["b"])
+
+
+def test_tokenize_query():
+    assert bm25_mod.tokenize_query("Foo  bar foo") == ["foo", "bar"]
+    assert bm25_mod.tokenize_query("") == []
+
+
+def test_rrf_fuse_math_and_ties():
+    kw = [("a", 9.0), ("b", 5.0)]
+    vec = [("b", 0.9), ("c", 0.8)]
+    fused = bm25_mod.rrf_fuse(kw, vec, rrf_k=60)
+    as_map = {d: (rk, rv, raw) for d, rk, rv, raw in fused}
+    assert as_map["a"] == (1, None, 1 / 61)
+    assert as_map["b"] == (2, 1, 1 / 62 + 1 / 61)
+    assert as_map["c"] == (None, 2, 1 / 62)
+    # b hits both legs -> first; a vs c tie-break is on raw rrf (1/61 > 1/62)
+    assert [d for d, *_ in fused] == ["b", "a", "c"]
+    # equal-rrf tie (same rank in opposite legs) breaks by id
+    fused2 = bm25_mod.rrf_fuse([("q", 1.0)], [("p", 1.0)], rrf_k=60)
+    assert [d for d, *_ in fused2] == ["p", "q"]

@@ -272,3 +272,105 @@ def test_sq8_index_mutations(engine):
 
     engine.index_library("libA", "lsh")
     assert not os.path.isdir(engine._index_dir("sq8", "libA"))
+
+
+def test_bm25_index_search(engine):
+    """BM25 keyword path through the same dispatch: build, text search,
+    filter-then-search candidates, k-clamp, query_text requirement."""
+    engine.index_library("libA", "bm25")
+    got = engine.search("libA", query_text="python").collect()
+    assert 0 < len(got) <= CFG.default_k
+    # every python-topic doc ties (tf=2, equal dl) -> id tie-break
+    assert got[0]["id"] == "c00"
+    ids = {r["id"] for r in got}
+    assert all(int(i[1:]) % 3 == 0 for i in ids)  # topic 'python' rows
+    # the '0' token is unique to c00 -> multi-term query ranks it first
+    top = engine.search(
+        "libA", query_text="python document number 0 about python", k=3
+    ).collect()
+    assert top[0]["id"] == "c00"
+    # filter-then-search: k filtered results (ml rows never match 'python')
+    flt = engine.search(
+        "libA",
+        query_text="document",
+        k=100,
+        metadata_filters={"topic": "ml"},
+    ).collect()
+    assert 0 < len(flt) < 20
+    assert all(int(r["id"][1:]) % 3 == 1 for r in flt)
+    # a bm25 index cannot serve an embedding-only query
+    with pytest.raises(ValueError):
+        engine.search("libA", query_embedding=[0.0] * 16)
+    # threshold applies on the path's native score scale
+    base = engine.search("libA", query_text="python", k=10).collect()
+    cut = (base[0]["score"] + base[-1]["score"]) / 2 + 1e-9
+    assert engine.search(
+        "libA", query_text="python", k=10, similarity_threshold=1e9
+    ).count() == 0
+    kept = engine.search(
+        "libA", query_text="python", k=10, similarity_threshold=cut
+    ).collect()
+    assert all(r["score"] >= cut for r in kept)
+
+
+def test_bm25_index_mutations(engine):
+    """M2/M3 on the keyword artifact: delete removes postings rows;
+    update re-tokenizes the patched doc; corpus stats re-aggregate."""
+    engine.index_library("libA", "bm25")
+    engine.delete_chunks("libA", ["c00"])
+    got = engine.search("libA", query_text="python", k=20).collect()
+    assert "c00" not in {r["id"] for r in got}
+    engine.update_chunk_texts("libA", {"c01": "zanzibar zanzibar probe"})
+    hit = engine.search("libA", query_text="zanzibar", k=5).collect()
+    assert [r["id"] for r in hit] == ["c01"]
+    # stats follow the mutations: n_docs dropped by the delete
+    _, _, n_docs, _ = engine._read_text_index(
+        engine._index_dir("bm25", "libA")
+    )
+    assert n_docs == 19
+
+
+def test_hybrid_index_search(engine):
+    """Two-leg hybrid through dispatch: RRF of the BM25 leg and the exact
+    vector leg, metadata filter applied to BOTH legs before their top-k,
+    threshold on the fused doc's cosine evidence."""
+    engine.index_library("libA", "hybrid")
+    q = "python document number 0 about python"
+    got = engine.search("libA", query_text=q, k=5).collect()
+    assert len(got) == 5
+    assert set(got[0].asDict()) == {"id", "r_kw", "r_vec", "rrf", "similarity"}
+    # c00 tops both legs (exact text match; unique '0' token) -> fused first
+    assert got[0]["id"] == "c00"
+    assert got[0]["r_kw"] == 1 and got[0]["r_vec"] == 1
+    assert got[0]["similarity"] == pytest.approx(1.0)
+    # fused order is (rrf desc, id)
+    rrfs = [r["rrf"] for r in got]
+    assert rrfs == sorted(rrfs, reverse=True)
+    # filtered hybrid: both legs restricted -> only ml-topic ids survive
+    flt = engine.search(
+        "libA", query_text="document", k=10, metadata_filters={"topic": "ml"}
+    ).collect()
+    assert flt and all(int(r["id"][1:]) % 3 == 1 for r in flt)
+    # threshold: keyword-only docs carry NULL similarity and are dropped
+    thr = engine.search(
+        "libA", query_text=q, k=5, similarity_threshold=-1.0
+    ).collect()
+    assert all(r["similarity"] is not None for r in thr)
+    # embedding-only query still serves (keyword leg empty -> vector ranks)
+    vec_only = engine.search(
+        "libA",
+        query_embedding=[float(x) for x in text_to_vector(q, 16)],
+        k=3,
+    ).collect()
+    assert vec_only[0]["id"] == "c00" and vec_only[0]["r_kw"] is None
+
+
+def test_index_switch_drops_text_indexes(engine):
+    import os
+
+    engine.index_library("libA", "hybrid")
+    assert os.path.isdir(engine._index_dir("hybrid", "libA"))
+    engine.index_library("libA", "bm25")
+    assert not os.path.isdir(engine._index_dir("hybrid", "libA"))
+    engine.index_library("libA", "lsh")
+    assert not os.path.isdir(engine._index_dir("bm25", "libA"))

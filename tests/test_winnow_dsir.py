@@ -114,3 +114,50 @@ def test_cross_engine_bmp_nonascii(spark):
     assert sp == du
     assert sp[1] == sp[3]  # identical text, identical fingerprints
     assert not (sp[1] & sp[2])
+
+
+def test_streaming_winnow_matches_batch_and_replay(spark, tmp_path, sf_dir):
+    """Streamed winnow fingerprint store == batch rebuild over the same
+    docs (after the merge-on-read hot cap), and a crash-replay of a
+    committed batch is a no-op (dynamic partition overwrite rewrites
+    identical content) — the same contract every other artifact upkeep
+    here carries (incremental_bm25_stats precedent)."""
+    import vector_database_api_spark.streaming.maintenance as M
+    from vector_database_api_spark.operators import dedup as dedup_mod
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 20), (20, 35), (35, 10**9)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "winnow_store")
+    M.incremental_winnow_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        store,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination(300)
+
+    def rows_of(df):
+        return {
+            (r["doc_id"], r["source"], r["nf"], r["f"]) for r in df.collect()
+        }
+
+    served = rows_of(M.winnow_fingerprints_serving(spark, store))
+    batch_fp = dedup_mod.winnow_fingerprints(docs).persist()
+    want = rows_of(
+        dedup_mod.winnow_hot_cap(dedup_mod.winnow_occurrences(batch_fp))
+    )
+    batch_fp.unpersist()
+    assert served == want and served
+
+    # crash-replay: reprocess batch 0's content under the same id
+    proc = M.winnow_fp_batch_processor(store)
+    proc(docs.filter(F.col("doc_id") < 20), 0)
+    assert rows_of(M.winnow_fingerprints_serving(spark, store)) == want

@@ -69,8 +69,16 @@ def main() -> None:
     rows = []
     violations = []
     registry = {**q.spark_queries(), **q.demo_queries()}
+    # coordinator-fusion queries run their data-sized legs inside
+    # collect(), invisible to an audit of the returned frame — each leg
+    # is audited as its own "query:leg" row (queries.AUDIT_SUBPLANS)
+    audit_targets: list[tuple[str, object]] = []
     for name in HEADLINE:
-        df = registry[name](spark, sf_dir)
+        audit_targets.append((name, registry[name]))
+        for leg, fn in q.AUDIT_SUBPLANS.get(name, {}).items():
+            audit_targets.append((f"{name}:{leg}", fn))
+    for name, build in audit_targets:
+        df = build(spark, sf_dir)
         a = audit_plan(df)
         py = sorted(n.lower() for n in a["python_udf_names"])
         unexpected = [n for n in py if not any(al in n for al in ALLOWED_PYTHON)]

@@ -1,0 +1,159 @@
+"""BM25 inverted index + keyword scoring as DataFrame ops — the SERVED
+form of the keyword-retrieval leg.
+
+The reference's search surface is vector-only (``/root/reference/app/
+services/search_service.py:112-153``); the BM25 family in ``queries.py``
+(bm25_keyword_topk and the hybrid fusions) carries the oracle-checked
+scoring math for a FIXED term set expressed as zero-shuffle HOF scans.
+This module is the index a long-lived service builds once and queries
+with ARBITRARY terms: a postings table (term, id, tf), a doc-length
+table (id, dl), and the 1-row corpus statistics — the classic inverted
+index, re-expressed relationally.
+
+Scale shape (100 TB):
+
+- build is ONE explode + one map-side-combinable aggregate over the
+  corpus; the postings table is the write-once artifact (streaming
+  upkeep of the same statistics: ``streaming/maintenance.py::
+  incremental_bm25_stats_maintenance``);
+- a query reads postings with ``term IN (...)`` — a pushed-down
+  predicate over a term-sorted/partition-friendly store, touching only
+  the query terms' posting lists, never the corpus;
+- per-term document frequency comes from the term-filtered postings
+  BEFORE any metadata-candidate restriction: index statistics are
+  corpus-level, the filter restricts CANDIDATES (filter-then-search,
+  search_service.py:88-110) — the same decision the registry's
+  ``hybrid_rrf_filtered`` documents and oracle-checks;
+- scoring is whole-stage-codegen arithmetic; top-k is
+  ``TakeOrderedAndProject``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Lucene-flavored BM25, identical constants and idf form to the
+# oracle-checked queries.py family (_bm25_contrib_sql)
+K1 = 1.2
+B = 0.75
+
+
+def tokens_expr(text_col: str) -> Column:
+    """The family's shared tokenizer: lowercase whitespace split.  dl is
+    the FULL split size (empty tokens included), matching
+    queries._bm25_base so served scores equal the oracle-checked math."""
+    return F.split(F.lower(F.col(text_col)), " ", -1)
+
+
+def build_bm25_index(
+    chunks: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doclens, stats) for the corpus in ``chunks``.
+
+    postings: (term, id, tf) — one row per distinct term per doc;
+    doclens:  (id, dl) — dl the full token-array size;
+    stats:    1 row (n_docs, avgdl).
+
+    NULL text is excluded everywhere (the _bm25_base convention).  One
+    corpus scan feeds all three: the token array is staged once per doc.
+    """
+    base = (
+        chunks.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("_toks"))
+    )
+    doclens = base.select("id", F.size("_toks").cast("long").alias("dl"))
+    postings = (
+        base.select("id", F.explode("_toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return postings, doclens, stats
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Query-side twin of :func:`tokens_expr`: lowercase whitespace
+    split, empties dropped, first-occurrence order kept, deduped (a
+    repeated query term must not double-count its contribution)."""
+    return [t for t in dict.fromkeys(text.lower().split(" ")) if t]
+
+
+def bm25_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    candidate_ids: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k (id, score) for ``query_terms`` against the index.
+
+    ``candidate_ids`` (one ``id`` column) is the filter-then-search
+    hook: when given, only those docs can score — but per-term df is
+    computed from the term-filtered postings BEFORE the restriction
+    (corpus-level statistics; the reference filters candidates, not the
+    index).  k results are k FILTERED results, fewer allowed.
+    """
+    spark = postings.sparkSession
+    terms = [t for t in dict.fromkeys(query_terms) if t]
+    if not terms or n_docs == 0:
+        return spark.createDataFrame([], "id string, score double")
+    hits = postings.filter(F.col("term").isin(terms))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if candidate_ids is not None:
+        hits = hits.join(candidate_ids.select("id"), "id", "left_semi")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    contrib = idf * (
+        tf
+        * (k1 + 1.0)
+        / (tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / float(avgdl))))
+    )
+    return (
+        hits.join(F.broadcast(df_t), "term")
+        .join(doclens, "id")
+        .select("id", contrib.alias("contrib"))
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(int(k))
+    )
+
+
+def rrf_fuse(
+    kw_ranked: list[tuple],
+    vec_ranked: list[tuple],
+    rrf_k: int = 60,
+) -> list[tuple]:
+    """Reciprocal-rank fusion of two COLLECTED, already-ordered legs —
+    the bounded O(k) coordinator step of every real hybrid engine
+    (distributing ~2k rows would re-execute each leg's corpus-scan
+    subtree for zero benefit; measured in queries.py::hybrid_rrf_fusion).
+
+    Each leg is [(id, leg_score), ...] in rank order.  Returns
+    [(id, r_kw, r_vec, rrf)] sorted by (-rrf, id); ranks are 1-based,
+    None for a doc absent from a leg.  Pure double arithmetic
+    (1/(rrf_k+r)) — bit-identical across Python, Spark and DuckDB.
+    """
+    r_kw = {row[0]: i + 1 for i, row in enumerate(kw_ranked)}
+    r_vec = {row[0]: i + 1 for i, row in enumerate(vec_ranked)}
+    fused = []
+    for d in set(r_kw) | set(r_vec):
+        rk, rv = r_kw.get(d), r_vec.get(d)
+        raw = (1.0 / (rrf_k + rk) if rk else 0.0) + (
+            1.0 / (rrf_k + rv) if rv else 0.0
+        )
+        fused.append((d, rk, rv, raw))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    return fused

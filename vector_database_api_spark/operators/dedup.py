@@ -968,3 +968,72 @@ def duck_span_hot_sql(
     ORDER BY n_docs DESC, n_occurrences DESC, span
     LIMIT {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — MOSS).
+# Shared by the batch artifact build (queries._cached_winnow_fingerprints)
+# and the streaming upkeep (streaming.maintenance.winnow_fp_batch_processor):
+# both paths derive the SAME (doc_id, source, nf, f) occurrence rows, so
+# streamed == rebuilt is a schema-level guarantee, pinned by pytest.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 12, w: int = 6
+) -> DataFrame:
+    """(doc_id, source, fps) per document — the zero-shuffle HOF chain:
+    hash every character k-gram (cross-engine 60-bit md5), keep each
+    w-window's minimum (guaranteed detection of shared substrings of
+    length >= k + w - 1 chars).  Docs shorter than k + w - 1 carry no
+    window and are dropped.
+
+    Callers that reference ``fps`` more than once (size + explode) must
+    persist this frame first: un-persisted, CollapseProject inlines the
+    whole HOF chain into EACH reference — a measured 2x of the md5 work
+    (PLANS.md, the let-binding rule)."""
+    return (
+        docs.filter(F.length("text") >= k + w - 1)
+        .select("doc_id", "source", "text")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(T.spark_kgram_hashes("text", k)).alias("hashes"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(T.spark_winnow_select("hashes", w)).alias("fps"),
+        )
+    )
+
+
+def winnow_occurrences(fp: DataFrame) -> DataFrame:
+    """Explode a fingerprint frame into (doc_id, source, nf, f)
+    occurrence rows; nf keeps the doc's FULL fingerprint count so
+    downstream containment denominators stay honest even after a hot
+    cap drops rows."""
+    return fp.select(
+        "doc_id",
+        "source",
+        F.size("fps").alias("nf"),
+        F.explode("fps").alias("f"),
+    )
+
+
+def winnow_hot_cap(ex: DataFrame, max_df: int = 32) -> DataFrame:
+    """Drop occurrence rows of viral fingerprints (document frequency >
+    ``max_df`` per (source, f)): a boilerplate fingerprint makes any
+    pair join's OUTPUT quadratic in its bucket — AQE splits a skewed
+    join's input but nothing shrinks its output — and carries no
+    near-dup signal (the super-frequent-shingle drop MinHash pipelines
+    use).  Applied at artifact build for the batch store and
+    merge-on-read for the streamed store, so the cap always reflects
+    the FULL corpus seen so far."""
+    hot = (
+        ex.groupBy("source", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_df)
+        .select("source", "f")
+    )
+    return ex.join(F.broadcast(hot), ["source", "f"], "left_anti")

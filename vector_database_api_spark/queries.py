@@ -104,6 +104,15 @@ def demo_queries() -> dict[str, SparkQuery]:
 # gate is unaffected, and bench's best-of-2 measures steady-state serving.
 # ---------------------------------------------------------------------------
 
+# Every builder below follows the same pinning discipline: persist()
+# then an immediate count(), so the artifact is FULLY materialized inside
+# whatever pass first touches it (bench's untimed pre-pass runs every
+# query once, so first-build cost can never land inside a timed run).
+# persist() uses PySpark's default StorageLevel.MEMORY_AND_DISK: a
+# memory-pressure eviction spills the blocks to disk instead of silently
+# dropping them, so a later read can never trigger a full rebuild.
+# Bounded in practice (keyed by sf_dir — the driver uses 3); a long-lived
+# multi-tenant service would add an eviction policy here.
 _SERVING_INDEXES: dict[tuple, object] = {}
 
 
@@ -7416,8 +7425,10 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SERVING_INDEXES:
         docs = (
             load_table(spark, sf_dir, "documents")
+            # too-short docs carry no window; dropping them BEFORE the
+            # exchange keeps the rebalance payload minimal (the builder
+            # re-applies the same filter as a no-op)
             .filter(F.length("text") >= 17)
-            .select("doc_id", "source", "text")
             # spread the md5-per-position HOF stage across all cores:
             # the source is one small parquet file locally (one input
             # split).  This IS an extra exchange, but it is in the
@@ -7426,42 +7437,19 @@ def _cached_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and the exchange just rebalances them
             .repartition(spark.sparkContext.defaultParallelism)
         )
-        fp = docs.select(
-            "doc_id",
-            "source",
-            F.expr(text_fns.spark_kgram_hashes("text", 12)).alias("hashes"),
-        ).select(
-            "doc_id",
-            "source",
-            F.expr(text_fns.spark_winnow_select("hashes", 6)).alias("fps"),
-        ).persist()
+        # shared builders (operators/dedup.py — the streaming upkeep
+        # derives the identical rows per micro-batch).  fp is persisted
+        # because size + explode BOTH reference fps: un-persisted,
+        # CollapseProject inlines the whole HOF chain into each (2x the
+        # md5/winnow work — measured 417 s vs ~210 s at 500k docs).
+        # The df > 32 hot cap is applied at BUILD time; nf keeps the
+        # doc's FULL fingerprint count so containment denominators stay
+        # honest (rationale on dedup.winnow_hot_cap).
+        fp = dedup_mod.winnow_fingerprints(docs, k=12, w=6).persist()
         fp.count()
-        # size + explode BOTH reference fps: un-persisted, CollapseProject
-        # inlines the whole HOF chain into each (2x the md5/winnow work —
-        # measured 417 s vs ~210 s at 500k docs); cached, both read the
-        # materialized array
-        ex = fp.select(
-            "doc_id",
-            "source",
-            F.size("fps").alias("nf"),
-            F.explode("fps").alias("f"),
-        )
-        # hot-fingerprint cap (df > 32 per (source, f)) applied at BUILD
-        # time: a viral boilerplate fingerprint makes any downstream
-        # pair join's OUTPUT quadratic in its bucket — AQE splits a
-        # skewed join's input but nothing shrinks its output — and
-        # boilerplate fingerprints carry no near-dup signal, so the
-        # index simply does not store them (MinHash pipelines drop
-        # super-frequent shingles the same way).  nf keeps the doc's
-        # FULL fingerprint count so containment denominators stay
-        # honest.
-        hot = (
-            ex.groupBy("source", "f")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 32)
-            .select("source", "f")
-        )
-        kept = ex.join(F.broadcast(hot), ["source", "f"], "left_anti").persist()
+        kept = dedup_mod.winnow_hot_cap(
+            dedup_mod.winnow_occurrences(fp), max_df=32
+        ).persist()
         kept.count()
         fp.unpersist()
         _SERVING_INDEXES[key] = kept
@@ -8294,6 +8282,37 @@ ORDER BY rrf_raw DESC, doc_id LIMIT 10
 """
 
 
+def _rrf_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 leg of the RRF hybrid — the data-sized keyword
+    subplan (single corpus scan -> TakeOrderedAndProject), exposed for
+    the plan audit (AUDIT_SUBPLANS) because the query proper collects it."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id", "bm25")
+    )
+
+
+def _rrf_vec_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-20 leg of the RRF hybrid (broadcast 1-row query vector
+    -> single scan -> TakeOrderedAndProject), exposed for the plan audit."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return (
+        embs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(20)
+    )
+
+
 @register("hybrid_rrf_fusion", _HYBRID_RRF_ORACLE)
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: reciprocal-rank fusion (k=60) of the BM25 keyword
@@ -8309,49 +8328,137 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the scans for zero distribution benefit on 20 rows).  The
     1.0/(60+r) arithmetic is the same double math in Python and both
     engines, and the top-10 cutoff compares RAW rrf on both sides, so
-    the fusion is bit-exact with the SQL oracle."""
-    kw = (
-        _bm25_scored(spark, sf_dir)
+    the fusion is bit-exact with the SQL oracle.  Both legs are exposed
+    to the plan gate via AUDIT_SUBPLANS (their data-sized plans execute
+    inside collect(), invisible to an audit of the returned frame)."""
+    kw = _rrf_kw_leg(spark, sf_dir).collect()
+    vv = _rrf_vec_leg(spark, sf_dir).collect()
+    from vector_database_api_spark.operators.bm25 import rrf_fuse
+
+    # legs arrive rank-ordered (TakeOrderedAndProject output order);
+    # fusion is the shared bounded coordinator step (operators/bm25.py)
+    fused = rrf_fuse(
+        [(r["doc_id"], r["bm25"]) for r in kw],
+        [(r["doc_id"], r["sim"]) for r in vv],
+    )
+    out = spark.createDataFrame(
+        fused[:10], "doc_id: bigint, r_kw: bigint, r_vec: bigint, rrf: double"
+    )
+    return out.select(
+        "doc_id", "r_kw", "r_vec", F.round("rrf", 6).alias("rrf")
+    )
+
+
+_HYBRID_FILTERED_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+flt AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'en' AND contains(lower(text), 'vector')
+),
+kw AS (
+  SELECT s.doc_id, s.bm25 FROM scored s JOIN flt f ON s.doc_id = f.doc_id
+  ORDER BY s.bm25 DESC, s.doc_id LIMIT 20
+),
+kwr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_kw
+  FROM kw
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id AS doc_id, {duck_cosine('e.embedding', 'q.qv')} AS sim
+  FROM embeddings e JOIN flt f ON e.vec_id = f.doc_id, q
+),
+vv AS (SELECT doc_id, sim FROM vs ORDER BY sim DESC, doc_id LIMIT 20),
+vr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec
+  FROM vv
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, r_kw, r_vec,
+         COALESCE(1.0 / (60 + r_kw), 0.0)
+         + COALESCE(1.0 / (60 + r_vec), 0.0) AS rrf_raw
+  FROM kwr k FULL OUTER JOIN vr v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, r_kw, r_vec, round(rrf_raw, 6) AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id LIMIT 10
+"""
+
+
+def _hybrid_filter(docs: DataFrame) -> DataFrame:
+    """The filtered-hybrid metadata predicate, reference filter shapes:
+    F1 exact match (lang = 'en'; NULL lang fails) AND F4 case-insensitive
+    contains on the text — plain Catalyst predicates, pushed to the
+    parquet scan."""
+    return docs.filter(
+        (F.col("lang") == "en") & F.lower(F.col("text")).contains("vector")
+    )
+
+
+def _rrf_filtered_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered BM25 top-20 leg: the F1/F4 predicate pushed below the
+    HOF scoring scan, corpus statistics from the maintained artifact."""
+    flt = _hybrid_filter(load_table(spark, sf_dir, "documents"))
+    return (
+        _bm25_score(_bm25_base(flt), _cached_bm25_stats(spark, sf_dir))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
         .select("doc_id", "bm25")
-        .collect()
     )
+
+
+def _rrf_filtered_vec_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered cosine top-20 leg: the filtered doc ids semi-join the
+    embeddings BEFORE scoring, then broadcast query vector + top-k."""
+    flt = _hybrid_filter(load_table(spark, sf_dir, "documents"))
     embs = load_table(spark, sf_dir, "embeddings")
     qv = (
         embs.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").alias("qv"))
     )
-    vv = (
-        embs.crossJoin(F.broadcast(qv))
+    return (
+        embs.join(
+            flt.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
         )
         .orderBy(F.desc("sim"), "doc_id")
         .limit(20)
-        .collect()
     )
-    r_kw = {
-        row["doc_id"]: i + 1
-        for i, row in enumerate(
-            sorted(kw, key=lambda r: (-r["bm25"], r["doc_id"]))
-        )
-    }
-    r_vec = {
-        row["doc_id"]: i + 1
-        for i, row in enumerate(
-            sorted(vv, key=lambda r: (-r["sim"], r["doc_id"]))
-        )
-    }
-    fused = []
-    for d in set(r_kw) | set(r_vec):
-        rk, rv = r_kw.get(d), r_vec.get(d)
-        raw = (1.0 / (60 + rk) if rk else 0.0) + (
-            1.0 / (60 + rv) if rv else 0.0
-        )
-        fused.append((d, rk, rv, raw))
-    fused.sort(key=lambda t: (-t[3], t[0]))
+
+
+@register("hybrid_rrf_filtered", _HYBRID_FILTERED_ORACLE)
+def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED hybrid search — the reference's flagship filter-then-
+    search semantics (search_service.py:88-110: metadata filter ->
+    candidates -> top-k AFTER filtering, fewer-than-k allowed) composed
+    with the two-leg RRF hybrid: the F1/F4-shape predicate (lang='en'
+    AND text contains 'vector') restricts BOTH legs BEFORE their top-20
+    cuts, so every fused doc satisfies the filter — the one semantic a
+    hybrid vector-DB user exercises on every request, and the query
+    `service.py::search` serves for index_type='hybrid'
+    (`_hybrid_topk`).  BM25 corpus statistics stay CORPUS-level (served
+    from the maintained artifact — the filter restricts candidates, not
+    the index; a real engine does not re-derive idf per filter), the
+    keyword leg is the zero-shuffle HOF scan with the filter pushed to
+    the parquet scan, the vector leg semi-joins the filtered doc ids
+    before scoring, and each leg's top-20 is TakeOrderedAndProject.
+    Fusion over the two COLLECTED 20-row legs is bounded O(k)
+    coordinator work (`operators/bm25.py::rrf_fuse` — same double math
+    as both engines, bit-exact)."""
+    from vector_database_api_spark.operators import bm25 as bm25_ops
+
+    kw = _rrf_filtered_kw_leg(spark, sf_dir).collect()
+    vv = _rrf_filtered_vec_leg(spark, sf_dir).collect()
+    fused = bm25_ops.rrf_fuse(
+        [(r["doc_id"], r["bm25"]) for r in kw],
+        [(r["doc_id"], r["sim"]) for r in vv],
+    )
     out = spark.createDataFrame(
         fused[:10], "doc_id: bigint, r_kw: bigint, r_vec: bigint, rrf: double"
     )
@@ -8401,6 +8508,27 @@ def _mmr_oracle_sql(k: int = 5, lam: str = "CAST(0.7 AS DOUBLE)", one_minus: str
     )
 
 
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance top-20 pool of the MMR re-ranker (embeddings carried
+    along for the driver-side pairwise stage) — the only data-sized
+    subplan of the query, exposed for the plan audit."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return (
+        embs.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(20)
+    )
+
+
 @register("mmr_diversified_topk", _mmr_oracle_sql())
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-rank (lambda=0.7, 5 picks from the
@@ -8419,23 +8547,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the engines' fold EXACTLY — sequential left-to-right
     double accumulation, same operation order as functions/vector.py
     and the DuckDB fragments — and the 0.7*rel - 0.3*maxsim greedy is
-    the same double math, so the oracle hash-matches."""
-    embs = load_table(spark, sf_dir, "embeddings")
-    qv = (
-        embs.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-    )
-    pool_rows = (
-        embs.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            cosine_similarity(F.col("embedding"), F.col("qv")).alias("rel"),
-            "embedding",
-        )
-        .orderBy(F.desc("rel"), "doc_id")
-        .limit(20)
-        .collect()
-    )
+    the same double math, so the oracle hash-matches.  The pool subplan
+    is exposed to the plan gate via AUDIT_SUBPLANS."""
+    pool_rows = _mmr_pool(spark, sf_dir).collect()
     rel = {r["doc_id"]: r["rel"] for r in pool_rows}
     vec = {r["doc_id"]: r["embedding"] for r in pool_rows}
 
@@ -8483,6 +8597,23 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "mmr_rank", "doc_id", F.round("mmr", 6).alias("mmr")
     ).orderBy("mmr_rank")
+
+
+# Coordinator-fusion queries execute their data-sized subplans inside
+# collect(); an audit of the RETURNED frame sees only the driver-built
+# k-row result (r5 verdict: hybrid_rrf_fusion showed "0 shuffles").
+# Each such query therefore exposes its leg DataFrames here so
+# tools/plan_report.py audits every data-sized plan the query actually
+# runs — same gates (top-k shape, pushdown, Python allowlist, window
+# keys) as first-class rows, named "query:leg".
+AUDIT_SUBPLANS: dict[str, dict[str, SparkQuery]] = {
+    "hybrid_rrf_fusion": {"bm25_leg": _rrf_kw_leg, "vec_leg": _rrf_vec_leg},
+    "hybrid_rrf_filtered": {
+        "bm25_leg": _rrf_filtered_kw_leg,
+        "vec_leg": _rrf_filtered_vec_leg,
+    },
+    "mmr_diversified_topk": {"pool": _mmr_pool},
+}
 
 
 _PHRASE_ORACLE = """

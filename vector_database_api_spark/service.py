@@ -44,6 +44,7 @@ from vector_database_api_spark.config import (
     EngineConfig,
 )
 from vector_database_api_spark.functions.embedding import make_embedder, text_to_vector
+from vector_database_api_spark.operators import bm25 as bm25_mod
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators import pq as pq_mod
@@ -52,10 +53,11 @@ from vector_database_api_spark.operators.knn import knn_brute_force
 
 # reference parity: IndexManager accepts exactly lsh|ivf (indexes.py:408-422)
 VALID_INDEX_TYPES = ("lsh", "ivf")
-# engine extensions: product quantization (operators/pq.py) and scalar
-# quantization (operators/sq.py) — not in the reference; kept out of
+# engine extensions: product quantization (operators/pq.py), scalar
+# quantization (operators/sq.py), a BM25 inverted index (operators/bm25.py)
+# and the two-leg hybrid built on it — not in the reference; kept out of
 # VALID_INDEX_TYPES so parity docs stay honest
-ALL_INDEX_TYPES = VALID_INDEX_TYPES + ("pq", "sq8")
+ALL_INDEX_TYPES = VALID_INDEX_TYPES + ("pq", "sq8", "bm25", "hybrid")
 
 
 class VectorEngine:
@@ -127,6 +129,53 @@ class VectorEngine:
                 return json.load(f)
         return None
 
+    # -- BM25 text-index storage (engine extension; operators/bm25.py) --
+
+    @staticmethod
+    def _write_text_index(
+        base: str, postings: DataFrame, doclens: DataFrame, stats: DataFrame
+    ) -> None:
+        """Persist the three BM25 artifact tables.  Inputs may read from
+        the directories being overwritten (mutation paths — and stats
+        reads the doclens lineage), so ALL THREE are localCheckpoint-
+        materialized BEFORE the first overwrite — the snapshot-isolation
+        rule every other index mutation here follows."""
+        snaps = [
+            (df.localCheckpoint(), sub)
+            for df, sub in (
+                (postings, "postings"),
+                (doclens, "doclens"),
+                (stats, "stats"),
+            )
+        ]
+        for snap, sub in snaps:
+            snap.write.mode("overwrite").parquet(os.path.join(base, sub))
+
+    @staticmethod
+    def _bm25_stats_of(doclens: DataFrame) -> DataFrame:
+        """The 1-row (n_docs, avgdl) corpus scalars from a doc-length
+        table — the re-aggregation mutation paths run over the artifact."""
+        return doclens.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+
+    def _read_text_index(
+        self, base: str
+    ) -> tuple[DataFrame, DataFrame, int, float]:
+        """(postings, doclens, n_docs, avgdl).  The 1-row stats read is
+        bounded driver work — the corpus scalars of the BM25 formula."""
+        postings = self.spark.read.parquet(os.path.join(base, "postings"))
+        doclens = self.spark.read.parquet(os.path.join(base, "doclens"))
+        row = self.spark.read.parquet(os.path.join(base, "stats")).first()
+        n_docs = int(row["n_docs"]) if row is not None else 0
+        avgdl = (
+            float(row["avgdl"])
+            if row is not None and row["avgdl"] is not None
+            else 1.0
+        )
+        return postings, doclens, n_docs, avgdl
+
     @staticmethod
     def _write_lsh_profile(path: str, profile: dict[str, int] | None) -> None:
         """(Re)persist the hash geometry next to the index — Spark's
@@ -184,7 +233,22 @@ class VectorEngine:
             # 'pq' is this engine's documented extension
             raise ValueError(f"Unknown index type: {index_type}")
         chunks = self.chunks(library_id).filter(F.col("embedding").isNotNull())
-        if index_type == "pq":
+        if index_type in ("bm25", "hybrid"):
+            # keyword inverted index (operators/bm25.py): postings +
+            # doc lengths + 1-row corpus stats, each a parquet table
+            # under the index dir.  'hybrid' stores the SAME artifact —
+            # its vector leg scores chunks directly (exact top-k; an ANN
+            # index would slot in as the leg at larger corpora).  NULL
+            # text is excluded inside build_bm25_index, so build from
+            # the unfiltered chunk set (text-bearing, not
+            # embedding-bearing, rows feed the keyword leg).
+            postings, doclens, stats = bm25_mod.build_bm25_index(
+                self.chunks(library_id)
+            )
+            self._write_text_index(
+                self._index_dir(index_type, library_id), postings, doclens, stats
+            )
+        elif index_type == "pq":
             index = pq_mod.build_pq(
                 chunks, m=self.config.pq_m, k=self.config.pq_k, seed=self.config.seed
             )
@@ -249,7 +313,17 @@ class VectorEngine:
         meta = self._index_meta(library_id)
         if meta is not None:
             kind, path = meta
-            if kind in ("lsh", "pq", "sq8"):
+            if kind in ("bm25", "hybrid"):
+                # drop the deleted ids from postings + doclens; corpus
+                # stats (n_docs, avgdl) re-aggregate from the KEPT
+                # doclens — artifact-sized work, never a corpus rescan
+                postings, doclens, _, _ = self._read_text_index(path)
+                kept_p = postings.filter(~F.col("id").isin(chunk_ids))
+                kept_d = doclens.filter(~F.col("id").isin(chunk_ids))
+                self._write_text_index(
+                    path, kept_p, kept_d, self._bm25_stats_of(kept_d)
+                )
+            elif kind in ("lsh", "pq", "sq8"):
                 profile = self._lsh_profile_at(path) if kind == "lsh" else None
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
@@ -288,7 +362,23 @@ class VectorEngine:
         meta = self._index_meta(library_id)
         if meta is not None:
             kind, path = meta
-            if kind == "pq":
+            if kind in ("bm25", "hybrid"):
+                # remove-then-add on the keyword artifact: fresh postings/
+                # doclens for just the patched rows, stats re-aggregated
+                # from the merged doclens (artifact-sized, no corpus scan)
+                changed = self.chunks(library_id).filter(F.col("id").isin(ids))
+                new_p, new_d, _ = bm25_mod.build_bm25_index(changed)
+                postings, doclens, _, _ = self._read_text_index(path)
+                merged_p = postings.filter(~F.col("id").isin(ids)).unionByName(
+                    new_p
+                )
+                merged_d = doclens.filter(~F.col("id").isin(ids)).unionByName(
+                    new_d
+                )
+                self._write_text_index(
+                    path, merged_p, merged_d, self._bm25_stats_of(merged_d)
+                )
+            elif kind == "pq":
                 # re-encode with FROZEN codebooks (like IVF's frozen
                 # centroids: incremental adds never retrain)
                 codebooks = np.load(self._pq_codebooks_path(library_id))
@@ -376,8 +466,16 @@ class VectorEngine:
         ``similarity_threshold`` (F7, reference app/config.py:37 — declared
         there but never applied): when set here or in the config, results
         below it are dropped AFTER top-k, so you get at most k results at
-        or above the threshold (possibly fewer)."""
-        if query_embedding is None:
+        or above the threshold (possibly fewer).  For a ``bm25`` index the
+        threshold applies to the BM25 score (the path's native scale); for
+        ``hybrid`` it applies to the fused doc's cosine similarity, so a
+        keyword-only doc (no vector evidence) is dropped when a threshold
+        is set."""
+        meta = self._index_meta(library_id)
+        kind = meta[0] if meta is not None else None
+        if query_embedding is None and kind != "bm25":
+            # bm25 is the one path that never needs a vector; everything
+            # else resolves text -> deterministic embedding up front
             if query_text is None:
                 raise ValueError("query must have text or embedding")
             query_embedding = [
@@ -387,12 +485,33 @@ class VectorEngine:
         k = self.config.clamp_k(k)
         if similarity_threshold is None:
             similarity_threshold = self.config.similarity_threshold
+        chunks = self.chunks(library_id)
+
+        if kind == "bm25":
+            if query_text is None:
+                raise ValueError("a bm25 index searches by query_text")
+            result = self._bm25_topk(
+                meta[1], chunks, query_text, k, metadata_filters
+            )
+            return self._apply_threshold(
+                result, similarity_threshold, score_col="score"
+            )
+
         query = self.spark.createDataFrame(
             [(query_embedding,)], "query_embedding array<float>"
         )
-        chunks = self.chunks(library_id)
 
-        meta = self._index_meta(library_id)
+        if kind == "hybrid":
+            return self._hybrid_topk(
+                meta[1],
+                chunks,
+                query,
+                query_text,
+                k,
+                metadata_filters,
+                similarity_threshold,
+            )
+
         if meta is None:
             return self._apply_threshold(
                 knn_brute_force(
@@ -496,10 +615,101 @@ class VectorEngine:
         )
 
     @staticmethod
-    def _apply_threshold(result: DataFrame, threshold: float | None) -> DataFrame:
+    def _apply_threshold(
+        result: DataFrame,
+        threshold: float | None,
+        score_col: str = "similarity",
+    ) -> DataFrame:
         """F7 similarity threshold: post-top-k filter, so at most k results
         survive.  None = reference-parity no-op (its threshold is dead
-        config, never applied)."""
+        config, never applied).  ``score_col`` is the path's native score
+        scale (cosine similarity for the vector paths, BM25 score for the
+        keyword path); a NULL score never passes a set threshold."""
         if threshold is None:
             return result
-        return result.filter(F.col("similarity") >= float(threshold))
+        return result.filter(F.col(score_col) >= float(threshold))
+
+    # -- keyword + hybrid serving (engine extension; operators/bm25.py) -
+
+    def _bm25_topk(
+        self,
+        path: str,
+        chunks: DataFrame,
+        query_text: str,
+        k: int,
+        metadata_filters: dict[str, Any] | None,
+    ) -> DataFrame:
+        """Filter-then-search BM25 top-k: metadata predicates restrict the
+        CANDIDATES (semi-join of the filtered chunk ids into the postings)
+        while per-term document frequency stays corpus-level from the
+        stored index — k results are k filtered results, fewer allowed
+        (reference search_service.py:88-110 semantics on the keyword
+        leg)."""
+        from vector_database_api_spark.operators.filters import (
+            apply_metadata_filters,
+        )
+
+        postings, doclens, n_docs, avgdl = self._read_text_index(path)
+        cand = None
+        if metadata_filters:
+            cand = apply_metadata_filters(chunks, metadata_filters).select("id")
+        return bm25_mod.bm25_search(
+            postings,
+            doclens,
+            n_docs,
+            avgdl,
+            bm25_mod.tokenize_query(query_text),
+            k=k,
+            candidate_ids=cand,
+        )
+
+    def _hybrid_topk(
+        self,
+        path: str,
+        chunks: DataFrame,
+        query: DataFrame,
+        query_text: str | None,
+        k: int,
+        metadata_filters: dict[str, Any] | None,
+        similarity_threshold: float | None,
+    ) -> DataFrame:
+        """Two-leg hybrid search, reference filter-then-search semantics
+        composed with RRF fusion (rrf_k=60, the standard constant): the
+        metadata filter restricts BOTH legs BEFORE their top-k cuts, each
+        leg is a distributed top-k (keyword: postings join; vector: exact
+        cosine scan — the oracle-exact leg; an ANN index slots in here at
+        larger corpora), and fusion runs over the two COLLECTED k-row legs
+        — bounded O(k) coordinator work, constant in corpus size (the
+        fusion locus of every real hybrid engine; the registry twin
+        ``hybrid_rrf_filtered`` oracle-checks the same pipeline).  Without
+        ``query_text`` the keyword leg is empty and the result degrades to
+        vector ranks — same contract, fewer signals.
+
+        Returns (id, r_kw, r_vec, rrf, similarity); similarity is the
+        doc's cosine when it appeared in the vector leg (NULL for
+        keyword-only docs, which a set threshold therefore drops)."""
+        kw_rows: list = []
+        if query_text is not None:
+            kw_rows = self._bm25_topk(
+                path, chunks, query_text, k, metadata_filters
+            ).collect()
+        vec_rows = (
+            knn_brute_force(
+                chunks, query, k=k, metadata_filters=metadata_filters
+            )
+            .select("id", "similarity")
+            .collect()
+        )
+        fused = bm25_mod.rrf_fuse(
+            [(r["id"], r["score"]) for r in kw_rows],
+            [(r["id"], r["similarity"]) for r in vec_rows],
+        )
+        sims = {r["id"]: float(r["similarity"]) for r in vec_rows}
+        out = self.spark.createDataFrame(
+            [
+                (d, rk, rv, raw, sims.get(d))
+                for d, rk, rv, raw in fused[: int(k)]
+            ],
+            "id string, r_kw int, r_vec int, rrf double, similarity double",
+        )
+        return self._apply_threshold(out, similarity_threshold)

@@ -942,3 +942,78 @@ def bm25_stats_serving(spark: SparkSession, stats_dir: str):
         ).alias("avgdl"),
     )
     return terms, corpus
+
+
+def winnow_fp_batch_processor(store_dir: str, k: int = 12, w: int = 6):
+    """foreachBatch body of :func:`incremental_winnow_maintenance`,
+    exposed at module level so tests drive crash/replay directly.
+
+    Maintains the winnowing fingerprint artifact (the (doc_id, source,
+    nf, f) occurrence store `queries._cached_winnow_fingerprints` builds
+    in batch) under ingest: each micro-batch fingerprints ONLY its own
+    documents (the shared `operators.dedup.winnow_fingerprints` HOF
+    chain — identical rows to the batch build) and writes them as its
+    own ``_batch_id`` partition with dynamic partition overwrite, so a
+    replayed batch rewrites identical content — fully idempotent, the
+    established pattern of every artifact upkeep here.
+
+    The df > 32 hot-fingerprint cap is NOT applied per batch: a batch
+    cannot know a fingerprint's corpus-wide document frequency.  It is
+    re-evaluated MERGE-ON-READ by :func:`winnow_fingerprints_serving`,
+    so the cap always reflects the full corpus seen so far — a
+    fingerprint that goes viral across many batches is still dropped at
+    serve time (the uncapped store keeps upkeep append-only; a nightly
+    compaction could fold partitions without changing served rows)."""
+    from vector_database_api_spark.operators import dedup as dedup_mod
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        fp = dedup_mod.winnow_fingerprints(batch, k=k, w=w).persist()
+        occ = dedup_mod.winnow_occurrences(fp)
+        (
+            occ.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(store_dir)
+        )
+        fp.unpersist()
+
+    return process_batch
+
+
+def incremental_winnow_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 12,
+    w: int = 6,
+) -> StreamingQuery:
+    """Streaming maintenance of the winnow fingerprint artifact — the
+    last served artifact to gain an incremental path (BM25 stats,
+    LSH/IVF/PQ/SQ8 indexes, sketches and frequency summaries already
+    have one): as documents arrive, the fingerprint store stays fresh
+    without ever re-fingerprinting the corpus.  Semantics, replay
+    safety, and the merge-on-read hot cap on
+    :func:`winnow_fp_batch_processor`."""
+    process_batch = winnow_fp_batch_processor(store_dir, k=k, w=w)
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def winnow_fingerprints_serving(
+    spark: SparkSession, store_dir: str, max_df: int = 32
+) -> DataFrame:
+    """Served view of the streamed fingerprint store: merge the
+    per-batch partitions and re-apply the df > 32 hot cap over the FULL
+    corpus seen so far (merge-on-read — rationale on
+    :func:`winnow_fp_batch_processor`).  Row-identical to the batch
+    artifact built over the same documents."""
+    from vector_database_api_spark.operators import dedup as dedup_mod
+
+    ex = spark.read.parquet(store_dir).select("doc_id", "source", "nf", "f")
+    return dedup_mod.winnow_hot_cap(ex, max_df=max_df)
