@@ -374,3 +374,39 @@ def test_index_switch_drops_text_indexes(engine):
     assert not os.path.isdir(engine._index_dir("hybrid", "libA"))
     engine.index_library("libA", "lsh")
     assert not os.path.isdir(engine._index_dir("bm25", "libA"))
+
+
+def test_ivf_trained_p4_profile(engine):
+    """config.IVF_PROFILES is a first-class index-build option: the
+    measured recommended serving layout (trained-p4: KMeans nlist=20,
+    nprobe=4 — recall@2 0.59 on the ann_quality grid) is persisted with
+    the index, used by search-time probing, and survives the mutation
+    paths' directory overwrites."""
+    import json
+    import os
+
+    engine.index_library("libA", "ivf", ivf_profile="trained-p4")
+    ivf_dir = engine._index_dir("ivf", "libA")
+    with open(os.path.join(ivf_dir, "_PROFILE.json")) as f:
+        assert json.load(f) == {"nlist": 20, "nprobe": 4}
+    # centroids honor the profile's nlist, not the config's (4)
+    cents = np.load(engine._centroids_path("libA"))
+    assert cents.shape[0] == 20
+    q = "python document number 0 about python"
+    got = engine.search("libA", query_text=q, k=3).collect()
+    # own-text query probes its own cell first -> exact match surfaces
+    assert got and got[0]["id"] == "c00"
+    assert got[0]["similarity"] == pytest.approx(1.0)
+
+    # profile survives both mutation paths' overwrites
+    engine.update_chunk_texts("libA", {"c05": "probe layout persistence"})
+    engine.delete_chunks("libA", ["c07"])
+    with open(os.path.join(ivf_dir, "_PROFILE.json")) as f:
+        assert json.load(f) == {"nlist": 20, "nprobe": 4}
+    got2 = engine.search(
+        "libA", query_text="probe layout persistence", k=3
+    ).collect()
+    assert got2 and got2[0]["id"] == "c05"
+
+    with pytest.raises(ValueError):
+        engine.index_library("libA", "ivf", ivf_profile="nope")

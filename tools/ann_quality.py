@@ -60,9 +60,17 @@ def main() -> None:
     sq_index = sq_mod.build_sq(embs)
     sq_index.codes_df = sq_index.codes_df.persist()
     sq_index.codes_df.count()
+    # the SERVED trained-multiprobe layout (config.IVF_PROFILES
+    # 'trained-p4': seeded KMeans nlist=20, nprobe=4) — the recall@2
+    # number below is measured on the exact ivf_search path
+    # service.py::search dispatches to for that profile
+    ivf_p4 = ivf_mod.build_ivf(embs, nlist=20, nprobe=4)
+    ivf_p4.index_df = ivf_p4.index_df.persist()
+    ivf_p4.index_df.count()
 
     queries = embs.limit(n_queries).collect()
     lsh_hits = ivf_hits = lsh_t_hits = ivf_t_hits = pq_hits = pq_t_hits = pq_r_hits = sq_hits = total = 0
+    served_p4_hits = served_p4_total = 0
     for row in queries:
         qvec = np.asarray(row["embedding"], dtype=np.float64)
         qdf = spark.createDataFrame(
@@ -110,6 +118,15 @@ def main() -> None:
         sq_res = {
             r["id"] for r in sq_mod.sq_search(sq_index, qvec, k=k).collect()
         }
+        truth2 = {
+            r["id"] for r in knn_brute_force_blas(embs, qvec, k=2).collect()
+        }
+        served_p4 = {
+            r["id"]
+            for r in ivf_mod.ivf_search(ivf_p4, qdf, qvec, k=2).collect()
+        }
+        served_p4_hits += len(truth2 & served_p4)
+        served_p4_total += len(truth2)
         lsh_hits += len(truth & lsh_res)
         ivf_hits += len(truth & ivf_res)
         lsh_t_hits += len(truth & lsh_t_res)
@@ -215,6 +232,9 @@ def main() -> None:
                 "pq_recall_m32_k16": round(pq_t_hits / total, 4),
                 "pq_recall_m8_refine10": round(pq_r_hits / total, 4),
                 "sq8_recall": round(sq_hits / total, 4),
+                "ivf_recall2_served_trained_p4": round(
+                    served_p4_hits / max(served_p4_total, 1), 4
+                ),
                 "lsh_tables": len(planes),
                 "ivf_nlist": ivf_index.nlist,
                 "ivf_nprobe": ivf_index.nprobe,

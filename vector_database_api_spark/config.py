@@ -59,3 +59,19 @@ LSH_PROFILES: dict[str, dict[str, int]] = {
     "reference": {"num_tables": 8, "hash_length": 12},
     "tuned": {"num_tables": 8, "hash_length": 6},
 }
+
+# IVF serving-quality profiles (measured in tools/ann_quality.py; recall
+# grid in PLANS.md).  'reference' mirrors the reference's nlist=100 /
+# nprobe=5 (config.py:31-32) — on the 64-d driver embeddings that is a
+# degenerate layout (nlist near the corpus size at small SF).  'trained-p4'
+# is the MEASURED RECOMMENDED serving layout: seeded-KMeans k=20 centroids
+# with 4 probes — recall@2 0.59 on the ann_quality grid vs 0.47 for the
+# frozen-centroid p=4 twin and 0.25 at p=1, at 4/20 of the probe cost of a
+# full scan.  Selectable per index build via
+# ``VectorEngine.index_library(..., ivf_profile=...)``; the chosen geometry
+# is persisted with the index so search probes with the same layout.
+# ``None`` keeps the engine-config values (reference parity default).
+IVF_PROFILES: dict[str, dict[str, int]] = {
+    "reference": {"nlist": 100, "nprobe": 5},
+    "trained-p4": {"nlist": 20, "nprobe": 4},
+}

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from vector_database_api_spark.config import (
     DEFAULT_CONFIG,
+    IVF_PROFILES,
     LSH_PROFILES,
     EngineConfig,
 )
@@ -118,9 +119,10 @@ class VectorEngine:
         )
 
     @staticmethod
-    def _lsh_profile_at(path: str) -> dict[str, int] | None:
-        """Profile persisted with an LSH index build (None for indexes
-        written before profiles existed -> config defaults)."""
+    def _index_profile_at(path: str) -> dict[str, int] | None:
+        """Geometry profile persisted with an index build — LSH plane
+        shape or IVF nlist/nprobe (None for indexes written before
+        profiles existed, or built from config defaults)."""
         import json
 
         meta = os.path.join(path, "_PROFILE.json")
@@ -177,10 +179,10 @@ class VectorEngine:
         return postings, doclens, n_docs, avgdl
 
     @staticmethod
-    def _write_lsh_profile(path: str, profile: dict[str, int] | None) -> None:
-        """(Re)persist the hash geometry next to the index — Spark's
-        overwrite wipes the directory, so mutation paths must put the
-        marker back or search would hash with the wrong planes."""
+    def _write_index_profile(path: str, profile: dict[str, int] | None) -> None:
+        """(Re)persist the geometry next to the index — Spark's overwrite
+        wipes the directory, so mutation paths must put the marker back or
+        search would hash/probe with the wrong layout."""
         import json
 
         if profile is not None:
@@ -215,6 +217,7 @@ class VectorEngine:
         library_id: str,
         index_type: str = "lsh",
         lsh_profile: str = "reference",
+        ivf_profile: str | None = None,
     ) -> None:
         """Deterministic full (re)build of the library's index table
         (IndexManager.rebuild_index, indexes.py:437-452) — INSERT OVERWRITE
@@ -224,9 +227,22 @@ class VectorEngine:
         ``config.LSH_PROFILES`` ('reference' = the reference's L=8/k=12;
         'tuned' = hash_length 6, the measured recall profile for 64-d
         embeddings).  The profile is persisted next to the index so search
-        hashes with the same planes."""
+        hashes with the same planes.
+
+        ``ivf_profile`` selects the IVF layout from ``config.IVF_PROFILES``;
+        None keeps the engine-config nlist/nprobe (reference parity).
+        'trained-p4' (KMeans k=20, 4 probes) is the measured RECOMMENDED
+        serving layout — recall@2 0.59 on the ann_quality grid vs 0.25 at
+        p=1 (PLANS.md); the geometry is persisted next to the index so
+        search probes with the same layout."""
         if index_type == "lsh" and lsh_profile not in LSH_PROFILES:
             raise ValueError(f"Unknown LSH profile: {lsh_profile}")
+        if (
+            index_type == "ivf"
+            and ivf_profile is not None
+            and ivf_profile not in IVF_PROFILES
+        ):
+            raise ValueError(f"Unknown IVF profile: {ivf_profile}")
         if index_type not in ALL_INDEX_TYPES:
             # parity: reference raises on anything but lsh/ivf
             # (indexes.py:408-422; 'flat' in the README is invalid there too);
@@ -271,9 +287,15 @@ class VectorEngine:
             lsh_mod.hash_table_df(chunks, planes).write.mode("overwrite").parquet(
                 lsh_dir
             )
-            self._write_lsh_profile(lsh_dir, LSH_PROFILES[lsh_profile])
+            self._write_index_profile(lsh_dir, LSH_PROFILES[lsh_profile])
         else:
-            index = ivf_mod.build_ivf(chunks, config=self.config)
+            params = IVF_PROFILES.get(ivf_profile) if ivf_profile else None
+            index = ivf_mod.build_ivf(
+                chunks,
+                config=self.config,
+                nlist=params["nlist"] if params else None,
+                nprobe=params["nprobe"] if params else None,
+            )
             ivf_dir = self._index_dir("ivf", library_id)
             if index.trained:
                 # partitioned by cluster_id: probe search = partition pruning
@@ -281,6 +303,7 @@ class VectorEngine:
                     "cluster_id"
                 ).parquet(ivf_dir)
                 np.save(self._centroids_path(library_id), index.centroids)
+                self._write_index_profile(ivf_dir, params)
                 marker = os.path.join(ivf_dir, "_UNTRAINED")
                 if os.path.exists(marker):
                     os.remove(marker)
@@ -324,16 +347,18 @@ class VectorEngine:
                     path, kept_p, kept_d, self._bm25_stats_of(kept_d)
                 )
             elif kind in ("lsh", "pq", "sq8"):
-                profile = self._lsh_profile_at(path) if kind == "lsh" else None
+                profile = self._index_profile_at(path) if kind == "lsh" else None
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
                 kept.write.mode("overwrite").parquet(path)
                 if kind == "lsh":
-                    self._write_lsh_profile(path, profile)
+                    self._write_index_profile(path, profile)
             elif not os.path.exists(os.path.join(path, "_UNTRAINED")):
+                profile = self._index_profile_at(path)
                 idx = self.spark.read.parquet(path)
                 kept = idx.filter(~F.col("id").isin(chunk_ids)).localCheckpoint()
                 kept.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+                self._write_index_profile(path, profile)
 
     def update_chunk_texts(self, library_id: str, patches: dict[str, str]) -> None:
         """M2: text update => re-embed + remove-then-add in the index
@@ -401,7 +426,7 @@ class VectorEngine:
                 ).localCheckpoint()
                 merged.write.mode("overwrite").parquet(path)
             elif kind == "lsh":
-                profile = self._lsh_profile_at(path)
+                profile = self._index_profile_at(path)
                 planes = self._lsh_planes(profile)
                 idx = self.spark.read.parquet(path)
                 fresh = lsh_mod.hash_table_df(
@@ -411,12 +436,13 @@ class VectorEngine:
                     idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
                 ).localCheckpoint()
                 merged.write.mode("overwrite").parquet(path)
-                self._write_lsh_profile(path, profile)
+                self._write_index_profile(path, profile)
             else:
                 # IVF: assignment with the frozen centroids (the reference
                 # never retrains once trained — SURVEY §7 risk 5)
                 if os.path.exists(os.path.join(path, "_UNTRAINED")):
                     return
+                profile = self._index_profile_at(path)
                 centroids = np.load(self._centroids_path(library_id))
                 changed = self.chunks(library_id).filter(F.col("id").isin(ids))
                 fresh = ivf_mod.assign_to_centroids(changed, centroids)
@@ -425,6 +451,7 @@ class VectorEngine:
                     idx.filter(~F.col("id").isin(ids)).unionByName(fresh)
                 ).localCheckpoint()
                 merged.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+                self._write_index_profile(path, profile)
 
     def _overwrite_library_chunks(self, library_id: str, new_rows: DataFrame) -> None:
         """Atomic snapshot replace of ONE library partition.  Dynamic
@@ -579,7 +606,7 @@ class VectorEngine:
                 similarity_threshold,
             )
         if kind == "lsh":
-            planes = self._lsh_planes(self._lsh_profile_at(path))
+            planes = self._lsh_planes(self._index_profile_at(path))
             index_df = self.spark.read.parquet(path)
             return self._apply_threshold(
                 lsh_mod.lsh_search(
@@ -595,12 +622,16 @@ class VectorEngine:
         if os.path.exists(os.path.join(path, "_UNTRAINED")):
             return self.spark.createDataFrame([], ivf_mod.RESULT_SCHEMA)
         centroids = np.load(self._centroids_path(library_id))
+        # probe with the layout the index was BUILT with (the persisted
+        # profile — e.g. the measured 'trained-p4' serving layout);
+        # config values remain the reference-parity fallback
+        ivf_params = self._index_profile_at(path) or {}
         index = ivf_mod.IVFIndex(
             centroids=centroids,
             index_df=self.spark.read.parquet(path),
             trained=True,
-            nlist=self.config.ivf_nlist,
-            nprobe=self.config.ivf_nprobe,
+            nlist=ivf_params.get("nlist", self.config.ivf_nlist),
+            nprobe=ivf_params.get("nprobe", self.config.ivf_nprobe),
         )
         return self._apply_threshold(
             ivf_mod.ivf_search(
