@@ -210,9 +210,9 @@ def spark_kgram_hashes(col: str, k: int = 12) -> str:
     position replaces the paper's single-threaded rolling hash: each
     position hashes independently (data-parallel, cross-engine
     identical), which is the right trade on a cluster.  Character
-    indexing is BMP-only (Spark counts UTF-16 units, DuckDB code points;
-    identical for ASCII/BMP text — same documented assumption as
-    ``char_entropy_by_source``).  Callers must filter
+    indexing is codepoint-based on BOTH engines including non-BMP
+    astral chars (surrogate pairs) — pinned bit-exact by
+    tests/test_unicode_parity.py.  Callers must filter
     ``length(text) >= k`` first and MUST materialize this as its own
     column before winnowing, so the array is built once per doc, not
     once per window position (O(L) md5s, not O(L^2)).  ``lower(col)``

@@ -6811,10 +6811,11 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold 1.1 s, this explode form 0.72 s (all hash-identical) —
     interpreted per-element HOF evaluation costs more than the
     explode's extra scan-stage rows, so the explode stays.  Empty/NULL
-    docs are filtered identically on both engines; chars are UTF-16
-    code units on Spark vs codepoints on DuckDB, identical for BMP
-    text (testdata is ASCII — documented cross-engine assumption, same
-    as the tokenizer's)."""
+    docs are filtered identically on both engines; char iteration is
+    CODEPOINT-based on both engines including non-BMP astral chars —
+    pinned bit-exact by tests/test_unicode_parity.py (the r5 "BMP-only"
+    caveat was over-conservative: Spark's UTF8String is codepoint-
+    addressed, same as DuckDB)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
@@ -7483,8 +7484,9 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (whose pair OUTPUT would be quadratic in the bucket,
     which no skew-split fixes) are dropped by a df > 32 cap before
     pairing, the same super-frequent-shingle drop MinHash pipelines
-    use; rollups are map-side combinable.  BMP-only character indexing, same
-    documented assumption as char_entropy_by_source."""
+    use; rollups are map-side combinable.  Character indexing is
+    codepoint-based on BOTH engines including non-BMP text (pinned by
+    tests/test_unicode_parity.py)."""
     # the artifact is already hot-capped at build time (df > 32 drop —
     # see _cached_winnow_fingerprints), so serving is just the pair
     # join + rollup
