@@ -182,6 +182,7 @@ HEADLINE = [
     "ivfpq_residual_adc",
     "winnow_passage_lookup",
     "bm25_keyword_topk",
+    "bm25_postings_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",
     "mmr_diversified_topk",

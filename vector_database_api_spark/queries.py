@@ -8253,6 +8253,76 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_bm25_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens): the BM25 INVERTED INDEX artifact over the
+    documents table (operators/bm25.py::build_bm25_index with
+    id_col=doc_id), persisted once per sf_dir — the store a served
+    keyword engine reads instead of scanning the corpus per query
+    (`service.py` serves index_type='bm25' from the same builder;
+    `streaming.maintenance.incremental_bm25_stats_maintenance` keeps the
+    statistics half fresh under ingest)."""
+    from vector_database_api_spark.operators import bm25 as bm25_ops
+
+    key = ("bm25-postings", sf_dir)
+    if key not in _SERVING_INDEXES:
+        postings, doclens, _ = bm25_ops.build_bm25_index(
+            load_table(spark, sf_dir, "documents"), id_col="doc_id"
+        )
+        postings = postings.persist()
+        postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        _SERVING_INDEXES[key] = (postings, doclens)
+    return _SERVING_INDEXES[key]
+
+
+@register("bm25_postings_topk", _BM25_ORACLE)
+def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED inverted-index twin of `bm25_keyword_topk`: identical
+    query, identical oracle, but scored from the postings artifact
+    instead of a corpus scan — proving index-serving == scan-serving
+    bit-exactly (both hash against the same SQL).  Pipeline: read the
+    postings with a pushed-down ``term IN (query terms)`` filter (at
+    100 TB this touches only the query terms' posting lists — the whole
+    point of an inverted index — vs the scan twin's full-corpus pass),
+    pivot the hits to fixed-order tf columns, join doc lengths, then
+    evaluate the SAME fixed-association scalar expression (_BM25_SUM)
+    against the corpus-statistics artifact, so every double matches the
+    HOF twin.  The pivot shuffles only the HITTING docs (query-bounded,
+    not corpus-bounded); AQE broadcast-converts the hits side of the
+    doclens join at realistic selectivities."""
+    postings, doclens = _cached_bm25_postings(spark, sf_dir)
+    hits = postings.filter(F.col("term").isin(list(_BM25_TERMS)))
+    pivoted = (
+        hits.groupBy("id")
+        .pivot("term", list(_BM25_TERMS))
+        .sum("tf")
+        .select(
+            F.col("id"),
+            *[
+                F.coalesce(F.col(t), F.lit(0))
+                .cast("long")
+                .alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+    )
+    scored = (
+        pivoted.join(doclens, "id")
+        .crossJoin(F.broadcast(_cached_bm25_stats(spark, sf_dir)))
+        .withColumn("bm25", F.round(F.expr(_BM25_SUM), 6))
+        .select(
+            F.col("id").alias("doc_id"),
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            "bm25",
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(10)
+
+
 _HYBRID_RRF_ORACLE = f"""
 WITH {_BM25_SCORED_CTES},
 kw AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
