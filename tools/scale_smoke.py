@@ -627,9 +627,15 @@ def main() -> None:
     def bm25_scaled():
         from vector_database_api_spark.queries import _bm25_scored_docs
 
+        # shape assert on the raw parquet scan: the replicated frame's
+        # CACHED lineage prints the replicate explode inside its
+        # InMemoryRelation block (never executed — the scan reads the
+        # cache), which would false-positive a "Generate" check
+        plain = _bm25_scored_docs(load_table(spark, SF_DIR, "documents"))
+        assert "Generate" not in _plan_text(plain), (
+            "BM25 scan leg regressed to explode"
+        )
         scored = _bm25_scored_docs(docs)
-        plan = _plan_text(scored)
-        assert "Generate" not in plan, "BM25 scan leg regressed to explode"
         return scored.orderBy(F.desc("bm25"), "doc_id").limit(10).count()
 
     results["bm25_topk_sec"], _ = timed(bm25_scaled)
@@ -748,6 +754,45 @@ def main() -> None:
 
     results["viral_winnow_pairs_sec"], results["viral_winnow_pairs"] = timed(
         viral_winnow_fingerprint
+    )
+
+    def bm25_viral_terms():
+        # worst case for an inverted index: every query term's posting
+        # list is CORPUS-sized (replicated docs make each term hit ~all
+        # docs).  The serving path must stay combinable-aggregate-shaped:
+        # term-filtered scan -> per-term df (map-side combine) -> per-doc
+        # rollup -> TakeOrderedAndProject; nothing driver-sized, nothing
+        # quadratic, no skewable content-key window.
+        from vector_database_api_spark.operators import bm25 as B
+
+        postings, doclens, stats = B.build_bm25_index(docs, id_col="doc_id")
+        postings = postings.persist()
+        n_postings = postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        srow = stats.first()
+        terms = [
+            r["term"]
+            for r in postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), "term")
+            .limit(3)
+            .collect()
+        ]
+        top = B.bm25_search(
+            postings,
+            doclens,
+            int(srow["n_docs"]),
+            float(srow["avgdl"]),
+            terms,
+            k=10,
+        ).count()
+        postings.unpersist()
+        doclens.unpersist()
+        return n_postings if top else 0
+
+    results["bm25_viral_terms_sec"], results["bm25_postings_rows"] = timed(
+        bm25_viral_terms
     )
 
     print(
