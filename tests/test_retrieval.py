@@ -214,3 +214,49 @@ def test_streaming_bm25_stats_match_batch_and_replay(spark, tmp_path, sf_dir):
         r["term"]: (r["df"], r["tf"]) for r in terms2.collect()
     } == got_terms
     assert corpus2.collect()[0]["n_docs"] == got_corpus["n_docs"]
+
+
+def test_bm25_null_text_cross_engine(spark):
+    """r5 ADVICE regression: a NULL-text row must not skew n_docs/avgdl
+    differently per engine (Spark's size(split(NULL)) is -1; DuckDB's
+    len(string_split(NULL)) is NULL and ignored by avg).  Both engines
+    now exclude NULL text, so scores over a NULL-bearing corpus are
+    bit-identical.  Driver testdata carries no NULLs, so the sweep
+    cannot cover this — pinned here on a synthetic corpus."""
+    import duckdb
+
+    from vector_database_api_spark.queries import (
+        _BM25_SCORED_CTES,
+        _bm25_scored_docs,
+    )
+
+    rows = [
+        (1, "dup vector hash dup"),
+        (2, "vector vector plain words here"),
+        (3, None),
+        (4, "hash of the vector dup table"),
+        (5, "no query terms at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dl"], r["bm25"])
+        for r in _bm25_scored_docs(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        d: (dl, bm25)
+        for d, dl, bm25 in con.sql(
+            f"WITH {_BM25_SCORED_CTES} SELECT doc_id, dl, bm25 FROM scored"
+        ).fetchall()
+    }
+    assert set(got) == set(want) == {1, 2, 4}  # NULL + no-hit rows absent
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == want[d][1], d  # bit-exact doubles
+    # the corpus scalars exclude the NULL row on BOTH engines: n_docs=4
+    n_docs = con.sql(
+        f"WITH {_BM25_SCORED_CTES} SELECT n_docs FROM stats"
+    ).fetchone()[0]
+    assert n_docs == 4
