@@ -410,3 +410,62 @@ def test_ivf_trained_p4_profile(engine):
 
     with pytest.raises(ValueError):
         engine.index_library("libA", "ivf", ivf_profile="nope")
+
+
+def test_search_diversified_mmr(engine):
+    """MMR serving path: k diversified picks from the relevance pool,
+    rank-1 is the relevance argmax, scores are the exact greedy math of
+    the oracle-checked registry query (shared operators/rerank.py), and
+    the metadata filter restricts the pool (filter-then-diversify)."""
+    from vector_database_api_spark.operators import rerank as rerank_mod
+
+    q = "python document number 0 about python"
+    got = engine.search_diversified("libA", query_text=q, k=3).collect()
+    assert [r["mmr_rank"] for r in got] == [1, 2, 3]
+    assert got[0]["id"] == "c00"  # relevance argmax leads
+    assert got[0]["similarity"] == pytest.approx(1.0)
+    # MMR scores replay the shared greedy over the same pool
+    vec = {
+        r["id"]: r["embedding"]
+        for r in engine.chunks("libA")
+        .join(
+            engine.search("libA", query_text=q, k=12).select("id"),
+            "id",
+            "left_semi",
+        )
+        .collect()
+    }
+    qv = [float(x) for x in text_to_vector(q, CFG.embedding_dim)]
+    rel = {i: rerank_mod.seq_cosine(v, qv) for i, v in vec.items()}
+    want = rerank_mod.mmr_greedy(
+        rel, rerank_mod.pairwise_cosines(vec), k=3
+    )
+    assert [(r["mmr_rank"], r["id"], r["mmr"]) for r in got] == want
+    # filtered pool -> only matching-topic picks
+    flt = engine.search_diversified(
+        "libA", query_text=q, k=3, metadata_filters={"topic": "ml"}
+    ).collect()
+    assert flt and all(int(r["id"][1:]) % 3 == 1 for r in flt)
+
+
+def test_facet_counts(engine):
+    """Filter-then-facet: value counts per requested key over the
+    filtered candidate set; missing keys contribute nothing."""
+    rows = engine.facet_counts("libA", ["topic", "missing_key"]).collect()
+    got = {
+        (r["facet_key"], r["facet_value"]): r["n_chunks"] for r in rows
+    }
+    # libA: 20 chunks, topics cycle python/ml/databases from i=0
+    assert got[("topic", "python")] == 7
+    assert got[("topic", "ml")] == 7
+    assert got[("topic", "databases")] == 6
+    assert not any(k == "missing_key" for k, _ in got)
+    # filtered: facet counts follow the candidate set
+    flt = engine.facet_counts(
+        "libA", ["topic"], metadata_filters={"topic": "ml"}
+    ).collect()
+    assert {(r["facet_key"], r["facet_value"], r["n_chunks"]) for r in flt} == {
+        ("topic", "ml", 7)
+    }
+    with pytest.raises(ValueError):
+        engine.facet_counts("libA", [])

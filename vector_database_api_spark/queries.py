@@ -8621,48 +8621,17 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB fragments — and the 0.7*rel - 0.3*maxsim greedy is
     the same double math, so the oracle hash-matches.  The pool subplan
     is exposed to the plan gate via AUDIT_SUBPLANS."""
+    from vector_database_api_spark.operators import rerank as rerank_mod
+
     pool_rows = _mmr_pool(spark, sf_dir).collect()
     rel = {r["doc_id"]: r["rel"] for r in pool_rows}
     vec = {r["doc_id"]: r["embedding"] for r in pool_rows}
-
-    def _cos(a: list, b: list) -> float:
-        # exact replay of cosine_similarity / duck_cosine: sequential
-        # left-to-right double accumulation, dot/(sqrt(na)*sqrt(nb))
-        dot = 0.0
-        for x, y in zip(a, b):
-            dot += float(x) * float(y)
-        na = 0.0
-        for x in a:
-            na += float(x) * float(x)
-        nb = 0.0
-        for y in b:
-            nb += float(y) * float(y)
-        if na == 0.0 or nb == 0.0:
-            return 0.0
-        return dot / (math.sqrt(na) * math.sqrt(nb))
-
-    sim = {
-        (i, j): _cos(vec[i], vec[j])
-        for i in vec
-        for j in vec
-        if i != j
-    }
-    picked: list[tuple[int, int, float]] = []  # (rank, doc_id, mmr)
-    chosen: list[int] = []
-    first = min(rel, key=lambda d: (-rel[d], d))
-    picked.append((1, first, 0.7 * rel[first]))
-    chosen.append(first)
-    for n in range(2, 6):
-        best = None
-        for d in rel:
-            if d in chosen:
-                continue
-            ms = max(sim[(d, c)] for c in chosen)
-            score = 0.7 * rel[d] - 0.3 * ms
-            if best is None or (score, -d) > (best[1], -best[0]):
-                best = (d, score)
-        picked.append((n, best[0], best[1]))
-        chosen.append(best[0])
+    # shared bounded-pool helpers (operators/rerank.py — the served path
+    # service.py::search_diversified runs the same functions): pairwise
+    # cosines replay the engines' sequential double fold; the greedy
+    # takes 0.7/0.3 as SEPARATE literals (1-0.7 != 0.3 in doubles)
+    sim = rerank_mod.pairwise_cosines(vec)
+    picked = rerank_mod.mmr_greedy(rel, sim, k=5, lam=0.7, one_minus_lam=0.3)
     out = spark.createDataFrame(
         picked, "mmr_rank: bigint, doc_id: bigint, mmr: double"
     )

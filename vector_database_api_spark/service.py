@@ -744,3 +744,106 @@ class VectorEngine:
             "id string, r_kw int, r_vec int, rrf double, similarity double",
         )
         return self._apply_threshold(out, similarity_threshold)
+
+    def search_diversified(
+        self,
+        library_id: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+        lam: float = 0.7,
+        one_minus_lam: float = 0.3,
+        pool_factor: int = 4,
+    ) -> DataFrame:
+        """MMR-diversified top-k — the serving form of the oracle-checked
+        `queries.py::mmr_diversified_topk`: fetch a relevance pool of
+        min(pool_factor*k, max_k) through the library's regular search
+        dispatch (any index path; filter-then-search applies to the
+        pool), join the pool ids back to their embeddings, and run the
+        shared greedy MMR (`operators/rerank.py`) over the COLLECTED
+        pool — bounded O(pool²) coordinator work, constant in corpus
+        size.  Relevance is the pool rows' cosine to the query vector,
+        recomputed with the engines' exact sequential fold so the score
+        scale matches the vector paths regardless of which index
+        retrieved the pool.  Returns (mmr_rank, id, mmr, similarity),
+        k rows (fewer if the filtered pool is smaller)."""
+        from vector_database_api_spark.operators import rerank as rerank_mod
+
+        if query_embedding is None:
+            if query_text is None:
+                raise ValueError("query must have text or embedding")
+            query_embedding = [
+                float(x)
+                for x in text_to_vector(query_text, self.config.embedding_dim)
+            ]
+        k = self.config.clamp_k(k)
+        pool_k = min(max(pool_factor * k, k), self.config.max_k)
+        pool = self.search(
+            library_id,
+            query_text=query_text,
+            query_embedding=query_embedding,
+            k=pool_k,
+            metadata_filters=metadata_filters,
+        ).select("id")
+        pool_vecs = (
+            self.chunks(library_id)
+            .join(pool, "id", "left_semi")
+            .filter(F.col("embedding").isNotNull())
+            .select("id", "embedding")
+            .collect()
+        )
+        vec = {r["id"]: r["embedding"] for r in pool_vecs}
+        rel = {
+            i: rerank_mod.seq_cosine(v, query_embedding)
+            for i, v in vec.items()
+        }
+        sim = rerank_mod.pairwise_cosines(vec)
+        picked = rerank_mod.mmr_greedy(
+            rel, sim, k=k, lam=lam, one_minus_lam=one_minus_lam
+        )
+        return self.spark.createDataFrame(
+            [(rank, d, score, rel[d]) for rank, d, score in picked],
+            "mmr_rank int, id string, mmr double, similarity double",
+        )
+
+    def facet_counts(
+        self,
+        library_id: str,
+        keys: list[str],
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Facet panel over the FILTERED candidate set (filter-then-facet
+        — the counts a search UI renders next to filtered results): for
+        each requested metadata key, how many candidate chunks carry each
+        value.  One scan: the key list unrolls into a per-row explode of
+        (key, value) structs, then a combinable (key, value) count —
+        missing keys contribute nothing (MapType access is NULL).
+        Returns (facet_key, facet_value, n_chunks) ordered for stable
+        display."""
+        from vector_database_api_spark.operators.filters import (
+            apply_metadata_filters,
+        )
+
+        if not keys:
+            raise ValueError("facet_counts needs at least one key")
+        scoped = apply_metadata_filters(self.chunks(library_id), metadata_filters)
+        pairs = scoped.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(key).alias("facet_key"),
+                            F.col("metadata")[key].alias("facet_value"),
+                        )
+                        for key in keys
+                    ]
+                )
+            ).alias("p")
+        ).select("p.facet_key", "p.facet_value")
+        return (
+            pairs.filter(F.col("facet_value").isNotNull())
+            .groupBy("facet_key", "facet_value")
+            .agg(F.count(F.lit(1)).alias("n_chunks"))
+            .orderBy("facet_key", F.desc("n_chunks"), "facet_value")
+        )
