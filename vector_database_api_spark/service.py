@@ -22,6 +22,8 @@ Storage: a warehouse directory of parquet tables —
     {warehouse}/ivf_centroids/{library_id}.npy
     {warehouse}/pq_index/{library_id}/  (id, codes)           [extension]
     {warehouse}/pq_codebooks/{library_id}.npy                 [extension]
+    {warehouse}/bm25_index/{library_id}/{postings,doclens,stats}  [extension]
+    {warehouse}/hybrid_index/{library_id}/  (same three tables)   [extension]
 
 Mutations are atomic directory overwrites (snapshot isolation — the
 capability the reference gets from ReadWriteLock).  On a production
