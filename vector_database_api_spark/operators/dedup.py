@@ -469,19 +469,38 @@ def connected_components(
     if strategy not in ("auto", "distributed", "driver"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "distributed":
-        edges = edges.persist()  # threshold count + collect share one pass
+        # Persist so the threshold count + collect share one pass — but
+        # ONLY unpersist what we persisted: when the caller hands in an
+        # already-cached frame (the shared simhash-pairs serving
+        # artifact), persist() is a no-op on the SAME DataFrame and an
+        # unconditional unpersist() would silently drop the caller's
+        # cache.  That exact leak made every post-components read of the
+        # pairs artifact rebuild it (~2.3 s at sf0.1) — the recurring
+        # simhash_near_dup bench spike of rounds 4-6, misdiagnosed as
+        # box noise until round 6 reproduced it deterministically.
+        lvl = edges.storageLevel
+        caller_cached = lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+        if not caller_cached:
+            edges = edges.persist()
         n_edges = edges.count()
         if strategy == "driver" or n_edges <= driver_edge_threshold:
             try:
                 return _driver_union_find(edges, src_col, dst_col)
             finally:
-                edges.unpersist()
+                if not caller_cached:
+                    edges.unpersist()
     bidir = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
         .persist()
     )
+    bidir.count()
+    if strategy != "distributed" and not caller_cached:
+        # the auto-path persist above the threshold gate is no longer
+        # needed once bidir is materialized; dropping it here keeps the
+        # distributed path leak-free too
+        edges.unpersist()
     labels = (
         bidir.select(F.col("src").alias("id"))
         .distinct()
