@@ -119,3 +119,50 @@ def test_rrf_fuse_math_and_ties():
     # equal-rrf tie (same rank in opposite legs) breaks by id
     fused2 = bm25_mod.rrf_fuse([("q", 1.0)], [("p", 1.0)], rrf_k=60)
     assert [d for d, *_ in fused2] == ["p", "q"]
+
+
+def test_streaming_bm25_index_matches_batch(spark, tmp_path):
+    """M1 keyword-index maintenance: streamed postings/doclens equal a
+    batch build over the same chunks, and the served search over the
+    streamed index returns the same top-k as over the batch index."""
+    import vector_database_api_spark.streaming.maintenance as M
+
+    rows = [
+        (f"c{i:02d}", "libS", f"d{i}", f"topic{i % 3} word{i} shared text", None, {})
+        for i in range(24)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, M.CHUNK_INGEST_SCHEMA)
+    for lo, hi in [(0, 8), (8, 16), (16, 24)]:
+        df.filter(
+            (F.expr("cast(substring(id, 2, 2) as int)") >= lo)
+            & (F.expr("cast(substring(id, 2, 2) as int)") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "kw_index")
+    chunks_dir = str(tmp_path / "chunks")
+    M.incremental_bm25_index_maintenance(
+        M.read_chunk_stream(spark, src),
+        index_dir,
+        chunks_dir,
+        str(tmp_path / "ckpt"),
+        embedding_dim=16,
+    ).awaitTermination(300)
+
+    got_p = spark.read.parquet(index_dir + "/postings")
+    got_d = spark.read.parquet(index_dir + "/doclens")
+    want_p, want_d, _ = bm25_mod.build_bm25_index(df)
+    key = lambda df_, cols: {tuple(r[c] for c in cols) for r in df_.collect()}
+    assert key(got_p, ["term", "id", "tf"]) == key(want_p, ["term", "id", "tf"])
+    assert key(got_d, ["id", "dl"]) == key(want_d, ["id", "dl"])
+
+    n_docs, avgdl = M.bm25_index_serving_stats(spark, index_dir)
+    assert n_docs == 24
+    # served search over the streamed index == over the batch build
+    terms = ["shared", "word3"]
+    a = bm25_mod.bm25_search(got_p, got_d, n_docs, avgdl, terms, k=5).collect()
+    b = bm25_mod.bm25_search(want_p, want_d, n_docs, avgdl, terms, k=5).collect()
+    assert [(r["id"], r["score"]) for r in a] == [
+        (r["id"], r["score"]) for r in b
+    ]
+    assert a[0]["id"] == "c03"  # the unique word03 doc leads

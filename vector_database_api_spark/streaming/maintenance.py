@@ -1017,3 +1017,73 @@ def winnow_fingerprints_serving(
 
     ex = spark.read.parquet(store_dir).select("doc_id", "source", "nf", "f")
     return dedup_mod.winnow_hot_cap(ex, max_df=max_df)
+
+
+def incremental_bm25_index_maintenance(
+    chunk_stream: DataFrame,
+    index_dir: str,
+    chunks_dir: str,
+    checkpoint_dir: str,
+    embedding_dim: int = 64,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """M1 for the keyword (bm25/hybrid) index — the foreachBatch twin of
+    `incremental_index_maintenance` (LSH) / `incremental_pq_maintenance`:
+    per micro-batch, embed missing embeddings, append the chunk rows, and
+    append the batch's postings + doc lengths to the index tables under
+    ``index_dir`` (the layout `service.VectorEngine._read_text_index`
+    reads).  Postings for a doc are a pure function of its text, so
+    streamed tables equal a batch `build_bm25_index` over the same rows
+    (tested); appends are idempotent under the streaming checkpoint.
+
+    The 1-row corpus-stats table is NOT written per batch — a 1-row
+    overwrite per micro-batch would be a read-modify-write race under
+    replay.  Serving derives (n_docs, avgdl) from the doclens table with
+    one combinable aggregate (:func:`bm25_index_serving_stats`) —
+    artifact-sized, never a corpus rescan, the same merge-on-read
+    discipline as the BM25 statistics and winnow artifacts."""
+    import os
+
+    from vector_database_api_spark.operators.bm25 import build_bm25_index
+
+    embedder = make_embedder(embedding_dim)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn(
+            "embedding",
+            F.coalesce(F.col("embedding"), embedder(F.col("text"))),
+        )
+        batch.persist()
+        batch.write.mode("append").parquet(chunks_dir)
+        postings, doclens, _ = build_bm25_index(batch)
+        postings.write.mode("append").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        doclens.write.mode("append").parquet(
+            os.path.join(index_dir, "doclens")
+        )
+        batch.unpersist()
+
+    writer = chunk_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_index_serving_stats(spark: SparkSession, index_dir: str):
+    """(n_docs, avgdl) derived from the streamed doclens table — one
+    combinable aggregate over the artifact (merge-on-read; the batch
+    build writes the same scalars as a stats parquet instead)."""
+    import os
+
+    row = (
+        spark.read.parquet(os.path.join(index_dir, "doclens"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .first()
+    )
+    return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] is not None else 1.0
