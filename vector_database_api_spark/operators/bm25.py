@@ -157,3 +157,18 @@ def rrf_fuse(
         fused.append((d, rk, rv, raw))
     fused.sort(key=lambda t: (-t[3], t[0]))
     return fused
+
+
+def collect_parallel(*dfs: DataFrame) -> list[list]:
+    """collect() several bounded top-k legs CONCURRENTLY — the fan-out a
+    real hybrid engine does with its keyword and vector legs.  Spark
+    schedules actions from separate driver threads as independent jobs
+    (each leg's plan is unchanged), so wall-clock is max(legs) instead
+    of sum(legs).  Results are positionally ordered like the inputs;
+    any leg failure re-raises."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [dfs[0].collect()]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return [f.result() for f in [pool.submit(df.collect) for df in dfs]]

@@ -8354,6 +8354,13 @@ ORDER BY rrf_raw DESC, doc_id LIMIT 10
 """
 
 
+# concurrent leg collection (operators/bm25.py — shared with the service
+# hybrid path): wall-clock max(legs) instead of sum(legs)
+from vector_database_api_spark.operators.bm25 import (  # noqa: E402
+    collect_parallel as _collect_parallel,
+)
+
+
 def _rrf_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 leg of the RRF hybrid — the data-sized keyword
     subplan (single corpus scan -> TakeOrderedAndProject), exposed for
@@ -8403,8 +8410,9 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fusion is bit-exact with the SQL oracle.  Both legs are exposed
     to the plan gate via AUDIT_SUBPLANS (their data-sized plans execute
     inside collect(), invisible to an audit of the returned frame)."""
-    kw = _rrf_kw_leg(spark, sf_dir).collect()
-    vv = _rrf_vec_leg(spark, sf_dir).collect()
+    kw, vv = _collect_parallel(
+        _rrf_kw_leg(spark, sf_dir), _rrf_vec_leg(spark, sf_dir)
+    )
     from vector_database_api_spark.operators.bm25 import rrf_fuse
 
     # legs arrive rank-ordered (TakeOrderedAndProject output order);
@@ -8525,8 +8533,10 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     as both engines, bit-exact)."""
     from vector_database_api_spark.operators import bm25 as bm25_ops
 
-    kw = _rrf_filtered_kw_leg(spark, sf_dir).collect()
-    vv = _rrf_filtered_vec_leg(spark, sf_dir).collect()
+    kw, vv = _collect_parallel(
+        _rrf_filtered_kw_leg(spark, sf_dir),
+        _rrf_filtered_vec_leg(spark, sf_dir),
+    )
     fused = bm25_ops.rrf_fuse(
         [(r["doc_id"], r["bm25"]) for r in kw],
         [(r["doc_id"], r["sim"]) for r in vv],

@@ -721,18 +721,18 @@ class VectorEngine:
         Returns (id, r_kw, r_vec, rrf, similarity); similarity is the
         doc's cosine when it appeared in the vector leg (NULL for
         keyword-only docs, which a set threshold therefore drops)."""
-        kw_rows: list = []
+        vec_leg = knn_brute_force(
+            chunks, query, k=k, metadata_filters=metadata_filters
+        ).select("id", "similarity")
         if query_text is not None:
-            kw_rows = self._bm25_topk(
+            kw_leg = self._bm25_topk(
                 path, chunks, query_text, k, metadata_filters
-            ).collect()
-        vec_rows = (
-            knn_brute_force(
-                chunks, query, k=k, metadata_filters=metadata_filters
             )
-            .select("id", "similarity")
-            .collect()
-        )
+            # both legs collect CONCURRENTLY (operators/bm25.py) — the
+            # fan-out a real hybrid engine does; wall-clock max(legs)
+            kw_rows, vec_rows = bm25_mod.collect_parallel(kw_leg, vec_leg)
+        else:
+            kw_rows, vec_rows = [], vec_leg.collect()
         fused = bm25_mod.rrf_fuse(
             [(r["id"], r["score"]) for r in kw_rows],
             [(r["id"], r["similarity"]) for r in vec_rows],
