@@ -469,3 +469,32 @@ def test_facet_counts(engine):
     }
     with pytest.raises(ValueError):
         engine.facet_counts("libA", [])
+
+
+def test_keyword_paths_empty_results(engine):
+    """Degenerate inputs return empty frames, never errors: a filter
+    matching nothing empties both hybrid legs; query terms absent from
+    the corpus empty the bm25 path; an all-space query has no terms."""
+    engine.index_library("libA", "hybrid")
+    assert (
+        engine.search(
+            "libA",
+            query_text="python",
+            k=5,
+            metadata_filters={"topic": "nonexistent"},
+        ).count()
+        == 0
+    )
+    engine.index_library("libA", "bm25")
+    assert engine.search("libA", query_text="zzz qqq absent").count() == 0
+    assert engine.search("libA", query_text="   ").count() == 0
+    # diversified search over an emptied pool is empty too
+    assert (
+        engine.search_diversified(
+            "libA",
+            query_text="python",
+            k=3,
+            metadata_filters={"topic": "nonexistent"},
+        ).count()
+        == 0
+    )
