@@ -8323,6 +8323,145 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(10)
 
 
+# maxP passage retrieval: 32-token windows, stride 16.  The per-chunk
+# score reuses _BM25_SUM verbatim by ALIASING chunk-level quantities to
+# the formula's column names (chunk length -> dl, avg chunk length ->
+# avgdl, chunk df -> df_t, chunk count -> n_docs), so cross-engine
+# bit-exactness is inherited, not re-proven.
+_MAXP_WIN, _MAXP_STRIDE = 32, 16
+
+_MAXP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+chunks AS (
+  SELECT doc_id, s,
+         list_slice(ws, s, s + {_MAXP_WIN - 1}) AS cw
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {_MAXP_STRIDE})) AS s
+        FROM toks)
+),
+base AS (
+  SELECT doc_id, s, CAST(len(cw) AS BIGINT) AS dl,
+         {", ".join(f"CAST(len(list_filter(cw, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)}
+  FROM chunks
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, s, {_BM25_SUM} AS score
+  FROM base CROSS JOIN stats
+  WHERE {_BM25_HIT} > 0
+),
+docbest AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_chunks,
+         max(score) AS best
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(min(s.s) AS BIGINT) AS best_start,
+       any_value(d.n_hit_chunks) AS n_hit_chunks,
+       round(any_value(d.best), 6) AS maxp
+FROM docbest d JOIN scored s ON s.doc_id = d.doc_id AND s.score = d.best
+GROUP BY d.doc_id
+ORDER BY any_value(d.best) DESC, d.doc_id LIMIT 10
+"""
+
+
+def _cached_maxp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, dl, tf_*) per passage window — the chunk-level scoring
+    artifact of the maxP query, persisted once per sf_dir (the chunk
+    expansion and per-chunk term counts are the expensive stage; the
+    stats aggregate and scoring are derivations over it)."""
+    key = ("maxp-chunks", sf_dir)
+    if key not in _SERVING_INDEXES:
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                "doc_id", F.expr("split(lower(text), ' ', -1)").alias("ws")
+            )
+        )
+        chunks = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, size(ws), {_MAXP_STRIDE})")
+            ).alias("s"),
+            "ws",
+        ).select(
+            "doc_id", "s", F.expr(f"slice(ws, s, {_MAXP_WIN})").alias("cw")
+        )
+        cols = [
+            F.col("doc_id"),
+            F.col("s"),
+            F.size("cw").cast("long").alias("dl"),
+        ]
+        for t in _BM25_TERMS:
+            cols.append(
+                F.expr(f"size(filter(cw, x -> x = '{t}'))")
+                .cast("long")
+                .alias(f"tf_{t}")
+            )
+        base = chunks.select(*cols).persist()
+        base.count()
+        _SERVING_INDEXES[key] = base
+    return _SERVING_INDEXES[key]
+
+
+@register("maxp_passage_topk", _MAXP_ORACLE)
+def maxp_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxP passage-level retrieval (Dai & Callan, SIGIR 2019 — score
+    fixed-stride passages, rank documents by their BEST passage): the
+    document-granularity answer long-document keyword search actually
+    needs, complementing whole-doc BM25 (`bm25_keyword_topk`) whose
+    length normalization punishes one strong passage inside a long doc.
+    32-token windows at stride 16 (every token covered by 2 windows),
+    per-chunk BM25 with chunk-level statistics — the SAME scalar
+    expression text as the doc-level family, so both engines inherit
+    bit-exact scores — doc score = max over its chunks, plus the best
+    chunk's start offset (the passage a UI would highlight) and the
+    doc's hitting-chunk count.  Plan at 100 TB: the chunk table is a
+    per-corpus artifact (one scan, explode bounded at 2x the token
+    stream, combinable term counts); stats are one map-side-combinable
+    aggregate broadcast back; per-doc max + argmax-join are keyed aggs
+    on doc_id (bounded per key by doc length / stride); top-10 is
+    TakeOrderedAndProject."""
+    base = _cached_maxp_chunks(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")]
+    for t in _BM25_TERMS:
+        aggs.append(
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+        )
+    stats = base.agg(*aggs)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(F.expr(_BM25_HIT) > 0)
+        .select("doc_id", "s", F.expr(_BM25_SUM).alias("score"))
+    )
+    docbest = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_chunks"),
+        F.max("score").alias("best"),
+    )
+    return (
+        docbest.join(
+            scored.select("doc_id", "s", F.col("score").alias("best")),
+            ["doc_id", "best"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("s").cast("long").alias("best_start"),
+            F.first("n_hit_chunks").alias("n_hit_chunks"),
+            F.round(F.first("best"), 6).alias("maxp"),
+            F.first("best").alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "doc_id")
+        .limit(10)
+        .select("doc_id", "best_start", "n_hit_chunks", "maxp")
+    )
+
+
 _HYBRID_RRF_ORACLE = f"""
 WITH {_BM25_SCORED_CTES},
 kw AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
