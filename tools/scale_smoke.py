@@ -795,6 +795,57 @@ def main() -> None:
         bm25_viral_terms
     )
 
+    def maxp_scaled():
+        # passage-window expansion at 500k docs: explode bounded at
+        # ~2x the token stream (stride = window/2), per-chunk term
+        # counts combinable, stats broadcast back, per-doc max keyed on
+        # doc_id — no content-key window, nothing quadratic
+        from vector_database_api_spark.queries import (
+            _BM25_HIT,
+            _BM25_SUM,
+            _BM25_TERMS,
+            _MAXP_STRIDE,
+            _MAXP_WIN,
+        )
+
+        toks = docs.select(
+            "doc_id", F.expr("split(lower(text), ' ', -1)").alias("ws")
+        )
+        chunks = toks.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(ws), {_MAXP_STRIDE})")).alias("s"),
+            "ws",
+        ).select("doc_id", "s", F.expr(f"slice(ws, s, {_MAXP_WIN})").alias("cw"))
+        cols = [F.col("doc_id"), F.col("s"), F.size("cw").cast("long").alias("dl")]
+        for t in _BM25_TERMS:
+            cols.append(
+                F.expr(f"size(filter(cw, x -> x = '{t}'))").cast("long").alias(f"tf_{t}")
+            )
+        base = chunks.select(*cols).persist()
+        n_chunks = base.count()
+        aggs = [F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")]
+        for t in _BM25_TERMS:
+            aggs.append(
+                F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            )
+        stats = base.agg(*aggs)
+        scored = (
+            base.crossJoin(F.broadcast(stats))
+            .filter(F.expr(_BM25_HIT) > 0)
+            .select("doc_id", F.expr(_BM25_SUM).alias("score"))
+        )
+        top = (
+            scored.groupBy("doc_id")
+            .agg(F.max("score").alias("best"))
+            .orderBy(F.desc("best"), "doc_id")
+            .limit(10)
+            .count()
+        )
+        base.unpersist()
+        return n_chunks if top else 0
+
+    results["maxp_passages_sec"], results["maxp_chunk_rows"] = timed(maxp_scaled)
+
     print(
         json.dumps(
             {
