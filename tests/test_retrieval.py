@@ -260,3 +260,61 @@ def test_bm25_null_text_cross_engine(spark):
         f"WITH {_BM25_SCORED_CTES} SELECT n_docs FROM stats"
     ).fetchone()[0]
     assert n_docs == 4
+
+
+def test_maxp_matches_python_recomputation(spark, sf_dir):
+    """maxP passage retrieval pinned against an independent Python
+    replay: same windowing (32/16), chunk-level BM25 statistics, and
+    max-over-chunks doc score with the min best-start tie-break."""
+    import math as _math
+
+    from vector_database_api_spark.queries import (
+        _BM25_TERMS,
+        _MAXP_STRIDE,
+        _MAXP_WIN,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"] is not None
+    }
+    chunks = []  # (doc_id, start, tokens)
+    for d, t in docs.items():
+        ws = t.lower().split(" ")
+        for s in range(1, len(ws) + 1, _MAXP_STRIDE):
+            chunks.append((d, s, ws[s - 1 : s - 1 + _MAXP_WIN]))
+    n = len(chunks)
+    avgdl = sum(len(c) for _, _, c in chunks) / n
+    df = {
+        t: sum(1 for _, _, c in chunks if t in c) for t in _BM25_TERMS
+    }
+
+    def contrib(tf, dft, dl):
+        if tf == 0:
+            return 0.0
+        idf = _math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    best: dict = {}
+    for d, s, c in chunks:
+        tfs = {t: sum(1 for w in c if w == t) for t in _BM25_TERMS}
+        if sum(tfs.values()) == 0:
+            continue
+        score = sum(contrib(tfs[t], df[t], len(c)) for t in _BM25_TERMS)
+        cur = best.get(d)
+        hit_count = (cur[2] if cur else 0) + 1
+        if cur is None or score > cur[0] or (score == cur[0] and s < cur[1]):
+            best[d] = (score, s, hit_count)
+        else:
+            best[d] = (cur[0], cur[1], hit_count)
+    want = sorted(
+        ((d, v[1], v[2], v[0]) for d, v in best.items()),
+        key=lambda x: (-x[3], x[0]),
+    )[:10]
+    got = q.spark_queries()["maxp_passage_topk"](spark, sf_dir).collect()
+    assert [
+        (r["doc_id"], r["best_start"], r["n_hit_chunks"]) for r in got
+    ] == [(d, s, h) for d, s, h, _ in want]
+    for r, (_, _, _, sc) in zip(got, want):
+        assert r["maxp"] == pytest.approx(sc, abs=1e-6)
