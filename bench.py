@@ -189,6 +189,12 @@ HEADLINE = [
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",
+    "search_snippet_highlight",
+    "collapsed_topk_by_source",
+    "autocut_topk",
+    "rm3_expansion_terms",
+    "rm3_expanded_search",
+    "fuzzy_term_match",
 ]
 
 

@@ -498,3 +498,69 @@ def test_keyword_paths_empty_results(engine):
         ).count()
         == 0
     )
+
+
+def test_search_with_snippets(engine):
+    """Snippets attach to the regular dispatch result: same ids, best
+    window contains the query terms that actually occur in the chunk."""
+    engine.index_library("libA", "bm25")
+    plain = engine.search("libA", query_text="python document", k=5).collect()
+    got = engine.search_with_snippets(
+        "libA", query_text="python document", k=5, snippet_window=4
+    ).collect()
+    assert {r["id"] for r in got} == {r["id"] for r in plain}
+    texts = {
+        r["id"]: r["text"]
+        for r in engine.chunks("libA").select("id", "text").collect()
+    }
+    for r in got:
+        toks = texts[r["id"]].lower().split(" ")
+        window = toks[r["snip_start"] - 1 : r["snip_start"] - 1 + 4]
+        assert r["snippet"] == " ".join(window)
+        assert (
+            sum(1 for t in window if t in ("python", "document"))
+            == r["snip_hits"]
+        )
+        assert r["snip_hits"] >= 1  # every bm25 hit contains a query term
+
+
+def test_search_collapsed_limits_per_key(engine):
+    """At most per_key hits per metadata value; NULL-topic chunks would
+    collapse together (libA chunks all carry a topic)."""
+    got = engine.search_collapsed(
+        "libA",
+        collapse_key="topic",
+        query_text="python document number 0 about python",
+        k=5,
+        per_key=1,
+    ).collect()
+    assert 0 < len(got) <= 5
+    topics = [r["collapse_value"] for r in got]
+    assert len(topics) == len(set(topics))  # per_key=1 -> all distinct
+    assert all(r["collapse_rank"] == 1 for r in got)
+    # collapsing never invents ids outside the retrieval pool
+    pool = engine.search(
+        "libA", query_text="python document number 0 about python", k=25
+    ).collect()
+    assert {r["id"] for r in got} <= {r["id"] for r in pool}
+
+
+def test_search_autocut_prefix_of_ranked_result(engine):
+    """Autocut returns a rank-exact prefix of the plain search result."""
+    plain = sorted(
+        engine.search(
+            "libA", query_text="python document number 0 about python", k=5
+        ).collect(),
+        key=lambda r: (-r["similarity"], r["id"]),
+    )
+    got = engine.search_autocut(
+        "libA", query_text="python document number 0 about python", k=5
+    ).collect()
+    assert 0 < len(got) <= len(plain)
+    for i, r in enumerate(got):
+        assert r["autocut_rank"] == i + 1
+        assert r["id"] == plain[i]["id"]
+    # the exact-match doc scores ~1.0, everything else far lower -> the
+    # largest gap is right after rank 1 on this corpus
+    assert got[0]["id"] == "c00"
+    assert len(got) == 1

@@ -102,3 +102,19 @@ class _ReversedStr:
 
     def __eq__(self, other) -> bool:
         return self.s == other.s
+
+
+def autocut(scores: list[float]) -> int:
+    """Weaviate-style autocut over a DESCENDING score list: the number of
+    results to keep = position of the largest adjacent score gap
+    (earliest on ties).  Lists with fewer than 2 entries keep everything
+    (no gaps to cut at).  O(k) over a collected top-k — bounded
+    coordinator work, the rrf_fuse adjudication.  Shared verbatim by the
+    oracle-checked registry query (`queries.py::autocut_topk`) and the
+    served path (`service.py::search_autocut`)."""
+    best_gap, cut = None, len(scores)
+    for i in range(len(scores) - 1):
+        gap = scores[i] - scores[i + 1]
+        if best_gap is None or gap > best_gap:
+            best_gap, cut = gap, i + 1
+    return cut

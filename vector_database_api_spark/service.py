@@ -51,6 +51,8 @@ from vector_database_api_spark.operators import bm25 as bm25_mod
 from vector_database_api_spark.operators import ivf as ivf_mod
 from vector_database_api_spark.operators import lsh as lsh_mod
 from vector_database_api_spark.operators import pq as pq_mod
+from vector_database_api_spark.operators import presentation as pres_mod
+from vector_database_api_spark.operators import rerank as rerank_mod
 from vector_database_api_spark.operators import sq as sq_mod
 from vector_database_api_spark.operators.knn import knn_brute_force
 
@@ -849,3 +851,137 @@ class VectorEngine:
             .agg(F.count(F.lit(1)).alias("n_chunks"))
             .orderBy("facet_key", F.desc("n_chunks"), "facet_value")
         )
+
+    # -- result presentation (engine extension; operators/presentation.py,
+    # operators/rerank.py) — the layers a production search engine adds on
+    # top of the reference's raw top-k lists (search_service.py:112-153):
+    # highlight snippets, per-key collapsing, dynamic-k autocut.
+
+    @staticmethod
+    def _score_column(result: DataFrame) -> str:
+        """The native score column of a search result, per dispatch path:
+        'score' (bm25), 'rrf' (hybrid), else 'similarity' (vector)."""
+        for c in ("score", "rrf", "similarity"):
+            if c in result.columns:
+                return c
+        raise ValueError(f"no score column in {result.columns}")
+
+    def search_with_snippets(
+        self,
+        library_id: str,
+        query_text: str,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+        snippet_window: int = 8,
+    ) -> DataFrame:
+        """Top-k search + highlight snippets: run the library's regular
+        dispatch (any index path; filter-then-search applies), join the
+        k hits back to their chunk text, and attach each hit's best
+        ``snippet_window``-token window (most query-term hits, earliest
+        on ties) with its 1-based start offset.  The snippet transform
+        (`operators/presentation.py::best_snippet`, shared with the
+        oracle-checked registry query) runs over the k-row result
+        broadcast against the chunks table — bounded presentation work
+        on top of the retrieval plan."""
+        result = self.search(
+            library_id,
+            query_text=query_text,
+            k=k,
+            metadata_filters=metadata_filters,
+        )
+        score_col = self._score_column(result)
+        texts = self.chunks(library_id).select("id", "text")
+        hits = F.broadcast(result).join(texts, "id")
+        return pres_mod.best_snippet(
+            hits,
+            bm25_mod.tokenize_query(query_text),
+            snippet_window,
+            id_col="id",
+        ).orderBy(F.desc(score_col), "id")
+
+    def search_collapsed(
+        self,
+        library_id: str,
+        collapse_key: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        per_key: int = 2,
+        metadata_filters: dict[str, Any] | None = None,
+        window_factor: int = 5,
+    ) -> DataFrame:
+        """Field-collapsed top-k (Elasticsearch `collapse`): retrieve a
+        ``window_factor * k`` pool through the regular dispatch, tag each
+        hit with its ``metadata[collapse_key]`` value, keep at most
+        ``per_key`` hits per value, return the global top-k of the
+        survivors.  Collapsing runs INSIDE the retrieval window
+        (`operators/presentation.py::collapse_topk`, shared with the
+        oracle-checked registry query), so a key with a million corpus
+        hits still contributes only its share of the window — bounded
+        presentation work.  Chunks without the key collapse together as
+        the NULL group (the Elasticsearch missing-field behavior).
+        Returns the search columns + (collapse_value, collapse_rank)."""
+        k = self.config.clamp_k(k)
+        pool_k = min(max(window_factor * k, k), self.config.max_k)
+        pool = self.search(
+            library_id,
+            query_text=query_text,
+            query_embedding=query_embedding,
+            k=pool_k,
+            metadata_filters=metadata_filters,
+        )
+        score_col = self._score_column(pool)
+        keys = self.chunks(library_id).select(
+            "id", F.col("metadata")[collapse_key].alias("collapse_value")
+        )
+        tagged = F.broadcast(pool).join(keys, "id")
+        return pres_mod.collapse_topk(
+            tagged,
+            key_col="collapse_value",
+            score_col=score_col,
+            id_col="id",
+            per_key=per_key,
+            k=k,
+        )
+
+    def search_autocut(
+        self,
+        library_id: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Dynamic-k search (Weaviate `autocut`): retrieve top-k through
+        the regular dispatch, then cut the ranked list at the largest
+        adjacent score gap (`operators/rerank.py::autocut`, shared with
+        the oracle-checked registry query) — results after relevance
+        falls off a cliff are dropped instead of padding to k.  O(k)
+        coordinator work over the collected result.  Returns the search
+        columns + autocut_rank; at most k rows, usually fewer."""
+        result = self.search(
+            library_id,
+            query_text=query_text,
+            query_embedding=query_embedding,
+            k=k,
+            metadata_filters=metadata_filters,
+        )
+        score_col = self._score_column(result)
+
+        def _s(r):
+            v = r[score_col]
+            return float("-inf") if v is None else v
+
+        rows = sorted(result.collect(), key=lambda r: (-_s(r), r["id"]))
+        cut = rerank_mod.autocut([_s(r) for r in rows])
+        kept = [
+            {**r.asDict(), "autocut_rank": i + 1}
+            for i, r in enumerate(rows[:cut])
+        ]
+        if not kept:
+            return self.spark.createDataFrame(
+                [], result.schema.add("autocut_rank", "integer")
+            )
+        return self.spark.createDataFrame(kept, result.schema.add(
+            "autocut_rank", "integer"
+        )).orderBy("autocut_rank")
