@@ -564,3 +564,49 @@ def test_search_autocut_prefix_of_ranked_result(engine):
     # largest gap is right after rank 1 on this corpus
     assert got[0]["id"] == "c00"
     assert len(got) == 1
+
+
+def test_search_expanded_rm3(engine):
+    """RM3 through the keyword index: pass 1 feedback on the query, pass 2
+    re-queries with index-derived expansion terms — which must exclude the
+    query's own terms and score docs the literal query also reaches."""
+    engine.index_library("libA", "bm25")
+    meta = engine._index_meta("libA")
+    postings, doclens, n_docs, avgdl = engine._read_text_index(meta[1])
+    from vector_database_api_spark.operators import bm25 as bm25_mod
+
+    terms = bm25_mod.tokenize_query("python document")
+    fb = bm25_mod.bm25_search(
+        postings, doclens, n_docs, avgdl, terms, k=10
+    ).select("id")
+    exp = bm25_mod.rm3_expansion(postings, doclens, terms, fb).collect()
+    assert 0 < len(exp) <= 5
+    assert not ({r["term"] for r in exp} & set(terms))
+    assert all(r["wt"] > 0 for r in exp)
+
+    got = engine.search_expanded("libA", query_text="python document", k=5)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_search_expanded_filter_restricts_both_passes(engine):
+    """The metadata filter applies to feedback retrieval AND the expanded
+    re-query: every result satisfies it."""
+    engine.index_library("libA", "bm25")
+    got = engine.search_expanded(
+        "libA",
+        query_text="python document",
+        k=10,
+        metadata_filters={"topic": "ml"},
+    ).collect()
+    assert got
+    assert all(int(r["id"][1:]) % 3 == 1 for r in got)  # ml chunks only
+
+
+def test_search_expanded_requires_text_index(engine):
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="bm25 or hybrid"):
+        engine.search_expanded("libA", query_text="python document")

@@ -172,3 +172,102 @@ def collect_parallel(*dfs: DataFrame) -> list[list]:
         return [dfs[0].collect()]
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
         return [f.result() for f in [pool.submit(df.collect) for df in dfs]]
+
+
+def rm3_expansion(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: list[str],
+    feedback_ids: DataFrame,
+    n_terms: int = 5,
+    min_fb_df: int = 2,
+    min_len: int = 3,
+) -> DataFrame:
+    """(term, wt) RM3 relevance-model expansion terms, computed FROM THE
+    INDEX: join the feedback docs' posting rows (a broadcast semi-join of
+    the <=fb_k feedback ids into the postings — feedback-bounded, never a
+    corpus scan or a text re-tokenize), weight each term by
+    sum(tf/dl) over the feedback docs, drop the original query terms,
+    sub-``min_len``-char tokens, and terms in fewer than ``min_fb_df``
+    feedback docs; keep the top ``n_terms`` by weight (term ASC ties).
+    The registry twin (`queries.py::rm3_expansion_terms`) derives the
+    same weights from raw text for its DuckDB oracle; this is the
+    serving form a keyword engine actually runs."""
+    fb = feedback_ids.select("id")
+    fb_post = (
+        postings.join(F.broadcast(fb), "id")
+        .filter(
+            (F.length("term") >= min_len)
+            & (~F.col("term").isin([t for t in query_terms]))
+        )
+        .join(doclens, "id")
+    )
+    return (
+        fb_post.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("fb_df"),
+            F.sum(
+                F.col("tf").cast("double") / F.col("dl").cast("double")
+            ).alias("wt"),
+        )
+        .filter(F.col("fb_df") >= min_fb_df)
+        .orderBy(F.desc("wt"), "term")
+        .limit(int(n_terms))
+        .select("term", "wt")
+    )
+
+
+def rm3_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    expansion: DataFrame,
+    k: int = 10,
+    candidate_ids: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k (id, score) for a WEIGHTED, data-dependent term set — the
+    second pass of RM3 pseudo-relevance feedback.  ``expansion`` is a
+    small (term, wt) frame (rm3_expansion's output): it broadcasts into
+    the postings join, so only the expansion terms' posting lists are
+    read; per-term df is computed from those lists BEFORE any candidate
+    restriction (corpus-level statistics, the bm25_search convention);
+    each contribution is wt x Lucene idf x BM25 tf saturation."""
+    spark = postings.sparkSession
+    if n_docs == 0:
+        return spark.createDataFrame([], "id string, score double")
+    hits = postings.join(F.broadcast(expansion), "term")
+    df_t = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if candidate_ids is not None:
+        hits = hits.join(candidate_ids.select("id"), "id", "left_semi")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    contrib = (
+        F.col("wt")
+        * idf
+        * (
+            tf
+            * (k1 + 1.0)
+            / (
+                tf
+                + k1
+                * ((1.0 - b) + b * (F.col("dl").cast("double") / float(avgdl)))
+            )
+        )
+    )
+    return (
+        hits.join(F.broadcast(df_t), "term")
+        .join(doclens, "id")
+        .select("id", contrib.alias("contrib"))
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(int(k))
+    )

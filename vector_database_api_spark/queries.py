@@ -111,9 +111,50 @@ def demo_queries() -> dict[str, SparkQuery]:
 # persist() uses PySpark's default StorageLevel.MEMORY_AND_DISK: a
 # memory-pressure eviction spills the blocks to disk instead of silently
 # dropping them, so a later read can never trigger a full rebuild.
-# Bounded in practice (keyed by sf_dir — the driver uses 3); a long-lived
-# multi-tenant service would add an eviction policy here.
-_SERVING_INDEXES: dict[tuple, object] = {}
+
+
+def _unpersist_artifacts(value: object) -> None:
+    """Unpersist every DataFrame reachable from a cache entry: a bare
+    DataFrame, a tuple/list of them (bm25 postings+doclens), or an index
+    object carrying one (IVFIndex.index_df)."""
+    if isinstance(value, DataFrame):
+        value.unpersist()
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            _unpersist_artifacts(v)
+    elif isinstance(getattr(value, "index_df", None), DataFrame):
+        value.index_df.unpersist()
+
+
+class _BoundedServingCache(dict):
+    """LRU-bounded serving-artifact cache.  The driver workload holds
+    ~15 artifact kinds x 3 sf_dirs, far under CAP, so eviction never
+    fires there — the bound exists for the long-lived multi-tenant
+    shape (many libraries/corpora through one session), where an
+    unbounded dict of persisted DataFrames would pin executor
+    storage forever.  Reads refresh recency; inserting past CAP
+    unpersists and drops the least-recently-used entry (its blocks are
+    freed; a later request transparently rebuilds it).  Eviction must
+    NEVER unpersist a frame another live entry still references —
+    entries are built independently (each persist() call creates its
+    own cache entry), so per-entry unpersist is safe."""
+
+    CAP = 96
+
+    def __getitem__(self, key):  # refresh recency on read
+        value = super().__getitem__(key)
+        super().__delitem__(key)
+        super().__setitem__(key, value)
+        return value
+
+    def __setitem__(self, key, value) -> None:
+        if key not in self and len(self) >= self.CAP:
+            oldest = next(iter(self))
+            _unpersist_artifacts(super().pop(oldest))
+        super().__setitem__(key, value)
+
+
+_SERVING_INDEXES: dict[tuple, object] = _BoundedServingCache()
 
 
 def _cached_lsh_index(spark: SparkSession, sf_dir: str, library: str) -> DataFrame:

@@ -985,3 +985,63 @@ class VectorEngine:
         return self.spark.createDataFrame(kept, result.schema.add(
             "autocut_rank", "integer"
         )).orderBy("autocut_rank")
+
+    def search_expanded(
+        self,
+        library_id: str,
+        query_text: str,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+        fb_k: int = 10,
+        n_expansion_terms: int = 5,
+    ) -> DataFrame:
+        """RM3 pseudo-relevance feedback through the library's keyword
+        index (requires index_type 'bm25' or 'hybrid'): pass 1 retrieves
+        the BM25 top-``fb_k`` feedback docs (filter-then-search applies),
+        expansion terms come from the FEEDBACK DOCS' POSTING ROWS
+        (`operators/bm25.py::rm3_expansion` — feedback-bounded index
+        reads, never a text re-tokenize), and pass 2 re-queries the
+        postings with the weighted expansion terms
+        (`operators/bm25.py::rm3_search`; the metadata filter restricts
+        candidates in BOTH passes while df stays corpus-level).  The
+        registry twin `rm3_expanded_search` oracle-checks the same
+        pipeline against DuckDB on the documents corpus.  Returns
+        (id, score), at most k rows."""
+        from vector_database_api_spark.operators.filters import (
+            apply_metadata_filters,
+        )
+
+        meta = self._index_meta(library_id)
+        if meta is None or meta[0] not in ("bm25", "hybrid"):
+            raise ValueError(
+                "search_expanded needs a built bm25 or hybrid index"
+            )
+        postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
+        k = self.config.clamp_k(k)
+        cand = None
+        if metadata_filters:
+            cand = apply_metadata_filters(
+                self.chunks(library_id), metadata_filters
+            ).select("id")
+        terms = bm25_mod.tokenize_query(query_text)
+        feedback = bm25_mod.bm25_search(
+            postings,
+            doclens,
+            n_docs,
+            avgdl,
+            terms,
+            k=fb_k,
+            candidate_ids=cand,
+        ).select("id")
+        expansion = bm25_mod.rm3_expansion(
+            postings, doclens, terms, feedback, n_terms=n_expansion_terms
+        )
+        return bm25_mod.rm3_search(
+            postings,
+            doclens,
+            n_docs,
+            avgdl,
+            expansion,
+            k=k,
+            candidate_ids=cand,
+        )
