@@ -183,6 +183,7 @@ HEADLINE = [
     "winnow_passage_lookup",
     "bm25_keyword_topk",
     "bm25_postings_topk",
+    "bm25_maxscore_topk",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

@@ -318,3 +318,29 @@ def test_maxp_matches_python_recomputation(spark, sf_dir):
     ] == [(d, s, h) for d, s, h, _ in want]
     for r, (_, _, _, sc) in zip(got, want):
         assert r["maxp"] == pytest.approx(sc, abs=1e-6)
+
+
+def test_maxscore_pruning_is_lossless_and_effective(spark, sf_dir):
+    """MaxScore == plain postings top-10 row-for-row (losslessness is
+    also hash-proven by the shared oracle), and on this corpus the
+    pruning threshold actually removes candidate docs: theta from the
+    rare term's top-10 exceeds the common-terms-only upper-bound sum,
+    so docs matching only common terms never reach full scoring."""
+    plain = q.spark_queries()["bm25_postings_topk"](spark, sf_dir).collect()
+    pruned = q.spark_queries()["bm25_maxscore_topk"](spark, sf_dir).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in plain]
+
+    ubs = q._cached_bm25_maxscores(spark, sf_dir).collect()[0]
+    ess = max(_BM25_TERMS, key=lambda t: ubs[f"ub_{t}"])
+    assert ess == "dup"  # the rare term dominates the bounds
+    # the non-essential bound sum is what a common-terms-only doc can
+    # reach; with >=10 essential docs theta sits above it -> pruning
+    # fires (sf0.001 has ~25 'dup' docs, so the guard holds at test SF)
+    piv = q._bm25_postings_pivoted(spark, sf_dir)
+    n_ess = piv.filter(f"tf_{ess} > 0").count()
+    if n_ess >= 10:
+        theta = min(r["bm25"] for r in plain[: 10]) if len(plain) >= 10 else None
+        common_ub = sum(
+            ubs[f"ub_{t}"] for t in _BM25_TERMS if t != ess
+        )
+        assert theta is None or theta > common_ub + 1e-6

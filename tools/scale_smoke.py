@@ -846,6 +846,121 @@ def main() -> None:
 
     results["maxp_passages_sec"], results["maxp_chunk_rows"] = timed(maxp_scaled)
 
+    def maxscore_pruned():
+        # MaxScore dynamic pruning at scale: with the corpus replicated,
+        # the rare term's top-10 theta rises above the common-terms-only
+        # bound sum, so the common-only doc mass (the overwhelming
+        # majority of hitting docs) never reaches full scoring — the
+        # pruned evaluation must agree with plain top-10 AND skip most
+        # candidates.
+        from vector_database_api_spark.queries import (
+            _BM25_SUM,
+            _BM25_TERMS,
+            _bm25_base,
+            _bm25_contrib_sql,
+            _bm25_stats,
+        )
+
+        base = _bm25_base(docs).persist()
+        base.count()
+        stats = base.sparkSession.createDataFrame(
+            [_bm25_stats(base).collect()[0]]
+        )
+        ubs = (
+            base.crossJoin(F.broadcast(stats))
+            .agg(
+                *[
+                    F.max(F.expr(_bm25_contrib_sql(t))).alias(f"ub_{t}")
+                    for t in _BM25_TERMS
+                ]
+            )
+            .collect()[0]
+        )
+        ess = max(_BM25_TERMS, key=lambda t: ubs[f"ub_{t}"])
+        scored = base.crossJoin(F.broadcast(stats)).withColumn(
+            "bm25", F.expr(_BM25_SUM)
+        )
+        theta = (
+            scored.filter(F.col(f"tf_{ess}") > 0)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .agg(F.min("bm25"))
+            .collect()[0][0]
+        )
+        hit_expr = " + ".join(f"tf_{t}" for t in _BM25_TERMS) + " > 0"
+        total = base.filter(hit_expr).count()
+        ub_sum = None
+        for t in _BM25_TERMS:
+            term_ub = F.when(
+                F.col(f"tf_{t}") > 0, F.lit(float(ubs[f"ub_{t}"]))
+            ).otherwise(F.lit(0.0))
+            ub_sum = term_ub if ub_sum is None else ub_sum + term_ub
+        survivors = (
+            base.withColumn("_ub", ub_sum)
+            .filter(F.col("_ub") >= F.lit(float(theta)) - F.lit(1e-6))
+            .filter(hit_expr)
+            .count()
+        )
+        pruned_top = (
+            scored.withColumn("_ub", ub_sum)
+            .filter(F.col("_ub") >= F.lit(float(theta)) - F.lit(1e-6))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        plain_top = (
+            scored.orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        base.unpersist()
+        assert [r[0] for r in pruned_top] == [r[0] for r in plain_top], (
+            "MaxScore pruning changed the top-10"
+        )
+        assert survivors < total * 0.2, (
+            f"pruning ineffective at scale: {survivors}/{total}"
+        )
+        return round(survivors / total, 4)
+
+    results["maxscore_prune_sec"], results["maxscore_survivor_frac"] = timed(
+        maxscore_pruned
+    )
+
+    def rm3_scaled():
+        # RM3 second pass against the postings artifact at scale: the
+        # 5-row expansion-term table broadcasts into the postings join,
+        # so only the expansion terms' posting lists are touched.
+        from vector_database_api_spark.operators.bm25 import (
+            bm25_search,
+            build_bm25_index,
+            rm3_expansion,
+            rm3_search,
+        )
+
+        postings, doclens, stats = build_bm25_index(docs, id_col="doc_id")
+        postings = postings.persist()
+        postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        row = stats.collect()[0]
+        terms = ["dup", "vector", "hash"]
+        fb = bm25_search(
+            postings, doclens, int(row["n_docs"]), float(row["avgdl"]),
+            terms, k=10,
+        ).select("id")
+        exp = rm3_expansion(postings, doclens, terms, fb)
+        out = rm3_search(
+            postings, doclens, int(row["n_docs"]), float(row["avgdl"]),
+            exp, k=10,
+        ).count()
+        postings.unpersist()
+        doclens.unpersist()
+        return out
+
+    results["rm3_expanded_sec"], _ = timed(rm3_scaled)
+
     print(
         json.dumps(
             {
