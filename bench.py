@@ -196,6 +196,8 @@ HEADLINE = [
     "rm3_expansion_terms",
     "rm3_expanded_search",
     "fuzzy_term_match",
+    "collapsed_topk_by_near_dup",
+    "proximity_boosted_topk",
 ]
 
 

@@ -213,3 +213,59 @@ def test_fuzzy_scores_descend(spark, sf_dir):
     rows = q.spark_queries()["fuzzy_term_match"](spark, sf_dir).collect()
     keys = [(-r["jac"], -r["df"], r["term"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# near-dup-collapsed results + proximity boost
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_collapse_one_per_component(spark, sf_dir):
+    rows = q.spark_queries()["collapsed_topk_by_near_dup"](
+        spark, sf_dir
+    ).collect()
+    assert 0 < len(rows) <= 10
+    comps = [r["component"] for r in rows]
+    assert len(comps) == len(set(comps))  # at most one doc per cluster
+    # each kept doc is the best-scoring member of its cluster within the
+    # retrieval window (smallest doc_id on score ties)
+    top50 = q._bm25_scored(spark, sf_dir).orderBy(
+        F.desc("bm25"), "doc_id"
+    ).limit(50).collect()
+    comp_map = {
+        r["id"]: r["component"]
+        for r in q._cached_simhash_components(spark, sf_dir).collect()
+    }
+    by_comp = {}
+    for r in top50:
+        c = comp_map.get(r["doc_id"], r["doc_id"])
+        cur = by_comp.get(c)
+        if cur is None or (r["bm25"], -r["doc_id"]) > (cur[1], -cur[0]):
+            by_comp[c] = (r["doc_id"], r["bm25"])
+    for r in rows:
+        assert by_comp[r["component"]][0] == r["doc_id"]
+
+
+def test_proximity_boost_semantics(spark, sf_dir):
+    from vector_database_api_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"] is not None
+    }
+    rows = q.spark_queries()["proximity_boosted_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        toks = texts[r["doc_id"]].lower().split(" ")
+        pa = [i for i, t in enumerate(toks) if t == "vector"]
+        pb = [i for i, t in enumerate(toks) if t == "hash"]
+        if pa and pb:
+            dmin = min(abs(x - y) for x in pa for y in pb)
+            assert r["prox"] == pytest.approx(1.0 / (1.0 + dmin), abs=1e-6)
+        else:
+            assert r["prox"] == 0.0
+        assert r["score"] == pytest.approx(r["bm25"] + r["prox"], abs=2e-6)
+    # ranking is by the boosted total
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

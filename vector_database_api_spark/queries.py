@@ -9507,3 +9507,153 @@ def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+_NEARDUP_COLLAPSE_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+comp AS ({dedup_mod.duck_connected_components_sql(
+    dedup_mod.duck_simhash_near_dup_sql(max_hamming=3)
+)}),
+top50 AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50),
+tagged AS (
+  SELECT t.doc_id, t.bm25, coalesce(c.component, t.doc_id) AS component
+  FROM top50 t LEFT JOIN comp c ON c.id = t.doc_id
+),
+best AS (
+  SELECT doc_id, bm25, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY bm25 DESC, doc_id) AS rn
+  FROM tagged
+)
+SELECT doc_id, component, bm25 FROM best WHERE rn = 1
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("collapsed_topk_by_near_dup", _NEARDUP_COLLAPSE_ORACLE)
+def collapsed_topk_by_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deduplicated search results: the BM25 top-10 with at most
+    ONE doc per NEAR-DUP CLUSTER (the "omit very similar results" rule
+    every web engine applies) — composing the retrieval family with the
+    dedup family: the SimHash pair graph's connected components (the
+    cached clustering artifact `near_dup_components` serves) tag the
+    retrieval window, and each cluster keeps its best-scoring doc.
+    Plan: the corpus-sized work is the scoring scan ->
+    TakeOrderedAndProject(50); the 50-row window broadcasts against the
+    (tiny) component map; the keep decision is a COMBINABLE
+    max_by(struct) aggregate per component — NOT a window — so the same
+    operator applied corpus-wide (dedup-at-index-time) cannot serialize
+    a giant duplicate cluster onto one task (the keep-first family
+    rule, operators/dedup.py).  max_by orders by (bm25, -doc_id), so
+    ties keep the smallest doc_id — matching the oracle's row_number
+    ordering."""
+    top50 = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+        .select("doc_id", "bm25")
+    )
+    comp = _cached_simhash_components(spark, sf_dir)
+    tagged = (
+        F.broadcast(top50)
+        .join(comp, top50.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    best = tagged.groupBy("component").agg(
+        F.max_by(
+            F.struct("doc_id", "bm25"),
+            F.struct(F.col("bm25"), (-F.col("doc_id")).alias("nd")),
+        ).alias("b")
+    )
+    return (
+        best.select(F.col("b.doc_id").alias("doc_id"), "component", F.col("b.bm25").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+_PROX_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents WHERE text IS NOT NULL
+),
+a AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+prox AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS dmin
+  FROM a JOIN b ON a.doc_id = b.doc_id
+  GROUP BY a.doc_id
+),
+boosted AS (
+  SELECT s.doc_id, s.bm25,
+         CASE WHEN p.dmin IS NULL THEN 0.0
+              ELSE 1.0 / (1.0 + CAST(p.dmin AS DOUBLE)) END AS prox,
+         s.bm25 + CASE WHEN p.dmin IS NULL THEN 0.0
+              ELSE 1.0 / (1.0 + CAST(p.dmin AS DOUBLE)) END AS total
+  FROM scored s LEFT JOIN prox p ON p.doc_id = s.doc_id
+)
+SELECT doc_id, bm25, round(prox, 6) AS prox, round(total, 6) AS score
+FROM boosted
+ORDER BY total DESC, doc_id LIMIT 10
+"""
+
+
+@register("proximity_boosted_topk", _PROX_ORACLE)
+def proximity_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted ranking (the unordered-window term-dependence
+    feature of Metzler & Croft's sequential dependence model; "words
+    near each other matter more" — the next step beyond bag-of-words
+    BM25, below full phrase match): score = BM25 + 1/(1 + min token
+    distance between 'vector' and 'hash'), docs containing only one of
+    the pair keep their plain BM25.  Plan: the proximity feature reads
+    ONLY the two terms' positional postings (the filter runs in the
+    scan stage, the phrase-search shape), the min-distance join is
+    keyed by doc_id with per-doc work bounded by tf('vector') x
+    tf('hash'), and the boost joins the scoring scan on doc_id.  The
+    boost arithmetic starts from the 6-rounded bm25 both engines share
+    plus an exact 1/(1+d) double, so the combined ordering is
+    bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ", -1)).alias("pos0", "term"),
+    )
+    a = toks.filter(F.col("term") == "vector").select(
+        "doc_id", F.col("pos0").alias("pa")
+    )
+    b = toks.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos0").alias("pb")
+    )
+    prox = (
+        a.join(b, F.col("doc_id") == F.col("doc_id_b"))
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("dmin"))
+    )
+    boosted = (
+        _bm25_scored(spark, sf_dir)
+        .join(prox, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.when(F.col("dmin").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / (F.lit(1.0) + F.col("dmin").cast("double")))
+            .alias("prox_raw"),
+        )
+        .withColumn("total", F.col("bm25") + F.col("prox_raw"))
+    )
+    return (
+        boosted.orderBy(F.desc("total"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "bm25",
+            F.round("prox_raw", 6).alias("prox"),
+            F.round("total", 6).alias("score"),
+        )
+    )
