@@ -198,6 +198,7 @@ HEADLINE = [
     "fuzzy_term_match",
     "collapsed_topk_by_near_dup",
     "proximity_boosted_topk",
+    "bm25_keyword_page2",
 ]
 
 

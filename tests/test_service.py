@@ -610,3 +610,43 @@ def test_search_expanded_requires_text_index(engine):
     engine.index_library("libA", "lsh")
     with pytest.raises(ValueError, match="bm25 or hybrid"):
         engine.search_expanded("libA", query_text="python document")
+
+
+def test_search_after_paginates_brute_force(engine):
+    """Two keyset pages == the top-2k in one shot, rank-exact, no overlap."""
+    qt = "python document number 0 about python"
+    page1 = engine.search("libA", query_text=qt, k=5).collect()
+    last = page1[-1]
+    page2 = engine.search_after(
+        "libA",
+        after_score=last["similarity"],
+        after_id=last["id"],
+        query_text=qt,
+        k=5,
+    ).collect()
+    both = engine.search("libA", query_text=qt, k=10).collect()
+    assert [r["id"] for r in page1 + page2] == [r["id"] for r in both]
+    assert not {r["id"] for r in page1} & {r["id"] for r in page2}
+
+
+def test_search_after_paginates_bm25(engine):
+    engine.index_library("libA", "bm25")
+    page1 = engine.search("libA", query_text="python document", k=3).collect()
+    last = page1[-1]
+    page2 = engine.search_after(
+        "libA",
+        after_score=last["score"],
+        after_id=last["id"],
+        query_text="python document",
+        k=3,
+    ).collect()
+    both = engine.search("libA", query_text="python document", k=6).collect()
+    assert [r["id"] for r in page1 + page2] == [r["id"] for r in both]
+
+
+def test_search_after_rejects_ann_paths(engine):
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="search_after supports"):
+        engine.search_after(
+            "libA", after_score=0.5, after_id="c00", query_text="x"
+        )

@@ -93,8 +93,13 @@ def bm25_search(
     candidate_ids: DataFrame | None = None,
     k1: float = K1,
     b: float = B,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Top-k (id, score) for ``query_terms`` against the index.
+
+    ``after`` = (score, id) keyset cursor: only docs STRICTLY after that
+    position in (score DESC, id ASC) order are returned — page N costs
+    the same posting reads + TakeOrderedAndProject as page 1.
 
     ``candidate_ids`` (one ``id`` column) is the filter-then-search
     hook: when given, only those docs can score — but per-term df is
@@ -120,15 +125,23 @@ def bm25_search(
         * (k1 + 1.0)
         / (tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / float(avgdl))))
     )
-    return (
+    scored = (
         hits.join(F.broadcast(df_t), "term")
         .join(doclens, "id")
         .select("id", contrib.alias("contrib"))
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.desc("score"), "id")
-        .limit(int(k))
     )
+    if after is not None:
+        a_score, a_id = after
+        scored = scored.filter(
+            (F.col("score") < F.lit(float(a_score)))
+            | (
+                (F.col("score") == F.lit(float(a_score)))
+                & (F.col("id") > F.lit(a_id))
+            )
+        )
+    return scored.orderBy(F.desc("score"), "id").limit(int(k))
 
 
 def rrf_fuse(

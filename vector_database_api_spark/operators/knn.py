@@ -52,6 +52,7 @@ def knn_brute_force(
     metric: str = "cosine",
     library_id: str | None = None,
     metadata_filters: dict[str, Any] | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Top-k rows of ``chunks`` nearest to the single row of ``query``.
 
@@ -59,6 +60,13 @@ def knn_brute_force(
     broadcast, so the big side never shuffles.  Returns the chunk id plus
     ``similarity`` and ``distance`` columns (reference SearchResult shape,
     models.py:123-128).
+
+    ``after`` = (score, id) keyset cursor: only rows STRICTLY after that
+    position in the ranking order are returned (score must be the exact
+    double a previous page returned; cosine pages on similarity,
+    euclidean on distance).  The filter runs before the top-k, so page N
+    costs the same single scan + TakeOrderedAndProject as page 1 — O(k),
+    not the O(N*k) of OFFSET deep paging.
     """
     scoped = library_scope(chunks, library_id)
     scoped = apply_metadata_filters(scoped, metadata_filters)
@@ -93,6 +101,24 @@ def knn_brute_force(
     )
     scored = staged.select(F.col(id_col), sim, F.col("distance"))
 
+    if after is not None:
+        a_score, a_id = after
+        if metric == "cosine":
+            scored = scored.filter(
+                (F.col("similarity") < F.lit(float(a_score)))
+                | (
+                    (F.col("similarity") == F.lit(float(a_score)))
+                    & (F.col(id_col) > F.lit(a_id))
+                )
+            )
+        else:
+            scored = scored.filter(
+                (F.col("distance") > F.lit(float(a_score)))
+                | (
+                    (F.col("distance") == F.lit(float(a_score)))
+                    & (F.col(id_col) > F.lit(a_id))
+                )
+            )
     if metric == "cosine":
         ordered = scored.orderBy(F.desc("similarity"), F.col(id_col))
     elif metric == "euclidean":

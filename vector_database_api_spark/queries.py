@@ -9657,3 +9657,51 @@ def proximity_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 6).alias("score"),
         )
     )
+
+
+_BM25_PAGE2_ORACLE = f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 10 OFFSET 10
+"""
+
+
+@register("bm25_keyword_page2", _BM25_PAGE2_ORACLE)
+def bm25_keyword_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination, page 2 of the BM25 ranking — hash-proven
+    equivalent to OFFSET paging (the oracle is literally
+    `LIMIT 10 OFFSET 10`) while costing O(k) instead of O(page*k): the
+    cursor (page 1's last (bm25, doc_id)) is derived in-plan as a 1-row
+    frame and broadcast into a strictly-after filter on the SAME
+    single-scan scoring plan, so page N is one scan +
+    TakeOrderedAndProject exactly like page 1 — deep OFFSET paging at
+    100 TB re-sorts and skips page*k rows per request and is the
+    classic serving anti-pattern keyset cursors exist to kill
+    (`service.py::search_after` serves the same contract on the bm25
+    and brute-force dispatch paths).  The boundary comparison uses the
+    6-rounded bm25 both engines share, so the page split is
+    bit-identical."""
+    scored = _bm25_scored(spark, sf_dir)
+    boundary = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+        .orderBy(F.asc("bm25"), F.desc("doc_id"))
+        .limit(1)
+        .select(
+            F.col("bm25").alias("b_score"), F.col("doc_id").alias("b_id")
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(boundary))
+        .filter(
+            (F.col("bm25") < F.col("b_score"))
+            | (
+                (F.col("bm25") == F.col("b_score"))
+                & (F.col("doc_id") > F.col("b_id"))
+            )
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "bm25")
+    )

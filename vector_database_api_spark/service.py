@@ -1045,3 +1045,76 @@ class VectorEngine:
             k=k,
             candidate_ids=cand,
         )
+
+    def search_after(
+        self,
+        library_id: str,
+        after_score: float,
+        after_id: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Keyset-paginated search: the next k results STRICTLY after the
+        cursor (after_score, after_id) — the exact score+id the previous
+        page returned.  Page N costs the same scan/posting reads +
+        top-k as page 1 (the cursor filter composes BEFORE the top-k),
+        unlike OFFSET paging whose cost grows with page depth.
+        Supported on the bm25 index path (cursor on the BM25 score) and
+        the brute-force path (cursor on cosine similarity); the
+        ANN-index paths intentionally do not paginate — their candidate
+        sets are probe-bounded, so "page 2" would need a wider probe,
+        not a cursor (raise rather than silently return wrong pages).
+        The registry twin `bm25_keyword_page2` hash-proves keyset ==
+        OFFSET paging against DuckDB."""
+        meta = self._index_meta(library_id)
+        kind = meta[0] if meta is not None else None
+        k = self.config.clamp_k(k)
+        chunks = self.chunks(library_id)
+        if kind == "bm25":
+            if query_text is None:
+                raise ValueError("a bm25 index searches by query_text")
+            from vector_database_api_spark.operators.filters import (
+                apply_metadata_filters,
+            )
+
+            postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
+            cand = None
+            if metadata_filters:
+                cand = apply_metadata_filters(chunks, metadata_filters).select(
+                    "id"
+                )
+            return bm25_mod.bm25_search(
+                postings,
+                doclens,
+                n_docs,
+                avgdl,
+                bm25_mod.tokenize_query(query_text),
+                k=k,
+                candidate_ids=cand,
+                after=(after_score, after_id),
+            )
+        if kind is None:
+            if query_embedding is None:
+                if query_text is None:
+                    raise ValueError("query must have text or embedding")
+                query_embedding = [
+                    float(x)
+                    for x in text_to_vector(
+                        query_text, self.config.embedding_dim
+                    )
+                ]
+            query = self.spark.createDataFrame(
+                [(query_embedding,)], "query_embedding array<float>"
+            )
+            return knn_brute_force(
+                chunks,
+                query,
+                k=k,
+                metadata_filters=metadata_filters,
+                after=(after_score, after_id),
+            )
+        raise ValueError(
+            f"search_after supports bm25/brute-force paths, not '{kind}'"
+        )
