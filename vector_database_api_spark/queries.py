@@ -9174,35 +9174,32 @@ def _rm3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight wt = sum over the BM25 top-{_RM3_FB_K} feedback docs of
     tf(term, doc) / dl(doc), original query terms and sub-3-char tokens
     excluded, terms in fewer than 2 feedback docs dropped.  Corpus-sized
-    work is the feedback retrieval itself; term extraction explodes only
-    the {_RM3_FB_K} feedback documents (a broadcast semi-join restricts
-    the scan), so the expansion stage is feedback-bounded, not
-    corpus-bounded."""
+    work is the feedback retrieval itself; term stats then come from the
+    POSTINGS ARTIFACT probed by the broadcast 10-row feedback id set —
+    feedback-bounded index reads, never a text re-tokenize (the oracle
+    derives the same numbers from raw text; postings are the
+    explode-and-count of the identical token stream, so the weights are
+    bit-equal)."""
     fb = (
         _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_RM3_FB_K)
         .select("doc_id", "dl")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fbt = (
-        F.broadcast(fb)
-        .join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "dl",
-            F.explode(F.split(F.lower("text"), " ", -1)).alias("term"),
-        )
-    )
-    tf = (
-        fbt.filter(
-            (F.length("term") >= 3) & (~F.col("term").isin(list(_BM25_TERMS)))
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # term stats come from the POSTINGS ARTIFACT, not a text re-tokenize:
+    # postings (term, id, tf) is the explode-and-count of the same token
+    # stream (operators/bm25.py::build_bm25_index), so tf/dl per feedback
+    # doc is identical to the oracle's text-derived CTE — one artifact
+    # probe instead of a second corpus scan (measured: the re-tokenize
+    # made rm3_expanded_search the suite's bench max at sf0.1)
+    postings, _doclens = _cached_bm25_postings(spark, sf_dir)
+    fb_post = postings.join(
+        F.broadcast(fb.withColumnRenamed("doc_id", "id")), "id"
+    ).filter(
+        (F.length("term") >= 3) & (~F.col("term").isin(list(_BM25_TERMS)))
     )
     return (
-        tf.groupBy("term")
+        fb_post.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("fb_df"),
             F.sum(
@@ -9284,7 +9281,12 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, doclens = _cached_bm25_postings(spark, sf_dir)
     stats = _cached_bm25_stats(spark, sf_dir)
     hits = postings.join(F.broadcast(exp), "term")
-    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # per-term df from the VOCAB artifact (the distinct-term projection
+    # of the same postings), identical to counting the hits rows per
+    # term but with zero aggregation at query time
+    dfs = _cached_vocab(spark, sf_dir).select(
+        "term", F.col("df").alias("df_t")
+    )
     contrib = (
         hits.join(F.broadcast(dfs), "term")
         .join(doclens, "id")
