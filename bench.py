@@ -199,6 +199,7 @@ HEADLINE = [
     "collapsed_topk_by_near_dup",
     "proximity_boosted_topk",
     "bm25_keyword_page2",
+    "bm25_conjunctive_topk",
 ]
 
 

@@ -9707,3 +9707,34 @@ def bm25_keyword_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "bm25")
     )
+
+
+_BM25_AND_ORACLE = f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, bm25
+FROM scored
+WHERE {" AND ".join(f"tf_{t} > 0" for t in _BM25_TERMS)}
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_conjunctive_topk", _BM25_AND_ORACLE)
+def bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword retrieval: only docs containing EVERY
+    query term rank — the operator="and" mode all keyword engines expose
+    next to the default OR semantics (`bm25_keyword_topk`); scores are
+    the same BM25 doubles, the candidate set is the intersection of the
+    terms' posting lists.  Plan: the same zero-shuffle scoring scan with
+    the all-terms predicate pushed into the scan stage — at 100 TB a
+    postings-path AND intersects the shortest list first (the rare
+    term's ~5% list bounds the candidates), which is exactly what the
+    pivoted postings form gives for free: hitting docs missing any term
+    are filtered before scoring."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .filter(
+            F.expr(" AND ".join(f"tf_{t} > 0" for t in _BM25_TERMS))
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
