@@ -346,3 +346,52 @@ def test_fusion_leg_plans_are_topk_and_python_free(spark, sf_dir):
             assert a["take_ordered_topk"], (name, leg)
             assert a["row_python_udfs"] == 0, (name, leg)
             assert a["window_partition_keys"] == set(), (name, leg)
+
+
+def test_hint_gate_catches_dropped_broadcast(spark):
+    """Plant the r6 defect class — F.broadcast on the row-preserving
+    LEFT side of a left outer join (an unsupported build side, so Spark
+    silently drops the hint and logs a HintErrorLogger WARN) — and
+    assert capture_hint_errors turns that silent fallback into a
+    mechanical failure."""
+    from pyspark.sql import functions as F
+
+    from vector_database_api_spark.plans.audit import capture_hint_errors
+
+    small = spark.range(10).withColumnRenamed("id", "x")
+    big = spark.range(1000).withColumnRenamed("id", "y")
+    with capture_hint_errors(spark) as errs:
+        bad = F.broadcast(small).join(big, small.x == big.y, "left")
+        explain_str(bad)
+    assert any("not supported" in m for m in errs), errs
+
+
+def test_hint_gate_clean_on_supported_broadcast(spark):
+    """The legal shape — broadcast on the BUILD side (right of a left
+    outer join) — must pass the gate AND actually plan as a broadcast
+    join (no silent drop, no false positive)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_api_spark.plans.audit import capture_hint_errors
+
+    probe = spark.range(10).withColumnRenamed("id", "x")
+    dim = spark.range(1000).withColumnRenamed("id", "y").limit(5)
+    with capture_hint_errors(spark) as errs:
+        good = probe.join(F.broadcast(dim), probe.x == dim.y, "left")
+        plan = explain_str(good)
+    assert errs == [], errs
+    assert "Broadcast" in plan
+
+
+def test_collapsed_topk_plan_build_is_hint_clean(spark, sf_dir):
+    """The fixed collapsed_topk_by_near_dup (r6 verdict task 1) must
+    build — including its collected top-50 leg — without any dropped
+    hint, and the served join must be a BroadcastHashJoin building on
+    the pruned components side."""
+    from vector_database_api_spark.plans.audit import capture_hint_errors
+
+    with capture_hint_errors(spark) as errs:
+        df = q.spark_queries()["collapsed_topk_by_near_dup"](spark, sf_dir)
+        plan = explain_str(df)
+    assert errs == [], errs
+    assert "BroadcastHashJoin" in plan

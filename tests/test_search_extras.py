@@ -269,3 +269,31 @@ def test_proximity_boost_semantics(spark, sf_dir):
     # ranking is by the boosted total
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_snippet_terms_with_quotes_and_empty_terms(spark):
+    """r6 ADVICE (medium): terms are user-supplied — a quote/backslash
+    term must highlight, not raise ParseException (terms were string-
+    interpolated into F.expr), and empty terms must short-circuit to
+    snip_hits=0 instead of producing invalid ``x IN ()``."""
+    from vector_database_api_spark.operators.presentation import best_snippet
+
+    hits = spark.createDataFrame(
+        [(1, "meet o'brien and the back\\slash crew today")],
+        "id int, text string",
+    )
+    out = best_snippet(hits, ["o'brien", "back\\slash"], 5, "id").collect()
+    assert len(out) == 1
+    assert out[0]["snip_hits"] == 2
+    assert "o'brien" in out[0]["snippet"]
+
+    # SQL injection attempt rides along as an inert literal
+    inj = best_snippet(
+        hits, ["')) FROM x; DROP TABLE y; --"], 3, "id"
+    ).collect()
+    assert inj[0]["snip_hits"] == 0
+
+    empty = best_snippet(hits, [], 3, "id").collect()
+    assert len(empty) == 1
+    assert empty[0]["snip_hits"] == 0
+    assert empty[0]["snip_start"] == 1

@@ -650,3 +650,122 @@ def test_search_after_rejects_ann_paths(engine):
         engine.search_after(
             "libA", after_score=0.5, after_id="c00", query_text="x"
         )
+
+
+def test_search_after_applies_similarity_threshold(engine):
+    """r6 ADVICE: page 2 must honor the same F7 threshold contract as
+    page 1 — a configured threshold can never resurface rows on page 2
+    that page 1's contract filtered out.  Checked on both search_after
+    paths (brute-force cursor on similarity, bm25 cursor on score)."""
+    qt = "python document number 0 about python"
+    page1 = engine.search("libA", query_text=qt, k=3).collect()
+    last = page1[-1]
+    unfiltered = engine.search_after(
+        "libA", after_score=last["similarity"], after_id=last["id"],
+        query_text=qt, k=5,
+    ).collect()
+    assert unfiltered
+    cut = (unfiltered[0]["similarity"] + unfiltered[-1]["similarity"]) / 2
+    got = engine.search_after(
+        "libA", after_score=last["similarity"], after_id=last["id"],
+        query_text=qt, k=5, similarity_threshold=cut,
+    ).collect()
+    assert len(got) < len(unfiltered)
+    assert all(r["similarity"] >= cut for r in got)
+    # impossible threshold -> empty page
+    assert not engine.search_after(
+        "libA", after_score=last["similarity"], after_id=last["id"],
+        query_text=qt, k=5, similarity_threshold=2.0,
+    ).collect()
+
+    engine.index_library("libA", "bm25")
+    kp1 = engine.search("libA", query_text="python document", k=3).collect()
+    klast = kp1[-1]
+    kw = engine.search_after(
+        "libA", after_score=klast["score"], after_id=klast["id"],
+        query_text="python document", k=3,
+    ).collect()
+    assert kw
+    kcut = kw[0]["score"] + 1.0  # above every page-2 score
+    assert not engine.search_after(
+        "libA", after_score=klast["score"], after_id=klast["id"],
+        query_text="python document", k=3, similarity_threshold=kcut,
+    ).collect()
+
+
+def test_search_autocut_does_not_mutate_result_schema(engine):
+    """r6 ADVICE: StructType.add mutates in place — search_autocut must
+    build a FRESH schema, leaving the dispatched search's schema object
+    without a phantom autocut_rank field."""
+    qt = "python document number 0 about python"
+    result = engine.search("libA", query_text=qt, k=5)
+    before = [f.name for f in result.schema.fields]
+    got = engine.search_autocut("libA", query_text=qt, k=5).collect()
+    assert got and got[0]["autocut_rank"] == 1
+    # schema captured from an equivalent dispatch is untouched
+    again = engine.search("libA", query_text=qt, k=5)
+    assert [f.name for f in again.schema.fields] == before
+    assert "autocut_rank" not in [f.name for f in again.schema.fields]
+
+
+def test_search_mode_maxscore_equals_or_and_mode_and_is_conjunctive(engine):
+    """r6 verdict task 5: MaxScore and conjunctive retrieval served
+    through VectorEngine.search.  maxscore is dynamic PRUNING — results
+    must equal mode="or" exactly (id-exact, score to FP-sum tolerance:
+    both paths sum the same per-term contributions, registry twin
+    bm25_maxscore_topk hash-proves the algorithm); mode="and" keeps
+    exactly the mode="or"-reachable docs containing EVERY query term,
+    with identical scores (registry twin bm25_conjunctive_topk)."""
+    engine.index_library("libA", "bm25")
+    qt = "python document"
+    plain = engine.search("libA", query_text=qt, k=8).collect()
+    assert plain
+
+    pruned = engine.search("libA", query_text=qt, k=8, mode="maxscore").collect()
+    assert [r["id"] for r in pruned] == [r["id"] for r in plain]
+    for a, b in zip(pruned, plain):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+    conj = engine.search("libA", query_text=qt, k=8, mode="and").collect()
+    assert conj
+    texts = {
+        r["id"]: r["text"].lower().split(" ")
+        for r in engine.chunks("libA").collect()
+        if r["text"] is not None
+    }
+    terms = set(qt.split(" "))
+    for r in conj:
+        assert terms <= set(texts[r["id"]]), r["id"]
+    # conjunctive == the or-ranked list restricted to all-terms docs
+    or_scores = {r["id"]: r["score"] for r in plain}
+    for r in conj:
+        if r["id"] in or_scores:
+            assert abs(r["score"] - or_scores[r["id"]]) < 1e-9
+    # a term missing from the corpus empties the conjunction but not the
+    # disjunction
+    assert not engine.search(
+        "libA", query_text="python zzzmissingterm", k=8, mode="and"
+    ).collect()
+    assert engine.search(
+        "libA", query_text="python zzzmissingterm", k=8, mode="or"
+    ).collect()
+
+    # filter-then-search composes with both modes
+    f_or = engine.search(
+        "libA", query_text=qt, k=8, metadata_filters={"topic": "ml"}
+    ).collect()
+    f_ms = engine.search(
+        "libA", query_text=qt, k=8, metadata_filters={"topic": "ml"},
+        mode="maxscore",
+    ).collect()
+    assert [r["id"] for r in f_ms] == [r["id"] for r in f_or]
+
+
+def test_search_mode_validation(engine):
+    with pytest.raises(ValueError, match="mode must be"):
+        engine.search("libA", query_text="x", mode="nope")
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="needs a built bm25 index"):
+        engine.search("libA", query_text="x", mode="maxscore")
+    with pytest.raises(ValueError, match="needs a built bm25 index"):
+        engine.search("libA", query_text="x", mode="and")

@@ -86,3 +86,18 @@ def test_unpersist_artifacts_handles_tuples_and_index_objects(spark):
     # non-DataFrame entries are ignored without error
     _unpersist_artifacts(42)
     _unpersist_artifacts(None)
+
+
+def test_unpersist_artifacts_sweeps_all_dataframe_attributes(spark):
+    """r6 ADVICE regression: a PQIndex-shaped entry persists codes_df
+    (not index_df) — eviction must free EVERY DataFrame-valued attribute
+    of a cached index object, or eviction leaks its blocks."""
+    from vector_database_api_spark.operators.pq import PQIndex
+
+    codes = spark.range(4).persist()
+    codes.count()
+    idx = PQIndex.__new__(PQIndex)  # attribute shape only
+    idx.codes_df = codes
+    idx.codebooks = {0: [[0.0]]}
+    _unpersist_artifacts(idx)
+    assert not _cached(codes)

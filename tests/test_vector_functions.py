@@ -84,3 +84,30 @@ def test_dim_mismatch_yields_null_not_garbage(spark):
         euclidean_distance("a", "b").alias("e"),
     ).collect()[0]
     assert row["d"] is None and row["c"] is None and row["e"] is None
+
+
+def test_md5_embedder_matches_duckdb_bit_exact():
+    """functions/embedding.py::md5_text_to_vector vs the DuckDB CTE twin
+    (duck_md5_embed_cte) — bit-exact on ASCII, unicode, empty, and NULL
+    text, so the embed_texts_deterministic oracle rests on proven
+    per-row parity, not just the aggregated round-6 hash."""
+    import duckdb
+
+    from vector_database_api_spark.functions import embedding as emb
+
+    texts = ["hello world", "naïve café — 試験", "", None, "O'Brien \\ quote"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(i, text)",
+        texts,
+    )
+    rows = con.execute(
+        f"WITH {emb.duck_md5_embed_cte('t', 'text')} "
+        f"SELECT i, {', '.join(f'nc{j}' for j in range(emb.MD5_DIM))} "
+        "FROM emb ORDER BY i"
+    ).fetchall()
+    for i, text in enumerate(texts):
+        expected = emb.md5_text_to_vector(text)
+        assert list(rows[i][1:]) == expected, (text, rows[i][1:], expected)

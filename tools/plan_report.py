@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 from bench import HEADLINE
 from vector_database_api_spark import queries as q
-from vector_database_api_spark.plans.audit import audit_plan
+from vector_database_api_spark.plans.audit import audit_plan, capture_hint_errors
 from vector_database_api_spark.session import get_spark
 
 # Python evaluation is the slow path; these are the deliberate,
@@ -78,8 +78,16 @@ def main() -> None:
         for leg, fn in q.AUDIT_SUBPLANS.get(name, {}).items():
             audit_targets.append((f"{name}:{leg}", fn))
     for name, build in audit_targets:
-        df = build(spark, sf_dir)
-        a = audit_plan(df)
+        # any HintErrorLogger warning during build+plan means a join
+        # hint was SILENTLY dropped (e.g. broadcast on an unsupported
+        # build side) — the r6 defect class; hard-fail it here
+        with capture_hint_errors(spark) as hint_errors:
+            df = build(spark, sf_dir)
+            a = audit_plan(df)
+        if hint_errors:
+            violations.append(
+                (name, [f"dropped-hint:{m}" for m in hint_errors])
+            )
         py = sorted(n.lower() for n in a["python_udf_names"])
         unexpected = [n for n in py if not any(al in n for al in ALLOWED_PYTHON)]
         if unexpected:
@@ -131,12 +139,15 @@ def main() -> None:
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
         if violations:
-            f.write("\n**VIOLATIONS (unexpected Python / unbounded window key):** ")
+            f.write(
+                "\n**VIOLATIONS (unexpected Python / unbounded window "
+                "key / dropped join hint):** "
+            )
             f.write("; ".join(f"{n}: {u}" for n, u in violations) + "\n")
     print(
         f"wrote PLANS_AUDIT.md: {len(rows)} queries, "
         f"{sum(1 for r in rows if r[1] == 'topk')} top-k plans, "
-        f"{len(violations)} python violations"
+        f"{len(violations)} violations"
     )
     if violations:
         sys.exit(1)

@@ -961,6 +961,167 @@ def main() -> None:
 
     results["rm3_expanded_sec"], _ = timed(rm3_scaled)
 
+    # round-7 serving extras (r6 verdict task 4): the queries whose
+    # 100 TB claims rest on artifact-probe plans, each verified with one
+    # order-of-magnitude datapoint + its headline invariant.
+
+    def maxscore_served():
+        # the SERVED MaxScore path (operators/bm25.py::bm25_maxscore_search,
+        # arbitrary terms) at 500k docs: must agree with plain bm25_search
+        # id-for-id (lossless pruning) on a rare+common term mix.
+        from vector_database_api_spark.operators import bm25 as B
+
+        postings, doclens, stats = B.build_bm25_index(docs, id_col="doc_id")
+        postings = postings.persist()
+        postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        row = stats.collect()[0]
+        terms = ["dup", "vector", "hash"]
+        plain = B.bm25_search(
+            postings, doclens, int(row["n_docs"]), float(row["avgdl"]),
+            terms, k=10,
+        ).collect()
+        pruned = B.bm25_maxscore_search(
+            postings, doclens, int(row["n_docs"]), float(row["avgdl"]),
+            terms, k=10,
+        ).collect()
+        postings.unpersist()
+        doclens.unpersist()
+        assert [r["id"] for r in pruned] == [r["id"] for r in plain], (
+            "served MaxScore changed the top-10 at scale"
+        )
+        return len(pruned)
+
+    results["maxscore_served_sec"], _ = timed(maxscore_served)
+
+    def collapsed_topk_scaled():
+        # collapsed_topk_by_near_dup's r7 plan at 500k docs + a 500k-row
+        # components artifact: the corpus-sized work is ONE scoring scan
+        # (top-50 collect); the artifact is probed with a 50-key IN
+        # filter and the probe result broadcasts — the plan must contain
+        # no sort-merge join (the r6 dropped-hint failure mode was a
+        # full shuffle of the corpus-growing artifact).
+        from vector_database_api_spark.queries import _bm25_scored_docs
+
+        comp = docs.select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") - F.col("doc_id") % 7).alias("component"),
+        ).persist()
+        comp.count()
+        rows = (
+            _bm25_scored_docs(docs)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(50)
+            .select("doc_id", "bm25")
+            .collect()
+        )
+        top50 = spark.createDataFrame(rows, "doc_id: bigint, bm25: double")
+        pruned = comp.filter(F.col("id").isin([r["doc_id"] for r in rows]))
+        tagged = top50.join(
+            F.broadcast(pruned), top50.doc_id == pruned.id, "left"
+        ).select(
+            "doc_id", "bm25", F.coalesce("component", "doc_id").alias("component")
+        )
+        best = tagged.groupBy("component").agg(
+            F.max_by(
+                F.struct("doc_id", "bm25"),
+                F.struct(F.col("bm25"), (-F.col("doc_id")).alias("nd")),
+            ).alias("b")
+        )
+        out = (
+            best.select(
+                F.col("b.doc_id").alias("doc_id"), "component",
+                F.col("b.bm25").alias("bm25"),
+            )
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+        )
+        assert "SortMergeJoin" not in _plan_text(out), (
+            "collapsed-topk probe regressed to a shuffle join of the artifact"
+        )
+        n = out.count()
+        comp.unpersist()
+        assert n == 10
+        return n
+
+    results["collapsed_topk_sec"], _ = timed(collapsed_topk_scaled)
+
+    # winnow passage lookup: build the fingerprint artifact over the
+    # unique-tail corpus + ONE planted needle doc (untimed — artifact
+    # builds are the index-build cost, measured by viral_winnow above),
+    # then time the PROBE: passage fingerprints broadcast against the
+    # artifact, verify `contains` on candidates only.  The invariant:
+    # the planted doc is found, at probe cost independent of corpus size.
+    from vector_database_api_spark.functions import text as T
+
+    needle = (
+        "winnow probe target sentence alpha beta gamma delta epsilon "
+        "zeta eta theta iota kappa unique9137"
+    )
+    special = spark.createDataFrame(
+        [(2_000_000_000, needle)], "doc_id bigint, text string"
+    )
+    reps7 = F.explode(F.sequence(F.lit(0), F.lit(doc_mult - 1))).alias("_rep")
+    wdocs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("*", reps7)
+        .select(
+            (F.col("doc_id") * doc_mult + F.col("_rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" replica tail "),
+                F.col("_rep").cast("string"),
+            ).alias("text"),
+        )
+        .unionByName(special)
+        .filter(F.length("text") >= 17)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wfp = wdocs.select(
+        "doc_id", F.expr(T.spark_kgram_hashes("text", 12)).alias("hashes")
+    ).select(
+        "doc_id", F.expr(T.spark_winnow_select("hashes", 6)).alias("fps")
+    )
+    wex = wfp.select("doc_id", F.explode("fps").alias("f"))
+    whot = (
+        wex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 32)
+        .select("f")
+    )
+    wkept = wex.join(F.broadcast(whot), "f", "left_anti").persist()
+    results["winnow_artifact_rows"] = wkept.count()
+
+    def winnow_lookup():
+        passage = spark.createDataFrame([(needle[7:77],)], "ptxt string")
+        pfp = (
+            passage.select(
+                F.expr(T.spark_kgram_hashes("ptxt", 12)).alias("hashes")
+            )
+            .select(F.expr(T.spark_winnow_select("hashes", 6)).alias("fps"))
+            .select(F.size("fps").alias("np"), F.explode("fps").alias("f"))
+        )
+        cand = (
+            wkept.join(F.broadcast(pfp), "f")
+            .groupBy("doc_id")
+            .agg(F.first("np").alias("np"), F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared").cast("double") / F.col("np") >= 0.5)
+        )
+        hits = (
+            cand.join(wdocs, "doc_id")
+            .crossJoin(F.broadcast(passage))
+            .filter(F.expr("contains(text, ptxt)"))
+            .select("doc_id")
+            .collect()
+        )
+        assert [r["doc_id"] for r in hits] == [2_000_000_000], (
+            f"passage lookup missed the planted doc: {hits}"
+        )
+        return len(hits)
+
+    results["winnow_passage_lookup_sec"], _ = timed(winnow_lookup)
+    wkept.unpersist()
+
     print(
         json.dumps(
             {

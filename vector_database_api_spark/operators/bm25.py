@@ -94,6 +94,7 @@ def bm25_search(
     k1: float = K1,
     b: float = B,
     after: tuple | None = None,
+    operator: str = "or",
 ) -> DataFrame:
     """Top-k (id, score) for ``query_terms`` against the index.
 
@@ -106,8 +107,17 @@ def bm25_search(
     computed from the term-filtered postings BEFORE the restriction
     (corpus-level statistics; the reference filters candidates, not the
     index).  k results are k FILTERED results, fewer allowed.
+
+    ``operator="and"`` is conjunctive retrieval: only docs matching
+    EVERY query term rank (a term absent from the corpus therefore
+    empties the result) — same scores, intersected candidate set; the
+    registry twin ``bm25_conjunctive_topk`` oracle-checks the
+    semantics.  Postings hold one row per (term, id), so the per-doc
+    matched-term count is a plain row count in the same aggregate.
     """
     spark = postings.sparkSession
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got '{operator}'")
     terms = [t for t in dict.fromkeys(query_terms) if t]
     if not terms or n_docs == 0:
         return spark.createDataFrame([], "id string, score double")
@@ -130,8 +140,14 @@ def bm25_search(
         .join(doclens, "id")
         .select("id", contrib.alias("contrib"))
         .groupBy("id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("_matched"),
+        )
     )
+    if operator == "and":
+        scored = scored.filter(F.col("_matched") == len(terms))
+    scored = scored.select("id", "score")
     if after is not None:
         a_score, a_id = after
         scored = scored.filter(
@@ -142,6 +158,110 @@ def bm25_search(
             )
         )
     return scored.orderBy(F.desc("score"), "id").limit(int(k))
+
+
+def bm25_maxscore_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    k: int = 10,
+    candidate_ids: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """MaxScore-pruned top-k over the postings index for ARBITRARY query
+    terms — the served form of the registry's hash-proven-lossless
+    ``bm25_maxscore_topk`` (Turtle & Flood's dynamic pruning; same
+    adjudication, different artifact: the registry derives bounds from
+    the pivoted-corpus artifact, serving derives them from the query
+    terms' posting lists).  Results equal :func:`bm25_search` exactly
+    (pinned in tests/test_service.py): a doc is pruned only when the sum
+    of its matched terms' upper bounds cannot reach theta — the k-th
+    best score among docs matching the highest-bound ("essential")
+    term — so dropping it can never change the top-k (theta degrades to
+    -inf when fewer than k essential docs exist: pruning becomes a
+    lossless no-op).
+
+    100 TB shape: every frame here is bounded by the query terms'
+    posting lists (never the corpus); the per-(term,doc) contribution
+    fact is built once and reused by the bound derivation, the
+    essential leg, and final scoring; theta is in-plan (k-row top-k ->
+    1-row aggregate, broadcast back); the win is skipping full scoring
+    of the common-terms-only doc mass.  Filter-then-search composes the
+    same way as :func:`bm25_search` (corpus-level df, candidates
+    restricted)."""
+    spark = postings.sparkSession
+    terms = [t for t in dict.fromkeys(query_terms) if t]
+    if not terms or n_docs == 0:
+        return spark.createDataFrame([], "id string, score double")
+    hits = postings.filter(F.col("term").isin(terms))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if candidate_ids is not None:
+        hits = hits.join(candidate_ids.select("id"), "id", "left_semi")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    contrib_expr = idf * (
+        tf
+        * (k1 + 1.0)
+        / (tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / float(avgdl))))
+    )
+    contribs = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(doclens, "id")
+        .select("term", "id", contrib_expr.alias("contrib"))
+    )
+    # per-term upper bounds: |terms| rows — the serving twin of the
+    # registry's _cached_bm25_maxscores artifact, derived from the
+    # term-bounded posting lists only
+    ub_rows = (
+        contribs.groupBy("term").agg(F.max("contrib").alias("ub")).collect()
+    )
+    if not ub_rows:
+        return spark.createDataFrame([], "id string, score double")
+    ess = max(ub_rows, key=lambda r: r["ub"])["term"]
+    ubs = spark.createDataFrame(ub_rows, "term string, ub double")
+    ess_ids = contribs.filter(F.col("term") == ess).select("id")
+    ess_scores = (
+        contribs.join(ess_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    theta = (
+        ess_scores.orderBy(F.desc("score"), "id")
+        .limit(int(k))
+        .agg(
+            F.when(F.count(F.lit(1)) >= int(k), F.min("score"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("theta")
+        )
+    )
+    doc_ub = (
+        contribs.join(F.broadcast(ubs), "term")
+        .groupBy("id")
+        .agg(F.sum("ub").alias("ub_sum"))
+    )
+    # prune only STRICTLY below theta minus an absolute FP-fuzz margin:
+    # ub_sum and theta are unrounded double sums whose accumulation
+    # order differs, so a mathematical tie can land an ulp apart — the
+    # margin makes every pruned doc's true score strictly below theta
+    # (the registry twin's rounding-guard rationale, queries.py)
+    survivors = (
+        doc_ub.crossJoin(F.broadcast(theta))
+        .filter(F.col("ub_sum") >= F.col("theta") - F.lit(1e-9))
+        .select("id")
+    )
+    return (
+        contribs.join(survivors, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(int(k))
+    )
 
 
 def rrf_fuse(

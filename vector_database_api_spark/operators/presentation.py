@@ -38,26 +38,41 @@ def best_snippet(
     per-hit argmax is a row_number window partitioned by ``id_col`` —
     bounded by one document's windows, a BOUNDED_WINDOW_KEYS-compliant
     partition.  All other columns pass through.  Rows with NULL
-    ``text_col`` are dropped (nothing to highlight)."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    ``text_col`` are dropped (nothing to highlight).
+
+    ``terms`` are USER-SUPPLIED (service.py::search_with_snippets passes
+    the tokenized query text), so they are bound as an array of literal
+    columns — never interpolated into expression text: a first cut
+    string-built ``x IN ('t1', 't2')``, which raised ParseException on a
+    quote/backslash in a term ("o'brien") and let crafted terms inject
+    arbitrary SQL into the expression (r6 ADVICE).  Empty ``terms``
+    short-circuits to ``snip_hits = 0`` (every window ties; the earliest
+    wins), where the interpolated form produced invalid ``x IN ()``."""
+    window = int(window)
     keep = [c for c in hits.columns if c != text_col]
-    staged = hits.filter(F.col(text_col).isNotNull()).select(
-        *keep, F.expr(f"split(lower({text_col}), ' ', -1)").alias("_tk")
+    staged_cols = [F.split(F.lower(F.col(text_col)), " ", -1).alias("_tk")]
+    if terms:
+        staged_cols.append(F.array(*[F.lit(t) for t in terms]).alias("_terms"))
+    staged = hits.filter(F.col(text_col).isNotNull()).select(*keep, *staged_cols)
+    hits_expr = (
+        F.expr(
+            f"size(filter(slice(_tk, _s, {window}), "
+            "x -> array_contains(_terms, x)))"
+        )
+        if terms
+        else F.lit(0)
     )
     wins = staged.select(
         *keep,
         "_tk",
+        *(["_terms"] if terms else []),
         F.explode(
             F.expr(f"sequence(1, greatest(size(_tk) - {window - 1}, 1))")
         ).alias("_s"),
     ).select(
         *keep,
         "_s",
-        F.expr(
-            f"size(filter(slice(_tk, _s, {window}), x -> x IN ({in_list})))"
-        )
-        .cast("long")
-        .alias("snip_hits"),
+        hits_expr.cast("long").alias("snip_hits"),
         F.expr(f"array_join(slice(_tk, _s, {window}), ' ')").alias("snippet"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("snip_hits"), "_s")

@@ -17,9 +17,64 @@ loudly instead of silently costing a shuffle at 100 TB:
 
 from __future__ import annotations
 
+import contextlib
+import itertools
 import re
 
 from pyspark.sql import DataFrame
+
+_HINT_GATE_IDS = itertools.count()
+
+
+@contextlib.contextmanager
+def capture_hint_errors(spark):
+    """Capture every ``HintErrorLogger`` warning Spark emits while plans
+    are built inside the block; yields the list the messages land in at
+    block exit.
+
+    Why this gate exists: a join-strategy hint the planner cannot honor
+    is SILENTLY dropped by the DataFrame API — Spark logs one WARN
+    through ``org.apache.spark.sql.catalyst.analysis.HintErrorLogger``
+    and falls back to whatever strategy it picks on its own.  The r6
+    verdict found exactly that class shipped: ``F.broadcast`` on the
+    row-preserving LEFT side of a left outer join (an unsupported build
+    side), correct-but-lucky at bench scale and a full shuffle of the
+    big side at 100 TB.  Reading stderr is not a gate; this is — a
+    log4j2 ``WriterAppender`` is attached to the HintErrorLogger logger
+    for the duration of the block (tools/plan_report.py wraps every
+    bench query's plan build in one and fails on any capture).
+
+    The warnings fire during physical planning, so the block must
+    actually materialize ``queryExecution().executedPlan`` — building
+    the DataFrame alone is not enough; call :func:`explain_str` (or
+    execute the frame) inside the block."""
+    jvm = spark._jvm
+    writer = jvm.java.io.StringWriter()
+    layout = (
+        jvm.org.apache.logging.log4j.core.layout.PatternLayout
+        .createDefaultLayout()
+    )
+    appender = (
+        jvm.org.apache.logging.log4j.core.appender.WriterAppender
+        .createAppender(
+            layout, None, writer,
+            f"hint-error-gate-{next(_HINT_GATE_IDS)}", False, True,
+        )
+    )
+    appender.start()
+    logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.catalyst.analysis.HintErrorLogger"
+    )
+    logger.addAppender(appender)
+    messages: list[str] = []
+    try:
+        yield messages
+    finally:
+        logger.removeAppender(appender)
+        appender.stop()
+        messages.extend(
+            line for line in writer.toString().splitlines() if line.strip()
+        )
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:

@@ -39,6 +39,7 @@ from typing import Any
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from vector_database_api_spark.config import (
     DEFAULT_CONFIG,
@@ -489,6 +490,7 @@ class VectorEngine:
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
         similarity_threshold: float | None = None,
+        mode: str = "or",
     ) -> DataFrame:
         """Filtered top-k search: index dispatch when built, brute-force
         fallback otherwise; k clamped to [1, max_k] with default
@@ -501,9 +503,25 @@ class VectorEngine:
         threshold applies to the BM25 score (the path's native scale); for
         ``hybrid`` it applies to the fused doc's cosine similarity, so a
         keyword-only doc (no vector evidence) is dropped when a threshold
-        is set."""
+        is set.
+
+        ``mode`` selects the keyword-index evaluation (bm25 index only —
+        any other path raises on a non-default mode): ``"or"`` (default,
+        disjunctive full scoring), ``"and"`` (conjunctive: only docs
+        containing EVERY query term — registry twin
+        ``bm25_conjunctive_topk``), ``"maxscore"`` (dynamic pruning,
+        results identical to "or" by construction — registry twin
+        ``bm25_maxscore_topk``, hash-proven lossless)."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
+        if mode not in ("or", "and", "maxscore"):
+            raise ValueError(
+                f"mode must be 'or', 'and' or 'maxscore', got '{mode}'"
+            )
+        if mode != "or" and kind != "bm25":
+            raise ValueError(
+                f"mode='{mode}' needs a built bm25 index, not '{kind}'"
+            )
         if query_embedding is None and kind != "bm25":
             # bm25 is the one path that never needs a vector; everything
             # else resolves text -> deterministic embedding up front
@@ -522,7 +540,7 @@ class VectorEngine:
             if query_text is None:
                 raise ValueError("a bm25 index searches by query_text")
             result = self._bm25_topk(
-                meta[1], chunks, query_text, k, metadata_filters
+                meta[1], chunks, query_text, k, metadata_filters, mode=mode
             )
             return self._apply_threshold(
                 result, similarity_threshold, score_col="score"
@@ -673,13 +691,16 @@ class VectorEngine:
         query_text: str,
         k: int,
         metadata_filters: dict[str, Any] | None,
+        mode: str = "or",
     ) -> DataFrame:
         """Filter-then-search BM25 top-k: metadata predicates restrict the
         CANDIDATES (semi-join of the filtered chunk ids into the postings)
         while per-term document frequency stays corpus-level from the
         stored index — k results are k filtered results, fewer allowed
         (reference search_service.py:88-110 semantics on the keyword
-        leg)."""
+        leg).  ``mode``: "or" full scoring, "and" conjunctive, "maxscore"
+        dynamic pruning (identical results to "or"; see
+        operators/bm25.py::bm25_maxscore_search)."""
         from vector_database_api_spark.operators.filters import (
             apply_metadata_filters,
         )
@@ -688,14 +709,21 @@ class VectorEngine:
         cand = None
         if metadata_filters:
             cand = apply_metadata_filters(chunks, metadata_filters).select("id")
+        terms = bm25_mod.tokenize_query(query_text)
+        if mode == "maxscore":
+            return bm25_mod.bm25_maxscore_search(
+                postings, doclens, n_docs, avgdl, terms, k=k,
+                candidate_ids=cand,
+            )
         return bm25_mod.bm25_search(
             postings,
             doclens,
             n_docs,
             avgdl,
-            bm25_mod.tokenize_query(query_text),
+            terms,
             k=k,
             candidate_ids=cand,
+            operator=mode,
         )
 
     def _hybrid_topk(
@@ -978,13 +1006,17 @@ class VectorEngine:
             {**r.asDict(), "autocut_rank": i + 1}
             for i, r in enumerate(rows[:cut])
         ]
+        # fresh StructType — StructType.add MUTATES the receiver in
+        # place, so result.schema.add(...) would plant a phantom
+        # autocut_rank field on result's cached schema object (r6 ADVICE)
+        out_schema = StructType(
+            result.schema.fields + [StructField("autocut_rank", IntegerType())]
+        )
         if not kept:
-            return self.spark.createDataFrame(
-                [], result.schema.add("autocut_rank", "integer")
-            )
-        return self.spark.createDataFrame(kept, result.schema.add(
-            "autocut_rank", "integer"
-        )).orderBy("autocut_rank")
+            return self.spark.createDataFrame([], out_schema)
+        return self.spark.createDataFrame(kept, out_schema).orderBy(
+            "autocut_rank"
+        )
 
     def search_expanded(
         self,
@@ -1055,6 +1087,7 @@ class VectorEngine:
         query_embedding: list[float] | None = None,
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
+        similarity_threshold: float | None = None,
     ) -> DataFrame:
         """Keyset-paginated search: the next k results STRICTLY after the
         cursor (after_score, after_id) — the exact score+id the previous
@@ -1067,10 +1100,17 @@ class VectorEngine:
         sets are probe-bounded, so "page 2" would need a wider probe,
         not a cursor (raise rather than silently return wrong pages).
         The registry twin `bm25_keyword_page2` hash-proves keyset ==
-        OFFSET paging against DuckDB."""
+        OFFSET paging against DuckDB.
+
+        ``similarity_threshold`` follows the same F7 contract as
+        ``search()`` — same default from config, same per-path score
+        column — so page 2 can never return a row the page-1 contract
+        filtered out (it didn't until r7: the r6 ADVICE inconsistency)."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
         k = self.config.clamp_k(k)
+        if similarity_threshold is None:
+            similarity_threshold = self.config.similarity_threshold
         chunks = self.chunks(library_id)
         if kind == "bm25":
             if query_text is None:
@@ -1085,15 +1125,19 @@ class VectorEngine:
                 cand = apply_metadata_filters(chunks, metadata_filters).select(
                     "id"
                 )
-            return bm25_mod.bm25_search(
-                postings,
-                doclens,
-                n_docs,
-                avgdl,
-                bm25_mod.tokenize_query(query_text),
-                k=k,
-                candidate_ids=cand,
-                after=(after_score, after_id),
+            return self._apply_threshold(
+                bm25_mod.bm25_search(
+                    postings,
+                    doclens,
+                    n_docs,
+                    avgdl,
+                    bm25_mod.tokenize_query(query_text),
+                    k=k,
+                    candidate_ids=cand,
+                    after=(after_score, after_id),
+                ),
+                similarity_threshold,
+                score_col="score",
             )
         if kind is None:
             if query_embedding is None:
@@ -1108,12 +1152,15 @@ class VectorEngine:
             query = self.spark.createDataFrame(
                 [(query_embedding,)], "query_embedding array<float>"
             )
-            return knn_brute_force(
-                chunks,
-                query,
-                k=k,
-                metadata_filters=metadata_filters,
-                after=(after_score, after_id),
+            return self._apply_threshold(
+                knn_brute_force(
+                    chunks,
+                    query,
+                    k=k,
+                    metadata_filters=metadata_filters,
+                    after=(after_score, after_id),
+                ),
+                similarity_threshold,
             )
         raise ValueError(
             f"search_after supports bm25/brute-force paths, not '{kind}'"
