@@ -60,6 +60,7 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_fingerprints",
     "text_profile",
+    "embed_texts_deterministic",
     "embedding_near_dup_blocked",
     "dedup_keep_first",
     "dedup_exact_summary",
@@ -137,6 +138,7 @@ HEADLINE = [
     "events_variant_profile",
     "bitmap_distinct_users",
     "hll_distinct_users_daily",
+    "approx_distinct_users",
     "date_spine_gapfill",
     "text_repetition_profile",
     "udtf_chunk_documents",

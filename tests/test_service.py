@@ -769,3 +769,40 @@ def test_search_mode_validation(engine):
         engine.search("libA", query_text="x", mode="maxscore")
     with pytest.raises(ValueError, match="needs a built bm25 index"):
         engine.search("libA", query_text="x", mode="and")
+
+
+def test_search_timed_telemetry(engine):
+    """Reference-parity per-request telemetry (search_service.py:59-66):
+    search_timed returns the same rows as search() plus a metrics dict
+    whose counters rode the SAME job via DataFrame.observe, and the
+    bounded request log is queryable as a DataFrame."""
+    qt = "python document number 0 about python"
+    plain = engine.search("libA", query_text=qt, k=5).collect()
+    rows, m = engine.search_timed("libA", query_text=qt, k=5)
+    assert [r["id"] for r in rows] == [r["id"] for r in plain]
+    assert m["execution_time_ms"] > 0
+    assert m["n_results"] == len(rows) == 5
+    assert m["best_score"] >= m["worst_score"]
+    assert m["mode"] == "or"
+
+    # empty result: counters still defined, best/worst NULL
+    _, m_empty = engine.search_timed(
+        "libA", query_text=qt, k=5, similarity_threshold=2.0
+    )
+    assert m_empty["n_results"] == 0
+    assert m_empty["best_score"] is None
+
+    log = engine.search_metrics_df()
+    got = log.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("execution_time_ms").alias("avg_ms"),
+    ).collect()[0]
+    assert got["n"] == 2
+    assert got["avg_ms"] > 0
+
+    # the ring is bounded
+    engine._search_metrics.extend(
+        [dict(m)] * (engine.SEARCH_METRICS_CAP + 10)
+    )
+    engine.search_timed("libA", query_text=qt, k=1)
+    assert len(engine._search_metrics) == engine.SEARCH_METRICS_CAP

@@ -1042,7 +1042,10 @@ def main() -> None:
         )
         n = out.count()
         comp.unpersist()
-        assert n == 10
+        # replication makes the top-50 mostly consecutive replicas of one
+        # source doc, so fewer than 10 distinct 7-wide components can
+        # exist — the invariant is collapse-to-components, not a full page
+        assert 0 < n <= 10, n
         return n
 
     results["collapsed_topk_sec"], _ = timed(collapsed_topk_scaled)
@@ -1063,20 +1066,32 @@ def main() -> None:
         [(2_000_000_000, needle)], "doc_id bigint, text string"
     )
     reps7 = F.explode(F.sequence(F.lit(0), F.lit(doc_mult - 1))).alias("_rep")
+    # per-replica UNIQUE md5 tails: the shared body's fingerprints are
+    # boilerplate-hot (df = doc_mult > 32, correctly dropped by the cap —
+    # an all-identical-replica corpus would degenerate the artifact to
+    # the needle's ~25 rows), while each doc's unique tail contributes
+    # real fingerprints, so the probe runs against a corpus-sized
+    # artifact, which is the claim under test
     wdocs = (
         load_table(spark, SF_DIR, "documents")
         .select("*", reps7)
+        .select((F.col("doc_id") * doc_mult + F.col("_rep")).alias("doc_id"), "text")
         .select(
-            (F.col("doc_id") * doc_mult + F.col("_rep")).alias("doc_id"),
+            "doc_id",
             F.concat(
-                F.col("text"), F.lit(" replica tail "),
-                F.col("_rep").cast("string"),
+                F.col("text"), F.lit(" "),
+                F.md5(F.col("doc_id").cast("string")), F.lit(" "),
+                F.md5(F.concat(F.lit("t2:"), F.col("doc_id").cast("string"))),
+                F.lit(" "),
+                F.md5(F.concat(F.lit("t3:"), F.col("doc_id").cast("string"))),
             ).alias("text"),
         )
         .unionByName(special)
         .filter(F.length("text") >= 17)
         .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
+    wdocs.count()
     wfp = wdocs.select(
         "doc_id", F.expr(T.spark_kgram_hashes("text", 12)).alias("hashes")
     ).select(
@@ -1121,6 +1136,7 @@ def main() -> None:
 
     results["winnow_passage_lookup_sec"], _ = timed(winnow_lookup)
     wkept.unpersist()
+    wdocs.unpersist()
 
     print(
         json.dumps(

@@ -79,6 +79,8 @@ class VectorEngine:
         self.warehouse = warehouse
         self.config = config
         self._embedder = make_embedder(config.embedding_dim)
+        # per-request telemetry ring (search_timed / search_metrics_df)
+        self._search_metrics: list[dict[str, Any]] = []
         os.makedirs(warehouse, exist_ok=True)
 
     # -- paths ---------------------------------------------------------
@@ -681,6 +683,92 @@ class VectorEngine:
         if threshold is None:
             return result
         return result.filter(F.col(score_col) >= float(threshold))
+
+    # -- per-request telemetry (reference parity: search_service.py:59-66
+    # wraps every search in wall-clock ms and returns execution_time_ms on
+    # the response; here the counters additionally ride the SAME job via
+    # DataFrame.observe — the operators/quality.py pattern on the read
+    # path, so telemetry never costs a second scan) --------------------
+
+    SEARCH_METRICS_CAP = 1024  # bounded ring: a long-lived service must
+    # not grow driver memory with request count
+
+    def search_timed(
+        self,
+        library_id: str,
+        query_text: str | None = None,
+        query_embedding: list[float] | None = None,
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+        similarity_threshold: float | None = None,
+        mode: str = "or",
+    ) -> tuple[list, dict[str, Any]]:
+        """``search()`` with the reference's per-request telemetry
+        (``execution_time_ms``): dispatches identically, attaches an
+        ``Observation`` (result count, best/worst score) to the same job,
+        runs the action, and returns ``(rows, metrics)``.  Each request's
+        metrics are also appended to a bounded in-memory log —
+        :meth:`search_metrics_df` exposes it as a DataFrame so serving
+        latency is QUERYABLE (percentiles, per-mode breakdowns), not just
+        printable."""
+        import time
+
+        from pyspark.sql import Observation
+
+        result = self.search(
+            library_id,
+            query_text=query_text,
+            query_embedding=query_embedding,
+            k=k,
+            metadata_filters=metadata_filters,
+            similarity_threshold=similarity_threshold,
+            mode=mode,
+        )
+        score_col = self._score_column(result)
+        obs = Observation()
+        observed = result.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_results"),
+            F.max(F.col(score_col).cast("double")).alias("best_score"),
+            F.min(F.col(score_col).cast("double")).alias("worst_score"),
+        )
+        t0 = time.perf_counter()
+        rows = observed.collect()
+        elapsed_ms = (time.perf_counter() - t0) * 1000.0
+        metrics: dict[str, Any] = {
+            "library_id": library_id,
+            "mode": mode,
+            "execution_time_ms": round(elapsed_ms, 3),
+            **obs.get,
+        }
+        self._search_metrics.append(metrics)
+        if len(self._search_metrics) > self.SEARCH_METRICS_CAP:
+            del self._search_metrics[: -self.SEARCH_METRICS_CAP]
+        return rows, metrics
+
+    def search_metrics_df(self) -> DataFrame:
+        """The request-telemetry log as a DataFrame (newest last):
+        (library_id, mode, execution_time_ms, n_results, best_score,
+        worst_score) — aggregate it like any other table (p95 latency,
+        per-mode means).  Bounded by SEARCH_METRICS_CAP requests."""
+        schema = (
+            "library_id string, mode string, execution_time_ms double, "
+            "n_results bigint, best_score double, worst_score double"
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    m["library_id"],
+                    m["mode"],
+                    float(m["execution_time_ms"]),
+                    int(m["n_results"]),
+                    m["best_score"],
+                    m["worst_score"],
+                )
+                for m in self._search_metrics
+            ],
+            schema,
+        )
 
     # -- keyword + hybrid serving (engine extension; operators/bm25.py) -
 
