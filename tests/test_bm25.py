@@ -166,3 +166,85 @@ def test_streaming_bm25_index_matches_batch(spark, tmp_path):
         (r["id"], r["score"]) for r in b
     ]
     assert a[0]["id"] == "c03"  # the unique word03 doc leads
+
+
+def test_maxscore_equals_plain_on_random_corpora(spark):
+    """Lossless-pruning sweep: bm25_maxscore_search must return the SAME
+    ranked ids as bm25_search on seeded random corpora for adversarial
+    term sets — single term (theta prunes nothing it shouldn't), all
+    common terms (bounds nearly tie), rare+common mix (the real win),
+    corpus-absent term (df=0 path), fewer-than-k matches (theta = -inf,
+    pruning a no-op), and a candidate-restricted query."""
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(12)]
+    rare = "rareterm"
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        words = [vocab[min(int(rng.expovariate(0.45)), 11)] for _ in range(n)]
+        if i % 17 == 0:
+            words.append(rare)
+        rows.append((f"d{i:03d}", " ".join(words)))
+    docs = spark.createDataFrame(rows, "id string, text string")
+    postings, doclens, stats = bm25_mod.build_bm25_index(docs)
+    postings, doclens = postings.persist(), doclens.persist()
+    s = stats.first()
+    n_docs, avgdl = int(s["n_docs"]), float(s["avgdl"])
+
+    term_sets = [
+        [rare],
+        ["w0", "w1", "w2"],          # all common
+        [rare, "w0", "w5"],          # rare + common
+        ["zzz_absent", "w3"],        # absent term
+        [rare, "zzz_absent"],        # < k matches -> theta = -inf
+    ]
+    for terms in term_sets:
+        for k in (3, 10):
+            plain = bm25_mod.bm25_search(
+                postings, doclens, n_docs, avgdl, terms, k=k
+            ).collect()
+            pruned = bm25_mod.bm25_maxscore_search(
+                postings, doclens, n_docs, avgdl, terms, k=k
+            ).collect()
+            assert [r["id"] for r in pruned] == [r["id"] for r in plain], terms
+            for a, b in zip(pruned, plain):
+                assert abs(a["score"] - b["score"]) < 1e-9
+
+    cand = docs.filter(F.col("id") < "d060").select("id")
+    plain = bm25_mod.bm25_search(
+        postings, doclens, n_docs, avgdl, [rare, "w0"], k=5, candidate_ids=cand
+    ).collect()
+    pruned = bm25_mod.bm25_maxscore_search(
+        postings, doclens, n_docs, avgdl, [rare, "w0"], k=5, candidate_ids=cand
+    ).collect()
+    assert [r["id"] for r in pruned] == [r["id"] for r in plain]
+    assert all(r["id"] < "d060" for r in pruned)
+    postings.unpersist(), doclens.unpersist()
+
+
+def test_conjunctive_operator_semantics(spark):
+    """operator='and' == the 'or' result restricted to docs matching
+    every term, scores unchanged; an absent term empties the AND but not
+    the OR; invalid operator raises."""
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x x y"), ("c", "y z"), ("d", "x")],
+        "id string, text string",
+    )
+    postings, doclens, stats = bm25_mod.build_bm25_index(docs)
+    s = stats.first()
+    n, avgdl = int(s["n_docs"]), float(s["avgdl"])
+    disj = bm25_mod.bm25_search(postings, doclens, n, avgdl, ["x", "y"], k=10).collect()
+    conj = bm25_mod.bm25_search(
+        postings, doclens, n, avgdl, ["x", "y"], k=10, operator="and"
+    ).collect()
+    assert {r["id"] for r in conj} == {"a", "b"}
+    disj_scores = {r["id"]: r["score"] for r in disj}
+    for r in conj:
+        assert r["score"] == disj_scores[r["id"]]
+    assert not bm25_mod.bm25_search(
+        postings, doclens, n, avgdl, ["x", "absent"], k=10, operator="and"
+    ).collect()
+    with pytest.raises(ValueError, match="operator"):
+        bm25_mod.bm25_search(postings, doclens, n, avgdl, ["x"], operator="nor")

@@ -806,3 +806,26 @@ def test_search_timed_telemetry(engine):
     )
     engine.search_timed("libA", query_text=qt, k=1)
     assert len(engine._search_metrics) == engine.SEARCH_METRICS_CAP
+
+
+def test_search_after_conjunctive_pages(engine):
+    """Keyset pagination composes with mode='and': two conjunctive pages
+    == the conjunctive top-2k in one shot, and maxscore pagination is
+    rejected with guidance (its results are identical to 'or' — theta
+    derivation is not cursor-aware)."""
+    engine.index_library("libA", "bm25")
+    qt = "python document"
+    both = engine.search("libA", query_text=qt, k=6, mode="and").collect()
+    assert both
+    page1 = engine.search("libA", query_text=qt, k=3, mode="and").collect()
+    last = page1[-1]
+    page2 = engine.search_after(
+        "libA", after_score=last["score"], after_id=last["id"],
+        query_text=qt, k=3, mode="and",
+    ).collect()
+    assert [r["id"] for r in page1 + page2] == [r["id"] for r in both]
+    with pytest.raises(ValueError, match="maxscore"):
+        engine.search_after(
+            "libA", after_score=1.0, after_id="c00",
+            query_text=qt, k=3, mode="maxscore",
+        )

@@ -19,6 +19,7 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entry_mod
+from vector_database_api_spark.plans.audit import capture_hint_errors
 from vector_database_api_spark.session import get_spark
 from vector_database_api_spark.sources.tables import DRIVER_TABLES
 
@@ -113,10 +114,19 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            # hint gate (plans/audit.py): a silently dropped join hint
+            # during build or execution planning is a hard failure here
+            # too, so the 15 registry queries outside the bench HEADLINE
+            # get the same coverage as tools/plan_report.py
+            with capture_hint_errors(spark) as hint_errors:
+                sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            continue
+        if hint_errors:
+            failures.append(name)
+            print(f"FAIL {name}: dropped join hint: {hint_errors}")
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")

@@ -1176,6 +1176,7 @@ class VectorEngine:
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
         similarity_threshold: float | None = None,
+        mode: str = "or",
     ) -> DataFrame:
         """Keyset-paginated search: the next k results STRICTLY after the
         cursor (after_score, after_id) — the exact score+id the previous
@@ -1193,9 +1194,25 @@ class VectorEngine:
         ``similarity_threshold`` follows the same F7 contract as
         ``search()`` — same default from config, same per-path score
         column — so page 2 can never return a row the page-1 contract
-        filtered out (it didn't until r7: the r6 ADVICE inconsistency)."""
+        filtered out (it didn't until r7: the r6 ADVICE inconsistency).
+
+        ``mode`` (bm25 path): "or" or "and" — a conjunctive ranking
+        paginates like any other (the cursor composes with the all-terms
+        filter before the top-k).  ``mode="maxscore"`` is REJECTED here:
+        MaxScore's theta is derived from the top of the full ranking, so
+        a cursored page would need a cursor-aware bound derivation —
+        callers paginate the identical-results "or" mode instead."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
+        if mode not in ("or", "and"):
+            raise ValueError(
+                "search_after supports mode 'or' or 'and' (maxscore returns "
+                f"results identical to 'or' — paginate that), got '{mode}'"
+            )
+        if mode != "or" and kind != "bm25":
+            raise ValueError(
+                f"mode='{mode}' needs a built bm25 index, not '{kind}'"
+            )
         k = self.config.clamp_k(k)
         if similarity_threshold is None:
             similarity_threshold = self.config.similarity_threshold
@@ -1223,6 +1240,7 @@ class VectorEngine:
                     k=k,
                     candidate_ids=cand,
                     after=(after_score, after_id),
+                    operator=mode,
                 ),
                 similarity_threshold,
                 score_col="score",
