@@ -248,3 +248,43 @@ def test_conjunctive_operator_semantics(spark):
     ).collect()
     with pytest.raises(ValueError, match="operator"):
         bm25_mod.bm25_search(postings, doclens, n, avgdl, ["x"], operator="nor")
+
+
+def test_maxscore_cursor_pages_equal_plain_pages(spark):
+    """Cursor-aware MaxScore: for a seeded corpus, paging through the
+    full ranking with bm25_maxscore_search(after=) yields exactly the
+    pages bm25_search(after=) yields — theta from the cursored
+    essential-term ranking keeps pruning lossless on every page."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (
+            f"d{i:03d}",
+            " ".join(
+                [vocab[min(int(rng.expovariate(0.5)), 7)] for _ in range(rng.randint(2, 9))]
+                + (["nugget"] if i % 11 == 0 else [])
+            ),
+        )
+        for i in range(90)
+    ]
+    docs = spark.createDataFrame(rows, "id string, text string")
+    postings, doclens, stats = bm25_mod.build_bm25_index(docs)
+    postings, doclens = postings.persist(), doclens.persist()
+    s = stats.first()
+    n, avgdl = int(s["n_docs"]), float(s["avgdl"])
+    terms = ["nugget", "w0"]
+    cursor = None
+    for _ in range(4):  # 4 pages of 5
+        plain = bm25_mod.bm25_search(
+            postings, doclens, n, avgdl, terms, k=5, after=cursor
+        ).collect()
+        pruned = bm25_mod.bm25_maxscore_search(
+            postings, doclens, n, avgdl, terms, k=5, after=cursor
+        ).collect()
+        assert [r["id"] for r in pruned] == [r["id"] for r in plain]
+        if not plain:
+            break
+        cursor = (plain[-1]["score"], plain[-1]["id"])
+    postings.unpersist(), doclens.unpersist()

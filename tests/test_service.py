@@ -808,11 +808,12 @@ def test_search_timed_telemetry(engine):
     assert len(engine._search_metrics) == engine.SEARCH_METRICS_CAP
 
 
-def test_search_after_conjunctive_pages(engine):
-    """Keyset pagination composes with mode='and': two conjunctive pages
-    == the conjunctive top-2k in one shot, and maxscore pagination is
-    rejected with guidance (its results are identical to 'or' — theta
-    derivation is not cursor-aware)."""
+def test_search_after_conjunctive_and_maxscore_pages(engine):
+    """Keyset pagination composes with both r7 modes: two conjunctive
+    pages == the conjunctive top-2k in one shot, and MaxScore pagination
+    (cursor-aware theta — bm25_maxscore_search(after=)) returns pages
+    id-identical to mode='or' pagination, so pruning stays lossless per
+    page."""
     engine.index_library("libA", "bm25")
     qt = "python document"
     both = engine.search("libA", query_text=qt, k=6, mode="and").collect()
@@ -824,8 +825,17 @@ def test_search_after_conjunctive_pages(engine):
         query_text=qt, k=3, mode="and",
     ).collect()
     assert [r["id"] for r in page1 + page2] == [r["id"] for r in both]
-    with pytest.raises(ValueError, match="maxscore"):
-        engine.search_after(
-            "libA", after_score=1.0, after_id="c00",
-            query_text=qt, k=3, mode="maxscore",
-        )
+
+    or_p1 = engine.search("libA", query_text=qt, k=3).collect()
+    olast = or_p1[-1]
+    or_p2 = engine.search_after(
+        "libA", after_score=olast["score"], after_id=olast["id"],
+        query_text=qt, k=3,
+    ).collect()
+    ms_p2 = engine.search_after(
+        "libA", after_score=olast["score"], after_id=olast["id"],
+        query_text=qt, k=3, mode="maxscore",
+    ).collect()
+    assert [r["id"] for r in ms_p2] == [r["id"] for r in or_p2]
+    for a, b in zip(ms_p2, or_p2):
+        assert abs(a["score"] - b["score"]) < 1e-9

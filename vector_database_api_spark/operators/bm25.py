@@ -149,15 +149,22 @@ def bm25_search(
         scored = scored.filter(F.col("_matched") == len(terms))
     scored = scored.select("id", "score")
     if after is not None:
-        a_score, a_id = after
-        scored = scored.filter(
-            (F.col("score") < F.lit(float(a_score)))
-            | (
-                (F.col("score") == F.lit(float(a_score)))
-                & (F.col("id") > F.lit(a_id))
-            )
-        )
+        scored = _after_filter(scored, after)
     return scored.orderBy(F.desc("score"), "id").limit(int(k))
+
+
+def _after_filter(scored: DataFrame, after: tuple) -> DataFrame:
+    """The strictly-after keyset cursor predicate on (score DESC, id ASC)
+    order — shared by the plain and MaxScore search paths so page
+    semantics are identical."""
+    a_score, a_id = after
+    return scored.filter(
+        (F.col("score") < F.lit(float(a_score)))
+        | (
+            (F.col("score") == F.lit(float(a_score)))
+            & (F.col("id") > F.lit(a_id))
+        )
+    )
 
 
 def bm25_maxscore_search(
@@ -170,6 +177,7 @@ def bm25_maxscore_search(
     candidate_ids: DataFrame | None = None,
     k1: float = K1,
     b: float = B,
+    after: tuple | None = None,
 ) -> DataFrame:
     """MaxScore-pruned top-k over the postings index for ARBITRARY query
     terms — the served form of the registry's hash-proven-lossless
@@ -191,7 +199,14 @@ def bm25_maxscore_search(
     1-row aggregate, broadcast back); the win is skipping full scoring
     of the common-terms-only doc mass.  Filter-then-search composes the
     same way as :func:`bm25_search` (corpus-level df, candidates
-    restricted)."""
+    restricted).
+
+    ``after`` = (score, id) keyset cursor, same contract as
+    :func:`bm25_search`: theta is then the k-th best score among the
+    CURSORED essential-term docs (the cursor composes before every
+    top-k), so the lossless argument holds for the cursored ranking — a
+    pruned doc's score is below the k cursored docs already at or above
+    theta and can never appear on this page."""
     spark = postings.sparkSession
     terms = [t for t in dict.fromkeys(query_terms) if t]
     if not terms or n_docs == 0:
@@ -231,6 +246,8 @@ def bm25_maxscore_search(
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
     )
+    if after is not None:
+        ess_scores = _after_filter(ess_scores, after)
     theta = (
         ess_scores.orderBy(F.desc("score"), "id")
         .limit(int(k))
@@ -255,13 +272,14 @@ def bm25_maxscore_search(
         .filter(F.col("ub_sum") >= F.col("theta") - F.lit(1e-9))
         .select("id")
     )
-    return (
+    final = (
         contribs.join(survivors, "id", "left_semi")
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.desc("score"), "id")
-        .limit(int(k))
     )
+    if after is not None:
+        final = _after_filter(final, after)
+    return final.orderBy(F.desc("score"), "id").limit(int(k))
 
 
 def rrf_fuse(

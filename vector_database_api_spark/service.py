@@ -1196,18 +1196,18 @@ class VectorEngine:
         column — so page 2 can never return a row the page-1 contract
         filtered out (it didn't until r7: the r6 ADVICE inconsistency).
 
-        ``mode`` (bm25 path): "or" or "and" — a conjunctive ranking
-        paginates like any other (the cursor composes with the all-terms
-        filter before the top-k).  ``mode="maxscore"`` is REJECTED here:
-        MaxScore's theta is derived from the top of the full ranking, so
-        a cursored page would need a cursor-aware bound derivation —
-        callers paginate the identical-results "or" mode instead."""
+        ``mode`` (bm25 path): "or", "and", or "maxscore" — a conjunctive
+        ranking paginates like any other (the cursor composes with the
+        all-terms filter before the top-k), and MaxScore pagination is
+        CURSOR-AWARE: theta derives from the cursored essential-term
+        ranking (operators/bm25.py::bm25_maxscore_search(after=)), so
+        pruning stays lossless per page (pinned page-for-page equal to
+        mode="or" pagination in pytest)."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
-        if mode not in ("or", "and"):
+        if mode not in ("or", "and", "maxscore"):
             raise ValueError(
-                "search_after supports mode 'or' or 'and' (maxscore returns "
-                f"results identical to 'or' — paginate that), got '{mode}'"
+                f"mode must be 'or', 'and' or 'maxscore', got '{mode}'"
             )
         if mode != "or" and kind != "bm25":
             raise ValueError(
@@ -1230,20 +1230,32 @@ class VectorEngine:
                 cand = apply_metadata_filters(chunks, metadata_filters).select(
                     "id"
                 )
-            return self._apply_threshold(
-                bm25_mod.bm25_search(
+            terms = bm25_mod.tokenize_query(query_text)
+            if mode == "maxscore":
+                page = bm25_mod.bm25_maxscore_search(
                     postings,
                     doclens,
                     n_docs,
                     avgdl,
-                    bm25_mod.tokenize_query(query_text),
+                    terms,
+                    k=k,
+                    candidate_ids=cand,
+                    after=(after_score, after_id),
+                )
+            else:
+                page = bm25_mod.bm25_search(
+                    postings,
+                    doclens,
+                    n_docs,
+                    avgdl,
+                    terms,
                     k=k,
                     candidate_ids=cand,
                     after=(after_score, after_id),
                     operator=mode,
-                ),
-                similarity_threshold,
-                score_col="score",
+                )
+            return self._apply_threshold(
+                page, similarity_threshold, score_col="score"
             )
         if kind is None:
             if query_embedding is None:
