@@ -839,3 +839,34 @@ def test_search_after_conjunctive_and_maxscore_pages(engine):
     assert [r["id"] for r in ms_p2] == [r["id"] for r in or_p2]
     for a, b in zip(ms_p2, or_p2):
         assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_presentation_wrappers_compose_with_mode(engine):
+    """mode='and'/'maxscore' compose through the presentation surface:
+    snippets and autocut over a conjunctive/maxscore retrieval carry the
+    restricted candidate set; maxscore-mode presentation equals
+    or-mode (pruning lossless end-to-end)."""
+    engine.index_library("libA", "bm25")
+    qt = "python document"
+    snip_and = engine.search_with_snippets(
+        "libA", query_text=qt, k=5, mode="and"
+    ).collect()
+    assert snip_and
+    and_ids = {
+        r["id"] for r in engine.search("libA", query_text=qt, k=5, mode="and").collect()
+    }
+    assert {r["id"] for r in snip_and} <= and_ids
+
+    cut_or = engine.search_autocut("libA", query_text=qt, k=5).collect()
+    cut_ms = engine.search_autocut(
+        "libA", query_text=qt, k=5, mode="maxscore"
+    ).collect()
+    assert [r["id"] for r in cut_ms] == [r["id"] for r in cut_or]
+
+    col_ms = engine.search_collapsed(
+        "libA", "topic", query_text=qt, k=5, mode="maxscore"
+    ).collect()
+    col_or = engine.search_collapsed(
+        "libA", "topic", query_text=qt, k=5
+    ).collect()
+    assert [r["id"] for r in col_ms] == [r["id"] for r in col_or]

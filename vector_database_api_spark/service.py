@@ -875,6 +875,7 @@ class VectorEngine:
         lam: float = 0.7,
         one_minus_lam: float = 0.3,
         pool_factor: int = 4,
+        mode: str = "or",
     ) -> DataFrame:
         """MMR-diversified top-k — the serving form of the oracle-checked
         `queries.py::mmr_diversified_topk`: fetch a relevance pool of
@@ -905,6 +906,7 @@ class VectorEngine:
             query_embedding=query_embedding,
             k=pool_k,
             metadata_filters=metadata_filters,
+            mode=mode,
         ).select("id")
         pool_vecs = (
             self.chunks(library_id)
@@ -989,6 +991,7 @@ class VectorEngine:
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
         snippet_window: int = 8,
+        mode: str = "or",
     ) -> DataFrame:
         """Top-k search + highlight snippets: run the library's regular
         dispatch (any index path; filter-then-search applies), join the
@@ -1004,6 +1007,7 @@ class VectorEngine:
             query_text=query_text,
             k=k,
             metadata_filters=metadata_filters,
+            mode=mode,
         )
         score_col = self._score_column(result)
         texts = self.chunks(library_id).select("id", "text")
@@ -1025,6 +1029,7 @@ class VectorEngine:
         per_key: int = 2,
         metadata_filters: dict[str, Any] | None = None,
         window_factor: int = 5,
+        mode: str = "or",
     ) -> DataFrame:
         """Field-collapsed top-k (Elasticsearch `collapse`): retrieve a
         ``window_factor * k`` pool through the regular dispatch, tag each
@@ -1045,6 +1050,7 @@ class VectorEngine:
             query_embedding=query_embedding,
             k=pool_k,
             metadata_filters=metadata_filters,
+            mode=mode,
         )
         score_col = self._score_column(pool)
         keys = self.chunks(library_id).select(
@@ -1067,6 +1073,7 @@ class VectorEngine:
         query_embedding: list[float] | None = None,
         k: int | None = None,
         metadata_filters: dict[str, Any] | None = None,
+        mode: str = "or",
     ) -> DataFrame:
         """Dynamic-k search (Weaviate `autocut`): retrieve top-k through
         the regular dispatch, then cut the ranked list at the largest
@@ -1081,6 +1088,7 @@ class VectorEngine:
             query_embedding=query_embedding,
             k=k,
             metadata_filters=metadata_filters,
+            mode=mode,
         )
         score_col = self._score_column(result)
 
