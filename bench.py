@@ -186,6 +186,7 @@ HEADLINE = [
     "bm25_keyword_topk",
     "bm25_postings_topk",
     "bm25_maxscore_topk",
+    "bm25_blockmax_topk",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

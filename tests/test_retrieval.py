@@ -344,3 +344,42 @@ def test_maxscore_pruning_is_lossless_and_effective(spark, sf_dir):
             ubs[f"ub_{t}"] for t in _BM25_TERMS if t != ess
         )
         assert theta is None or theta > common_ub + 1e-6
+
+
+def test_blockmax_bounds_tighter_and_survivors_subset(spark, sf_dir):
+    """Block-Max WAND == plain postings top-10 row-for-row (losslessness
+    is also hash-proven by the shared oracle); per-block bounds are
+    pointwise <= the MaxScore artifact's corpus-wide bounds; and the
+    BMW survivor set is a SUBSET of the MaxScore survivor set (same
+    theta, tighter-or-equal bounds)."""
+    plain = q.spark_queries()["bm25_postings_topk"](spark, sf_dir).collect()
+    bmw = q.spark_queries()["bm25_blockmax_topk"](spark, sf_dir).collect()
+    assert [tuple(r) for r in bmw] == [tuple(r) for r in plain]
+
+    bm = q._cached_bm25_blockmax(spark, sf_dir).collect()
+    ubs = q._cached_bm25_maxscores(spark, sf_dir).collect()[0]
+    for row in bm:
+        for t in _BM25_TERMS:
+            assert row[f"bm_{t}"] <= ubs[f"ub_{t}"] + 1e-12
+
+    # replay both prune predicates over the candidate set in Python:
+    # identical theta, bound_blockmax(doc) <= bound_maxscore(doc)
+    piv = q._bm25_postings_pivoted(spark, sf_dir).collect()
+    theta_rows = sorted(
+        (r["bm25"] for r in q._bm25_scored(spark, sf_dir)
+         .filter("tf_dup > 0").collect()),
+        reverse=True,
+    )[:10]
+    theta = theta_rows[9] if len(theta_rows) >= 10 else float("-inf")
+    blockmax = {r["block"]: r for r in bm}
+    ms_surv, bmw_surv = set(), set()
+    for r in piv:
+        blk = blockmax[r["doc_id"] // q._BMW_BLOCK]
+        ms_b = sum(ubs[f"ub_{t}"] for t in _BM25_TERMS if r[f"tf_{t}"] > 0)
+        bw_b = sum(blk[f"bm_{t}"] for t in _BM25_TERMS if r[f"tf_{t}"] > 0)
+        assert bw_b <= ms_b + 1e-12
+        if ms_b >= theta - 1e-6:
+            ms_surv.add(r["doc_id"])
+        if bw_b >= theta - 1e-6:
+            bmw_surv.add(r["doc_id"])
+    assert bmw_surv <= ms_surv

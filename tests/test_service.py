@@ -870,3 +870,40 @@ def test_presentation_wrappers_compose_with_mode(engine):
         "libA", "topic", query_text=qt, k=5
     ).collect()
     assert [r["id"] for r in col_ms] == [r["id"] for r in col_or]
+
+
+def test_search_mode_blockmax_equals_or_and_paginates(engine):
+    """Block-Max WAND served through VectorEngine.search (mode=
+    "blockmax"): results equal mode="or" exactly — per-(term, block)
+    bounds are lossless like the registry twin bm25_blockmax_topk —
+    filter-then-search composes, and pagination pages are id-identical
+    to mode='or' pages (cursor-aware theta with block-tight bounds)."""
+    engine.index_library("libA", "bm25")
+    qt = "python document"
+    plain = engine.search("libA", query_text=qt, k=8).collect()
+    assert plain
+    bmw = engine.search("libA", query_text=qt, k=8, mode="blockmax").collect()
+    assert [r["id"] for r in bmw] == [r["id"] for r in plain]
+    for a, b in zip(bmw, plain):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+    f_or = engine.search(
+        "libA", query_text=qt, k=8, metadata_filters={"topic": "ml"}
+    ).collect()
+    f_bw = engine.search(
+        "libA", query_text=qt, k=8, metadata_filters={"topic": "ml"},
+        mode="blockmax",
+    ).collect()
+    assert [r["id"] for r in f_bw] == [r["id"] for r in f_or]
+
+    or_p1 = engine.search("libA", query_text=qt, k=3).collect()
+    olast = or_p1[-1]
+    or_p2 = engine.search_after(
+        "libA", after_score=olast["score"], after_id=olast["id"],
+        query_text=qt, k=3,
+    ).collect()
+    bw_p2 = engine.search_after(
+        "libA", after_score=olast["score"], after_id=olast["id"],
+        query_text=qt, k=3, mode="blockmax",
+    ).collect()
+    assert [r["id"] for r in bw_p2] == [r["id"] for r in or_p2]

@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 # oracle-checked queries.py family (_bm25_contrib_sql)
 K1 = 1.2
 B = 0.75
+# served Block-Max WAND granule (mode="blockmax"); the registry twin's
+# contiguous-range granule is queries._BMW_BLOCK
+BLOCKMAX_BLOCKS = 64
 
 
 def tokens_expr(text_col: str) -> Column:
@@ -178,6 +181,7 @@ def bm25_maxscore_search(
     k1: float = K1,
     b: float = B,
     after: tuple | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """MaxScore-pruned top-k over the postings index for ARBITRARY query
     terms — the served form of the registry's hash-proven-lossless
@@ -206,7 +210,21 @@ def bm25_maxscore_search(
     CURSORED essential-term docs (the cursor composes before every
     top-k), so the lossless argument holds for the cursored ranking — a
     pruned doc's score is below the k cursored docs already at or above
-    theta and can never appear on this page."""
+    theta and can never appear on this page.
+
+    ``n_blocks`` switches the bound granularity to BLOCK-MAX (Ding &
+    Suel 2011, the registry twin ``bm25_blockmax_topk``): bounds are
+    per (term, block) with block = hash(id) mod n_blocks, so a doc's
+    bound sums the maxima of its OWN block — pointwise <= the
+    corpus-wide per-term bound, hence a survivor set that is a SUBSET
+    of MaxScore's with the same theta (still lossless: a doc's own
+    contribution is one of the values its block's max ranges over).  A
+    physical index would use contiguous doc-id ranges (the skip-pointer
+    layout, as the registry artifact does over the BIGINT doc ids);
+    over opaque string chunk ids, hash blocks give the same
+    bound-tightening with the same guarantee.  The per-(term, block)
+    bound table is |terms| x n_blocks rows — still query-bounded
+    metadata."""
     spark = postings.sparkSession
     terms = [t for t in dict.fromkeys(query_terms) if t]
     if not terms or n_docs == 0:
@@ -230,12 +248,33 @@ def bm25_maxscore_search(
         .join(doclens, "id")
         .select("term", "id", contrib_expr.alias("contrib"))
     )
-    # per-term upper bounds: |terms| rows — the serving twin of the
-    # registry's _cached_bm25_maxscores artifact, derived from the
-    # term-bounded posting lists only
-    ub_rows = (
-        contribs.groupBy("term").agg(F.max("contrib").alias("ub")).collect()
-    )
+    if n_blocks is not None:
+        contribs = contribs.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_blocks)))
+        )
+        # per-(term, block) upper bounds — the block-max metadata; the
+        # per-term global max (for essential-term selection) is its
+        # max-over-blocks, identical to the MaxScore bound
+        # NOT persisted: it is rebuilt by the doc_ub leg below, but the
+        # rebuild is posting-list-bounded, and a per-request persist
+        # with no unpersist hook is the r6 cache-leak class
+        block_ubs = contribs.groupBy("term", "_blk").agg(
+            F.max("contrib").alias("ub")
+        )
+        ub_rows = (
+            block_ubs.groupBy("term")
+            .agg(F.max("ub").alias("ub"))
+            .collect()
+        )
+    else:
+        # per-term upper bounds: |terms| rows — the serving twin of the
+        # registry's _cached_bm25_maxscores artifact, derived from the
+        # term-bounded posting lists only
+        ub_rows = (
+            contribs.groupBy("term")
+            .agg(F.max("contrib").alias("ub"))
+            .collect()
+        )
     if not ub_rows:
         return spark.createDataFrame([], "id string, score double")
     ess = max(ub_rows, key=lambda r: r["ub"])["term"]
@@ -257,11 +296,18 @@ def bm25_maxscore_search(
             .alias("theta")
         )
     )
-    doc_ub = (
-        contribs.join(F.broadcast(ubs), "term")
-        .groupBy("id")
-        .agg(F.sum("ub").alias("ub_sum"))
-    )
+    if n_blocks is not None:
+        doc_ub = (
+            contribs.join(F.broadcast(block_ubs), ["term", "_blk"])
+            .groupBy("id")
+            .agg(F.sum("ub").alias("ub_sum"))
+        )
+    else:
+        doc_ub = (
+            contribs.join(F.broadcast(ubs), "term")
+            .groupBy("id")
+            .agg(F.sum("ub").alias("ub_sum"))
+        )
     # prune only STRICTLY below theta minus an absolute FP-fuzz margin:
     # ub_sum and theta are unrounded double sums whose accumulation
     # order differs, so a mathematical tie can land an ulp apart — the

@@ -9567,6 +9567,109 @@ def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BMW_BLOCK = 64  # docs per contiguous doc-id block (the skip-pointer granule)
+
+
+def _cached_bm25_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(block, bm_dup, bm_vector, bm_hash): per-(doc-id-block, term)
+    score upper bounds — the BLOCK-MAX postings metadata of Ding & Suel
+    2011 (Block-Max WAND), the block-level refinement of the MaxScore
+    artifact `_cached_bm25_maxscores`: where MaxScore stores ONE bound
+    per term (the corpus-wide max contribution), BMW stores one per
+    contiguous doc-id block of 64 docs, so a candidate's bound
+    reflects only its OWN neighborhood — tighter everywhere the term's
+    hot documents cluster away from the candidate.  Build cost is the
+    same single scoring pass at index time; artifact size is
+    n_docs/64 rows (vs 1) — still metadata-sized, and at
+    serving time only the query terms' columns are read.  Block = floor
+    (doc_id / width): contiguous ranges, exactly the layout a posting
+    list's skip pointers index."""
+    key = ("bm25-blockmax", sf_dir)
+    if key not in _SERVING_INDEXES:
+        scored = (
+            _bm25_base(load_table(spark, sf_dir, "documents"))
+            .crossJoin(F.broadcast(_cached_bm25_stats(spark, sf_dir)))
+            .select(
+                F.floor(F.col("doc_id") / _BMW_BLOCK).alias("block"),
+                *[
+                    F.expr(_bm25_contrib_sql(t)).alias(f"c_{t}")
+                    for t in _BM25_TERMS
+                ],
+            )
+        )
+        bm = (
+            scored.groupBy("block")
+            .agg(*[F.max(f"c_{t}").alias(f"bm_{t}") for t in _BM25_TERMS])
+            .persist()
+        )
+        bm.count()
+        _SERVING_INDEXES[key] = bm
+    return _SERVING_INDEXES[key]
+
+
+@register("bm25_blockmax_topk", _BM25_ORACLE)
+def bm25_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-Max-WAND-pruned BM25 top-10 (Ding & Suel 2011) — the
+    block-level refinement of `bm25_maxscore_topk`, sharing
+    `bm25_keyword_topk`'s oracle VERBATIM so the pruning is hash-PROVEN
+    lossless.  Identical adjudication to MaxScore (essential-term
+    top-10 -> theta, bound-vs-theta prune, full scoring on survivors)
+    with ONE change: a candidate's bound sums its own BLOCK's per-term
+    maxima (`_cached_bm25_blockmax`) instead of the corpus-wide maxima,
+    so bounds are pointwise <= MaxScore's and the survivor set is a
+    SUBSET of MaxScore's (pinned in tests/test_retrieval.py).  At
+    100 TB this is why production engines pay for block metadata: the
+    common-terms doc mass prunes away even in queries where one
+    corpus-wide outlier document would otherwise inflate every bound.
+    The block-max table joins candidates on a contiguous-range block id
+    (n_docs/64 rows, query-terms columns only — broadcast);
+    everything else matches the MaxScore twin, including the 1e-6
+    rounding guard."""
+    pivoted = _bm25_postings_pivoted(spark, sf_dir)
+    stats = _cached_bm25_stats(spark, sf_dir)
+    bm = _cached_bm25_blockmax(spark, sf_dir)
+    # essential term from the global bounds (= max over blocks, exactly
+    # the MaxScore artifact's values -> same theta leg as the twin)
+    g = bm.agg(
+        *[F.max(f"bm_{t}").alias(f"ub_{t}") for t in _BM25_TERMS]
+    ).collect()[0]
+    ess = max(_BM25_TERMS, key=lambda t: g[f"ub_{t}"])
+    scored_all = pivoted.crossJoin(F.broadcast(stats)).withColumn(
+        "bm25", F.round(F.expr(_BM25_SUM), 6)
+    )
+    ess_top = (
+        scored_all.filter(F.col(f"tf_{ess}") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+    theta = ess_top.agg(
+        F.when(F.count(F.lit(1)) >= 10, F.min("bm25"))
+        .otherwise(F.lit(float("-inf")))
+        .alias("theta")
+    )
+    ub_sum = None
+    for t in _BM25_TERMS:
+        term_ub = F.when(F.col(f"tf_{t}") > 0, F.col(f"bm_{t}")).otherwise(
+            F.lit(0.0)
+        )
+        ub_sum = term_ub if ub_sum is None else ub_sum + term_ub
+    survivors = (
+        pivoted.withColumn("block", F.floor(F.col("doc_id") / _BMW_BLOCK))
+        .join(F.broadcast(bm), "block")
+        .withColumn("_ub_sum", ub_sum)
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("_ub_sum") >= F.col("theta") - F.lit(1e-6))
+    )
+    return (
+        survivors.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.round(F.expr(_BM25_SUM), 6))
+        .filter(F.expr(_BM25_HIT) > 0)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
 _NEARDUP_COLLAPSE_ORACLE = f"""
 WITH {_BM25_SCORED_CTES},
 comp AS ({dedup_mod.duck_connected_components_sql(

@@ -513,12 +513,16 @@ class VectorEngine:
         containing EVERY query term — registry twin
         ``bm25_conjunctive_topk``), ``"maxscore"`` (dynamic pruning,
         results identical to "or" by construction — registry twin
-        ``bm25_maxscore_topk``, hash-proven lossless)."""
+        ``bm25_maxscore_topk``, hash-proven lossless), ``"blockmax"``
+        (Block-Max WAND: per-(term, block) bounds, a survivor subset of
+        maxscore's, still identical results — registry twin
+        ``bm25_blockmax_topk``)."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
-        if mode not in ("or", "and", "maxscore"):
+        if mode not in ("or", "and", "maxscore", "blockmax"):
             raise ValueError(
-                f"mode must be 'or', 'and' or 'maxscore', got '{mode}'"
+                "mode must be 'or', 'and', 'maxscore' or 'blockmax', "
+                f"got '{mode}'"
             )
         if mode != "or" and kind != "bm25":
             raise ValueError(
@@ -787,7 +791,8 @@ class VectorEngine:
         stored index — k results are k filtered results, fewer allowed
         (reference search_service.py:88-110 semantics on the keyword
         leg).  ``mode``: "or" full scoring, "and" conjunctive, "maxscore"
-        dynamic pruning (identical results to "or"; see
+        dynamic pruning, "blockmax" block-max pruning (both pruning
+        modes return results identical to "or"; see
         operators/bm25.py::bm25_maxscore_search)."""
         from vector_database_api_spark.operators.filters import (
             apply_metadata_filters,
@@ -798,10 +803,11 @@ class VectorEngine:
         if metadata_filters:
             cand = apply_metadata_filters(chunks, metadata_filters).select("id")
         terms = bm25_mod.tokenize_query(query_text)
-        if mode == "maxscore":
+        if mode in ("maxscore", "blockmax"):
             return bm25_mod.bm25_maxscore_search(
                 postings, doclens, n_docs, avgdl, terms, k=k,
                 candidate_ids=cand,
+                n_blocks=bm25_mod.BLOCKMAX_BLOCKS if mode == "blockmax" else None,
             )
         return bm25_mod.bm25_search(
             postings,
@@ -1204,7 +1210,8 @@ class VectorEngine:
         column — so page 2 can never return a row the page-1 contract
         filtered out (it didn't until r7: the r6 ADVICE inconsistency).
 
-        ``mode`` (bm25 path): "or", "and", or "maxscore" — a conjunctive
+        ``mode`` (bm25 path): "or", "and", "maxscore" or "blockmax" — a
+        conjunctive
         ranking paginates like any other (the cursor composes with the
         all-terms filter before the top-k), and MaxScore pagination is
         CURSOR-AWARE: theta derives from the cursored essential-term
@@ -1213,9 +1220,10 @@ class VectorEngine:
         mode="or" pagination in pytest)."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
-        if mode not in ("or", "and", "maxscore"):
+        if mode not in ("or", "and", "maxscore", "blockmax"):
             raise ValueError(
-                f"mode must be 'or', 'and' or 'maxscore', got '{mode}'"
+                "mode must be 'or', 'and', 'maxscore' or 'blockmax', "
+                f"got '{mode}'"
             )
         if mode != "or" and kind != "bm25":
             raise ValueError(
@@ -1239,7 +1247,7 @@ class VectorEngine:
                     "id"
                 )
             terms = bm25_mod.tokenize_query(query_text)
-            if mode == "maxscore":
+            if mode in ("maxscore", "blockmax"):
                 page = bm25_mod.bm25_maxscore_search(
                     postings,
                     doclens,
@@ -1249,6 +1257,7 @@ class VectorEngine:
                     k=k,
                     candidate_ids=cand,
                     after=(after_score, after_id),
+                    n_blocks=bm25_mod.BLOCKMAX_BLOCKS if mode == "blockmax" else None,
                 )
             else:
                 page = bm25_mod.bm25_search(
