@@ -187,6 +187,7 @@ HEADLINE = [
     "bm25_postings_topk",
     "bm25_maxscore_topk",
     "bm25_blockmax_topk",
+    "ql_dirichlet_topk",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

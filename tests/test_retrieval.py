@@ -383,3 +383,23 @@ def test_blockmax_bounds_tighter_and_survivors_subset(spark, sf_dir):
         if bw_b >= theta - 1e-6:
             bmw_surv.add(r["doc_id"])
     assert bmw_surv <= ms_surv
+
+
+def test_ql_dirichlet_served_matches_registry(spark, sf_dir):
+    """The served Lucene-decomposition QL scorer (ql_dirichlet_search:
+    matched-postings term + dl-only closed form) reproduces the
+    oracle-checked registry twin's direct-formula ranking and scores —
+    pinning the decomposition algebra end-to-end."""
+    from vector_database_api_spark.operators import bm25 as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, doclens, stats = B.build_bm25_index(docs, id_col="doc_id")
+    row = stats.collect()[0]
+    total = float(row["n_docs"]) * float(row["avgdl"])
+    got = B.ql_dirichlet_search(
+        postings, doclens, total, list(_BM25_TERMS), k=10
+    ).collect()
+    want = q.spark_queries()["ql_dirichlet_topk"](spark, sf_dir).collect()
+    assert [r["id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["ql"]) < 2e-6

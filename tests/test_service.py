@@ -907,3 +907,68 @@ def test_search_mode_blockmax_equals_or_and_paginates(engine):
         query_text=qt, k=3, mode="blockmax",
     ).collect()
     assert [r["id"] for r in bw_p2] == [r["id"] for r in or_p2]
+
+
+def test_search_ranking_ql(engine):
+    """Dirichlet query-likelihood ranking served through
+    VectorEngine.search(ranking="ql"): scores match an independent
+    Python recomputation of the direct formula (the served path uses
+    the Lucene decomposition, so this pins the algebra), conjunctive
+    mode composes, keyset pagination is consistent, and the
+    mode-matrix validation rejects QL + BM25-bound pruning."""
+    import math
+
+    engine.index_library("libA", "bm25")
+    qt = "python document"
+    res = engine.search("libA", query_text=qt, k=8, ranking="ql").collect()
+    assert res
+
+    texts = {
+        r["id"]: r["text"].lower().split(" ")
+        for r in engine.chunks("libA").collect()
+        if r["text"] is not None
+    }
+    terms = [t for t in dict.fromkeys(qt.split(" ")) if t]
+    total = sum(len(v) for v in texts.values())
+    cf = {t: sum(v.count(t) for v in texts.values()) for t in terms}
+    mu = 2000.0
+
+    def ql(toks):
+        return sum(
+            math.log(
+                (toks.count(t) + mu * (cf[t] / total)) / (len(toks) + mu)
+            )
+            for t in terms
+            if cf[t] > 0
+        )
+
+    want = sorted(
+        ((ql(v), i) for i, v in texts.items() if any(t in v for t in terms)),
+        key=lambda x: (-x[0], x[1]),
+    )[:8]
+    assert [r["id"] for r in res] == [i for _, i in want]
+    for r, (sc, _) in zip(res, want):
+        assert abs(r["score"] - sc) < 1e-9
+
+    conj = engine.search(
+        "libA", query_text=qt, k=8, mode="and", ranking="ql"
+    ).collect()
+    assert conj
+    for r in conj:
+        assert set(terms) <= set(texts[r["id"]])
+
+    p1 = engine.search("libA", query_text=qt, k=4, ranking="ql").collect()
+    last = p1[-1]
+    p2 = engine.search_after(
+        "libA", after_score=last["score"], after_id=last["id"],
+        query_text=qt, k=4, ranking="ql",
+    ).collect()
+    both = engine.search("libA", query_text=qt, k=8, ranking="ql").collect()
+    assert [r["id"] for r in p1 + p2] == [r["id"] for r in both]
+
+    with pytest.raises(ValueError, match="ranking must be"):
+        engine.search("libA", query_text=qt, ranking="nope")
+    with pytest.raises(ValueError, match="BM25 bounds"):
+        engine.search("libA", query_text=qt, ranking="ql", mode="maxscore")
+    with pytest.raises(ValueError, match="needs a built bm25"):
+        engine.search("libB", query_text=qt, ranking="ql")

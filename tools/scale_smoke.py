@@ -928,6 +928,100 @@ def main() -> None:
         maxscore_pruned
     )
 
+    def blockmax_pruned():
+        # Block-Max WAND at scale: same theta as MaxScore, but each
+        # candidate's bound sums its OWN 64-doc block's per-term maxima
+        # (the bm25_blockmax_topk artifact shape) — bounds are pointwise
+        # tighter, so the survivor fraction must be <= MaxScore's and
+        # the top-10 unchanged.  The block-max table is corpus/64 rows,
+        # built in the same single scoring pass.
+        from vector_database_api_spark.queries import (
+            _BM25_SUM,
+            _BM25_TERMS,
+            _bm25_base,
+            _bm25_contrib_sql,
+            _bm25_stats,
+        )
+
+        base = _bm25_base(docs).persist()
+        base.count()
+        stats = base.sparkSession.createDataFrame(
+            [_bm25_stats(base).collect()[0]]
+        )
+        bm = (
+            base.crossJoin(F.broadcast(stats))
+            .groupBy(F.floor(F.col("doc_id") / 64).alias("_blk"))
+            .agg(
+                *[
+                    F.max(F.expr(_bm25_contrib_sql(t))).alias(f"bm_{t}")
+                    for t in _BM25_TERMS
+                ]
+            )
+        ).persist()
+        n_blocks = bm.count()
+        ubs = bm.agg(
+            *[F.max(f"bm_{t}").alias(f"ub_{t}") for t in _BM25_TERMS]
+        ).collect()[0]
+        ess = max(_BM25_TERMS, key=lambda t: ubs[f"ub_{t}"])
+        scored = base.crossJoin(F.broadcast(stats)).withColumn(
+            "bm25", F.expr(_BM25_SUM)
+        )
+        theta = (
+            scored.filter(F.col(f"tf_{ess}") > 0)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .agg(F.min("bm25"))
+            .collect()[0][0]
+        )
+        hit_expr = " + ".join(f"tf_{t}" for t in _BM25_TERMS) + " > 0"
+        total = base.filter(hit_expr).count()
+        ub_sum = None
+        for t in _BM25_TERMS:
+            term_ub = F.when(
+                F.col(f"tf_{t}") > 0, F.col(f"bm_{t}")
+            ).otherwise(F.lit(0.0))
+            ub_sum = term_ub if ub_sum is None else ub_sum + term_ub
+        blocked = base.withColumn(
+            "_blk", F.floor(F.col("doc_id") / 64)
+        ).join(F.broadcast(bm), "_blk")
+        survivors = (
+            blocked.withColumn("_ub", ub_sum)
+            .filter(F.col("_ub") >= F.lit(float(theta)) - F.lit(1e-6))
+            .filter(hit_expr)
+            .count()
+        )
+        pruned_top = (
+            blocked.crossJoin(F.broadcast(stats))
+            .withColumn("bm25", F.expr(_BM25_SUM))
+            .withColumn("_ub", ub_sum)
+            .filter(F.col("_ub") >= F.lit(float(theta)) - F.lit(1e-6))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        plain_top = (
+            scored.orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        base.unpersist()
+        bm.unpersist()
+        assert [r[0] for r in pruned_top] == [r[0] for r in plain_top], (
+            "Block-Max pruning changed the top-10"
+        )
+        frac = round(survivors / total, 4)
+        assert frac <= results["maxscore_survivor_frac"] + 1e-9, (
+            f"block-max bounds looser than MaxScore: {frac}"
+            f" > {results['maxscore_survivor_frac']} ({n_blocks} blocks)"
+        )
+        return frac
+
+    results["blockmax_prune_sec"], results["blockmax_survivor_frac"] = timed(
+        blockmax_pruned
+    )
+
     def rm3_scaled():
         # RM3 second pass against the postings artifact at scale: the
         # 5-row expansion-term table broadcasts into the postings join,

@@ -356,6 +356,97 @@ def rrf_fuse(
     return fused
 
 
+def ql_dirichlet_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    total_tokens: float,
+    query_terms: list[str],
+    k: int = 10,
+    candidate_ids: DataFrame | None = None,
+    mu: float = 2000.0,
+    after: tuple | None = None,
+    operator: str = "or",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k over the postings index
+    (Zhai & Lafferty 2004) — the served form of the oracle-checked
+    registry twin ``ql_dirichlet_topk``, making the scoring layer
+    model-pluggable next to :func:`bm25_search`.
+
+    score(d) = sum_t ln((tf + mu*p_t) / (dl + mu)) with p_t = cf_t /
+    total_tokens, over ALL query terms including tf = 0 ones.  Scored
+    from term-matched postings only via the Lucene LMDirichlet
+    decomposition: sum_t ln((tf + mu*p_t)/(dl + mu)) =
+    sum_matched ln(1 + tf/(mu*p_t)) + sum_t ln(mu*p_t) -
+    |terms| * ln(dl + mu) — the first part is a per-matched-posting
+    term, the rest depends only on dl and per-term constants, so every
+    frame stays bounded by the query terms' posting lists (never a
+    corpus scan for the tf = 0 smoothing mass).
+
+    ``total_tokens`` is the collection token count — a statistics-
+    artifact scalar (n_docs * avgdl; streaming-maintained like the BM25
+    stats).  cf_t derives from the term-filtered postings BEFORE any
+    candidate restriction (corpus-level collection LM, the
+    filter-then-search convention).  Candidates are docs matching >= 1
+    query term (``operator="or"``) or every term (``"and"``); a term
+    with cf_t = 0 (absent from the corpus) has an undefined smoothed
+    probability and is dropped from the model, matching engines that
+    skip unknown terms.  ``after`` is the (score, id) keyset cursor,
+    same contract as :func:`bm25_search`."""
+    spark = postings.sparkSession
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got '{operator}'")
+    terms = [t for t in dict.fromkeys(query_terms) if t]
+    if not terms or total_tokens <= 0:
+        return spark.createDataFrame([], "id string, score double")
+    hits = postings.filter(F.col("term").isin(terms))
+    cf_t = hits.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    if candidate_ids is not None:
+        hits = hits.join(candidate_ids.select("id"), "id", "left_semi")
+    mu = float(mu)
+    mu_p = F.lit(mu) * (F.col("cf") / F.lit(float(total_tokens)))
+    matched = F.log(F.lit(1.0) + F.col("tf").cast("double") / mu_p)
+    per_doc = (
+        hits.join(F.broadcast(cf_t), "term")
+        .select("id", matched.alias("m"), F.log(mu_p).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.sum("m").alias("m_sum"),
+            F.count(F.lit(1)).alias("_matched"),
+        )
+    )
+    # sum_t ln(mu*p_t) over the model's terms (cf_t > 0), a 1-row scalar
+    const_row = (
+        cf_t.filter(F.col("cf") > 0)
+        .agg(
+            F.sum(F.log(F.lit(mu) * (F.col("cf") / F.lit(float(total_tokens)))))
+            .alias("lp_sum"),
+            F.count(F.lit(1)).alias("n_model_terms"),
+        )
+        .collect()[0]
+    )
+    if const_row["n_model_terms"] == 0:
+        return spark.createDataFrame([], "id string, score double")
+    scored = (
+        per_doc.join(doclens, "id")
+        .select(
+            "id",
+            "_matched",
+            (
+                F.col("m_sum")
+                + F.lit(float(const_row["lp_sum"]))
+                - F.lit(float(const_row["n_model_terms"]))
+                * F.log(F.col("dl").cast("double") + F.lit(mu))
+            ).alias("score"),
+        )
+    )
+    if operator == "and":
+        scored = scored.filter(F.col("_matched") == len(terms))
+    scored = scored.select("id", "score")
+    if after is not None:
+        scored = _after_filter(scored, after)
+    return scored.orderBy(F.desc("score"), "id").limit(int(k))
+
+
 def collect_parallel(*dfs: DataFrame) -> list[list]:
     """collect() several bounded top-k legs CONCURRENTLY — the fan-out a
     real hybrid engine does with its keyword and vector legs.  Spark

@@ -8421,6 +8421,85 @@ def _bm25_postings_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dirichlet-smoothed query likelihood (Zhai & Lafferty 2004), the OTHER
+# classic probabilistic ranking function next to BM25: score(d) =
+# sum_t ln((tf + mu * p(t|C)) / (dl + mu)) with p(t|C) the term's
+# collection-frequency share and mu = 2000 (the standard default).
+# Shares the BM25 family's base/tf machinery; the collection LM is one
+# extra combinable aggregate (cf_t, total_tokens).
+_QL_MU = 2000.0
+
+
+def _ql_contrib_sql(t: str) -> str:
+    """Per-term Dirichlet QL contribution, textually identical in Spark
+    SQL and DuckDB -> bit-identical doubles (the _bm25_contrib_sql
+    convention).  Defined for tf = 0 too (smoothing), so every ranked
+    candidate scores over ALL query terms."""
+    return (
+        f"ln((CAST(tf_{t} AS DOUBLE) + {_QL_MU}"
+        f" * (CAST(cf_{t} AS DOUBLE) / CAST(total_tokens AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {_QL_MU}))"
+    )
+
+
+_QL_SUM = " + ".join(f"({_ql_contrib_sql(t)})" for t in _BM25_TERMS)
+
+_QL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+         {", ".join(_duck_tf(t) for t in _BM25_TERMS)}
+  FROM documents
+  WHERE text IS NOT NULL
+),
+qstats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+         {", ".join(f"CAST(sum(tf_{t}) AS BIGINT) AS cf_{t}" for t in _BM25_TERMS)}
+  FROM base
+)
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+       round({_QL_SUM}, 6) AS ql
+FROM base CROSS JOIN qstats
+WHERE {_BM25_HIT} > 0
+ORDER BY ql DESC, doc_id LIMIT 10
+"""
+
+
+@register("ql_dirichlet_topk", _QL_ORACLE)
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-10 — the language-model
+    ranking family (Zhai & Lafferty 2004; Lucene's LMDirichlet
+    similarity) next to the BM25 family, proving the engine's scoring
+    layer is model-pluggable: same single corpus scan, same fixed-order
+    tf columns (`_bm25_base`), same fixed-association scalar-expression
+    discipline, different probability model.  Candidates are docs
+    matching >= 1 query term (the IR convention: smoothing defines a
+    score for every doc, but a no-hit doc carries no query evidence);
+    each candidate scores over ALL query terms including tf = 0 ones
+    (that is what smoothing is for).  The collection LM (cf_t,
+    total_tokens) is one combinable 1-row aggregate broadcast back —
+    at 100 TB it lives next to the BM25 statistics artifact and is
+    maintained by the same streaming partial-stats pattern.  Plan:
+    scan -> 1-row broadcast -> whole-stage-codegen arithmetic ->
+    TakeOrderedAndProject."""
+    base = _bm25_base(load_table(spark, sf_dir, "documents"))
+    qstats = base.agg(
+        F.sum("dl").cast("long").alias("total_tokens"),
+        *[
+            F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    return (
+        base.crossJoin(F.broadcast(qstats))
+        .withColumn("ql", F.round(F.expr(_QL_SUM), 6))
+        .filter(F.expr(_BM25_HIT) > 0)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "ql")
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(10)
+    )
+
+
 # maxP passage retrieval: 32-token windows, stride 16.  The per-chunk
 # score reuses _BM25_SUM verbatim by ALIASING chunk-level quantities to
 # the formula's column names (chunk length -> dl, avg chunk length ->

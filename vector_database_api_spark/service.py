@@ -493,6 +493,7 @@ class VectorEngine:
         metadata_filters: dict[str, Any] | None = None,
         similarity_threshold: float | None = None,
         mode: str = "or",
+        ranking: str = "bm25",
     ) -> DataFrame:
         """Filtered top-k search: index dispatch when built, brute-force
         fallback otherwise; k clamped to [1, max_k] with default
@@ -516,7 +517,15 @@ class VectorEngine:
         ``bm25_maxscore_topk``, hash-proven lossless), ``"blockmax"``
         (Block-Max WAND: per-(term, block) bounds, a survivor subset of
         maxscore's, still identical results — registry twin
-        ``bm25_blockmax_topk``)."""
+        ``bm25_blockmax_topk``).
+
+        ``ranking`` selects the keyword scoring model (bm25 index only):
+        ``"bm25"`` (default) or ``"ql"`` — Dirichlet-smoothed query
+        likelihood (registry twin ``ql_dirichlet_topk``; served via the
+        Lucene LMDirichlet decomposition in
+        operators/bm25.py::ql_dirichlet_search).  The pruning modes
+        ("maxscore"/"blockmax") are BM25-bound-specific and raise with
+        ranking="ql"; "or"/"and" compose."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
         if mode not in ("or", "and", "maxscore", "blockmax"):
@@ -528,6 +537,7 @@ class VectorEngine:
             raise ValueError(
                 f"mode='{mode}' needs a built bm25 index, not '{kind}'"
             )
+        self._check_ranking(ranking, mode, kind)
         if query_embedding is None and kind != "bm25":
             # bm25 is the one path that never needs a vector; everything
             # else resolves text -> deterministic embedding up front
@@ -546,7 +556,8 @@ class VectorEngine:
             if query_text is None:
                 raise ValueError("a bm25 index searches by query_text")
             result = self._bm25_topk(
-                meta[1], chunks, query_text, k, metadata_filters, mode=mode
+                meta[1], chunks, query_text, k, metadata_filters, mode=mode,
+                ranking=ranking,
             )
             return self._apply_threshold(
                 result, similarity_threshold, score_col="score"
@@ -776,6 +787,24 @@ class VectorEngine:
 
     # -- keyword + hybrid serving (engine extension; operators/bm25.py) -
 
+    @staticmethod
+    def _check_ranking(ranking: str, mode: str, kind: str | None) -> None:
+        """Shared ranking-model validation for search()/search_after():
+        "ql" needs a bm25 index and composes only with "or"/"and" (the
+        pruning modes are BM25-bound-specific)."""
+        if ranking not in ("bm25", "ql"):
+            raise ValueError(f"ranking must be 'bm25' or 'ql', got '{ranking}'")
+        if ranking == "ql":
+            if kind != "bm25":
+                raise ValueError(
+                    f"ranking='ql' needs a built bm25 index, not '{kind}'"
+                )
+            if mode in ("maxscore", "blockmax"):
+                raise ValueError(
+                    "maxscore/blockmax pruning derives BM25 bounds; "
+                    "use mode='or'/'and' with ranking='ql'"
+                )
+
     def _bm25_topk(
         self,
         path: str,
@@ -784,6 +813,7 @@ class VectorEngine:
         k: int,
         metadata_filters: dict[str, Any] | None,
         mode: str = "or",
+        ranking: str = "bm25",
     ) -> DataFrame:
         """Filter-then-search BM25 top-k: metadata predicates restrict the
         CANDIDATES (semi-join of the filtered chunk ids into the postings)
@@ -803,6 +833,11 @@ class VectorEngine:
         if metadata_filters:
             cand = apply_metadata_filters(chunks, metadata_filters).select("id")
         terms = bm25_mod.tokenize_query(query_text)
+        if ranking == "ql":
+            return bm25_mod.ql_dirichlet_search(
+                postings, doclens, float(n_docs) * float(avgdl), terms,
+                k=k, candidate_ids=cand, operator=mode,
+            )
         if mode in ("maxscore", "blockmax"):
             return bm25_mod.bm25_maxscore_search(
                 postings, doclens, n_docs, avgdl, terms, k=k,
@@ -1191,6 +1226,7 @@ class VectorEngine:
         metadata_filters: dict[str, Any] | None = None,
         similarity_threshold: float | None = None,
         mode: str = "or",
+        ranking: str = "bm25",
     ) -> DataFrame:
         """Keyset-paginated search: the next k results STRICTLY after the
         cursor (after_score, after_id) — the exact score+id the previous
@@ -1229,6 +1265,7 @@ class VectorEngine:
             raise ValueError(
                 f"mode='{mode}' needs a built bm25 index, not '{kind}'"
             )
+        self._check_ranking(ranking, mode, kind)
         k = self.config.clamp_k(k)
         if similarity_threshold is None:
             similarity_threshold = self.config.similarity_threshold
@@ -1247,6 +1284,15 @@ class VectorEngine:
                     "id"
                 )
             terms = bm25_mod.tokenize_query(query_text)
+            if ranking == "ql":
+                page = bm25_mod.ql_dirichlet_search(
+                    postings, doclens, float(n_docs) * float(avgdl),
+                    terms, k=k, candidate_ids=cand,
+                    after=(after_score, after_id), operator=mode,
+                )
+                return self._apply_threshold(
+                    page, similarity_threshold, score_col="score"
+                )
             if mode in ("maxscore", "blockmax"):
                 page = bm25_mod.bm25_maxscore_search(
                     postings,
