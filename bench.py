@@ -188,6 +188,7 @@ HEADLINE = [
     "bm25_maxscore_topk",
     "bm25_blockmax_topk",
     "ql_dirichlet_topk",
+    "approx_quantiles_contract",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

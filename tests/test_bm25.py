@@ -166,6 +166,18 @@ def test_streaming_bm25_index_matches_batch(spark, tmp_path):
         (r["id"], r["score"]) for r in b
     ]
     assert a[0]["id"] == "c03"  # the unique word03 doc leads
+    # QL serving needs nothing beyond the same maintained artifacts
+    # (cf_t from the term-filtered postings, total_tokens from the
+    # stats) — streamed index == batch index under the LM model too
+    qa = bm25_mod.ql_dirichlet_search(
+        got_p, got_d, float(n_docs) * avgdl, terms, k=5
+    ).collect()
+    qb = bm25_mod.ql_dirichlet_search(
+        want_p, want_d, float(n_docs) * avgdl, terms, k=5
+    ).collect()
+    assert [(r["id"], r["score"]) for r in qa] == [
+        (r["id"], r["score"]) for r in qb
+    ]
 
 
 def test_maxscore_equals_plain_on_random_corpora(spark):
@@ -211,6 +223,17 @@ def test_maxscore_equals_plain_on_random_corpora(spark):
             assert [r["id"] for r in pruned] == [r["id"] for r in plain], terms
             for a, b in zip(pruned, plain):
                 assert abs(a["score"] - b["score"]) < 1e-9
+            # block-max bounds (hash blocks) must stay lossless on the
+            # same adversarial sets, at both a multi-doc-per-block and a
+            # nearly-1-doc-per-block granularity
+            for nb in (8, 256):
+                bmw = bm25_mod.bm25_maxscore_search(
+                    postings, doclens, n_docs, avgdl, terms, k=k,
+                    n_blocks=nb,
+                ).collect()
+                assert [r["id"] for r in bmw] == [
+                    r["id"] for r in plain
+                ], (terms, nb)
 
     cand = docs.filter(F.col("id") < "d060").select("id")
     plain = bm25_mod.bm25_search(
@@ -221,6 +244,11 @@ def test_maxscore_equals_plain_on_random_corpora(spark):
     ).collect()
     assert [r["id"] for r in pruned] == [r["id"] for r in plain]
     assert all(r["id"] < "d060" for r in pruned)
+    bmw = bm25_mod.bm25_maxscore_search(
+        postings, doclens, n_docs, avgdl, [rare, "w0"], k=5,
+        candidate_ids=cand, n_blocks=16,
+    ).collect()
+    assert [r["id"] for r in bmw] == [r["id"] for r in plain]
     postings.unpersist(), doclens.unpersist()
 
 

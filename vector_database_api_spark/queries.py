@@ -1363,6 +1363,51 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_QUANTILE_ORACLE = """
+SELECT round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+       count(value) AS n,
+       approx_quantile(value, 0.5)
+         BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
+         AS p50_sketch_in_rank_band,
+       approx_quantile(value, 0.9)
+         BETWEEN quantile_cont(value, 0.85) AND quantile_cont(value, 0.95)
+         AS p90_sketch_in_rank_band
+FROM events
+"""
+
+
+@register("approx_quantiles_contract", _APPROX_QUANTILE_ORACLE)
+def approx_quantiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH next to its exact twin — the
+    `approx_distinct_users` adjudication applied to the other
+    foundational mergeable sketch: raw estimates are not cross-engine
+    comparable (Spark's Greenwald-Khanna vs DuckDB's T-Digest are
+    different summaries with different error shapes), so the hashed
+    columns are the exact interpolated quantiles (bit-equal per
+    acctbal_percentiles) plus each engine's ACCURACY CONTRACT — the
+    sketch estimate lands inside the exact +/-5%-RANK band (GK
+    guarantees rank error <= n/accuracy = n/10000 hard; T-Digest is
+    far inside 5% rank at any corpus size), each engine checking its
+    OWN sketch.  At 100 TB the sketch is the only viable path — exact
+    percentile sorts every group — and both are mergeable partials
+    here (one scan, map-side combine)."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    exact = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    return events.agg(
+        F.round(exact(0.5), 6).alias("p50_exact"),
+        F.round(exact(0.9), 6).alias("p90_exact"),
+        F.count(v).alias("n"),
+        F.expr("approx_percentile(value, 0.5, 10000)")
+        .between(exact(0.45), exact(0.55))
+        .alias("p50_sketch_in_rank_band"),
+        F.expr("approx_percentile(value, 0.9, 10000)")
+        .between(exact(0.85), exact(0.95))
+        .alias("p90_sketch_in_rank_band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup (LLM-pipeline surface): exact dedup + keep-first
 # ---------------------------------------------------------------------------

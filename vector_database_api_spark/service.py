@@ -717,6 +717,7 @@ class VectorEngine:
         metadata_filters: dict[str, Any] | None = None,
         similarity_threshold: float | None = None,
         mode: str = "or",
+        ranking: str = "bm25",
     ) -> tuple[list, dict[str, Any]]:
         """``search()`` with the reference's per-request telemetry
         (``execution_time_ms``): dispatches identically, attaches an
@@ -738,6 +739,7 @@ class VectorEngine:
             metadata_filters=metadata_filters,
             similarity_threshold=similarity_threshold,
             mode=mode,
+            ranking=ranking,
         )
         score_col = self._score_column(result)
         obs = Observation()
@@ -753,6 +755,7 @@ class VectorEngine:
         metrics: dict[str, Any] = {
             "library_id": library_id,
             "mode": mode,
+            "ranking": ranking,
             "execution_time_ms": round(elapsed_ms, 3),
             **obs.get,
         }
@@ -763,11 +766,12 @@ class VectorEngine:
 
     def search_metrics_df(self) -> DataFrame:
         """The request-telemetry log as a DataFrame (newest last):
-        (library_id, mode, execution_time_ms, n_results, best_score,
-        worst_score) — aggregate it like any other table (p95 latency,
+        (library_id, mode, ranking, execution_time_ms, n_results,
+        best_score, worst_score) — aggregate it like any other table (p95 latency,
         per-mode means).  Bounded by SEARCH_METRICS_CAP requests."""
         schema = (
-            "library_id string, mode string, execution_time_ms double, "
+            "library_id string, mode string, ranking string, "
+            "execution_time_ms double, "
             "n_results bigint, best_score double, worst_score double"
         )
         return self.spark.createDataFrame(
@@ -775,6 +779,7 @@ class VectorEngine:
                 (
                     m["library_id"],
                     m["mode"],
+                    m.get("ranking", "bm25"),
                     float(m["execution_time_ms"]),
                     int(m["n_results"]),
                     m["best_score"],
