@@ -189,6 +189,7 @@ HEADLINE = [
     "bm25_blockmax_topk",
     "ql_dirichlet_topk",
     "approx_quantiles_contract",
+    "bm25_impact_pruned_topk",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

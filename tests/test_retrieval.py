@@ -403,3 +403,43 @@ def test_ql_dirichlet_served_matches_registry(spark, sf_dir):
     assert [r["id"] for r in got] == [r["doc_id"] for r in want]
     for g, w in zip(got, want):
         assert abs(g["score"] - w["ql"]) < 2e-6
+
+
+def test_impact_pruned_index_quality_and_size(spark, sf_dir):
+    """Static uniform pruning (bm25_impact_pruned_topk): the oracle
+    proves the pruned index is built bit-exactly; this pins the LOSSY
+    trade it buys — the kept-postings fraction is ~the configured
+    median cut (half the index) while the pruned top-10 still overlaps
+    the exact ranking on >= 8 of 10 docs (measured 9/10 at sf0.001 and
+    sf0.01)."""
+    full = [
+        r["doc_id"]
+        for r in q.spark_queries()["bm25_keyword_topk"](spark, sf_dir).collect()
+    ]
+    pruned = [
+        r["doc_id"]
+        for r in q.spark_queries()["bm25_impact_pruned_topk"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert len(set(full) & set(pruned)) >= 8
+
+    stats = q._cached_bm25_stats(spark, sf_dir)
+    base = q._bm25_base(load_table(spark, sf_dir, "documents"))
+    impacts = base.crossJoin(F.broadcast(stats)).select(
+        *[
+            F.expr(q._bm25_contrib_sql(t)).alias(f"c_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    unpiv = impacts.selectExpr(
+        "stack(3, "
+        + ", ".join(f"'{t}', c_{t}" for t in _BM25_TERMS)
+        + ") AS (term, c)"
+    ).filter("c > 0")
+    tau = unpiv.agg(
+        F.expr(f"percentile(c, {q._IMPACT_Q})").alias("tau")
+    ).collect()[0]["tau"]
+    total = unpiv.count()
+    kept = unpiv.filter(F.col("c") >= tau).count()
+    assert 0.45 <= kept / total <= 0.56

@@ -9794,6 +9794,91 @@ def bm25_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Static index pruning (Carmel et al. 2001; Anh & Moffat impact
+# ordering): drop the low-impact tail of the postings at INDEX time and
+# serve from the smaller index — the lossy counterpart of MaxScore/BMW's
+# lossless skipping.  Uniform (global-threshold) pruning keeps every
+# posting whose score contribution reaches tau = the median positive
+# impact, a single filter — no per-term ranking window, so the build is
+# scale-clean (the term-partitioned-window variant would serialize a
+# viral term's posting list; the window gate rejects that class).
+_IMPACT_Q = 0.5
+
+_IMPACT_PRUNED_SUM = " + ".join(
+    f"(CASE WHEN c_{t} >= tau THEN c_{t} ELSE 0.0 END)" for t in _BM25_TERMS
+)
+
+_IMPACT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+         {", ".join(_duck_tf(t) for t in _BM25_TERMS)}
+  FROM documents
+  WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+impacts AS (
+  SELECT doc_id,
+         {", ".join(f"({_bm25_contrib_sql(t)}) AS c_{t}" for t in _BM25_TERMS)}
+  FROM base CROSS JOIN stats
+),
+tau AS (
+  SELECT quantile_cont(c, {_IMPACT_Q}) AS tau FROM (
+    {" UNION ALL ".join(f"SELECT c_{t} AS c FROM impacts" for t in _BM25_TERMS)}
+  ) WHERE c > 0
+)
+SELECT doc_id, round({_IMPACT_PRUNED_SUM}, 6) AS pruned_bm25
+FROM impacts CROSS JOIN tau
+WHERE round({_IMPACT_PRUNED_SUM}, 6) > 0
+ORDER BY pruned_bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("bm25_impact_pruned_topk", _IMPACT_ORACLE)
+def bm25_impact_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 served from a STATICALLY PRUNED index — the lossy index-
+    compression every latency-bound keyword engine offers (Carmel et
+    al. 2001 uniform pruning; impact-ordered indexes): postings whose
+    BM25 contribution falls below tau (the median positive impact) are
+    dropped at build time, halving the index, and queries score only
+    the kept postings.  Deliberately NOT sharing the exact twin's
+    oracle — pruning is lossy by design; the oracle instead reproduces
+    the pruned index bit-exactly (tau is an exact interpolated
+    percentile, pinned cross-engine by acctbal_percentiles; the kept-
+    contribution sum is the family's fixed-association scalar), and
+    tests/test_retrieval.py pins the measured quality (top-10 overlap
+    vs the unpruned ranking) and the measured size cut.  At 100 TB the
+    tau derivation would use the quantile SKETCH (mergeable partials;
+    its accuracy contract is oracle-checked by
+    approx_quantiles_contract) — exact percentile here keeps the gate
+    bit-exact.  Plan: one scan -> impact columns -> 1-row tau broadcast
+    back -> fixed-association rescoring -> TakeOrderedAndProject."""
+    stats = _cached_bm25_stats(spark, sf_dir)
+    base = _bm25_base(load_table(spark, sf_dir, "documents"))
+    impacts = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *[F.expr(_bm25_contrib_sql(t)).alias(f"c_{t}") for t in _BM25_TERMS],
+    )
+    unpiv = impacts.selectExpr(
+        "stack(3, "
+        + ", ".join(f"'{t}', c_{t}" for t in _BM25_TERMS)
+        + ") AS (term, c)"
+    ).filter("c > 0")
+    tau = unpiv.agg(F.expr(f"percentile(c, {_IMPACT_Q})").alias("tau"))
+    return (
+        impacts.crossJoin(F.broadcast(tau))
+        .withColumn("pruned_bm25", F.round(F.expr(_IMPACT_PRUNED_SUM), 6))
+        .filter(F.col("pruned_bm25") > 0)
+        .select("doc_id", "pruned_bm25")
+        .orderBy(F.desc("pruned_bm25"), "doc_id")
+        .limit(10)
+    )
+
+
 _NEARDUP_COLLAPSE_ORACLE = f"""
 WITH {_BM25_SCORED_CTES},
 comp AS ({dedup_mod.duck_connected_components_sql(
