@@ -316,3 +316,154 @@ def test_maxscore_cursor_pages_equal_plain_pages(spark):
             break
         cursor = (plain[-1]["score"], plain[-1]["id"])
     postings.unpersist(), doclens.unpersist()
+
+
+def test_ql_dirichlet_matches_direct_formula_on_random_corpora(spark):
+    """Decomposition sweep: ql_dirichlet_search (Lucene LMDirichlet
+    decomposition over matched postings) must reproduce the DIRECT
+    formula sum_t ln((tf + mu*p_t)/(dl + mu)) computed in Python, on
+    seeded random corpora for adversarial term sets — single term, all
+    common, rare+common, corpus-absent term (dropped from the model),
+    all-absent (empty result), conjunctive mode, and a keyset cursor."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(10)]
+    rare = "rareterm"
+    rows = []
+    for i in range(80):
+        n = rng.randint(1, 10)
+        words = [vocab[min(int(rng.expovariate(0.5)), 9)] for _ in range(n)]
+        if i % 13 == 0:
+            words.append(rare)
+        rows.append((f"d{i:03d}", " ".join(words)))
+    docs = spark.createDataFrame(rows, "id string, text string")
+    postings, doclens, stats = bm25_mod.build_bm25_index(docs)
+    postings, doclens = postings.persist(), doclens.persist()
+    s = stats.first()
+    total = float(s["n_docs"]) * float(s["avgdl"])
+    toks = {i: t.split(" ") for i, t in rows}
+    cf = {}
+    for t in set(w for ws in toks.values() for w in ws):
+        cf[t] = sum(ws.count(t) for ws in toks.values())
+    mu = 2000.0
+
+    def direct(terms, operator="or"):
+        model = [t for t in dict.fromkeys(terms) if cf.get(t, 0) > 0]
+        if not model:
+            return []
+        out = []
+        for i, ws in toks.items():
+            matched = sum(1 for t in model if t in ws)
+            need = len([t for t in dict.fromkeys(terms) if t])
+            if matched == 0 or (operator == "and" and matched < need):
+                continue
+            sc = sum(
+                math.log(
+                    (ws.count(t) + mu * (cf[t] / total)) / (len(ws) + mu)
+                )
+                for t in model
+            )
+            out.append((i, sc))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    term_sets = [
+        [rare],
+        ["w0", "w1", "w2"],
+        [rare, "w0", "w4"],
+        ["zzz_absent", "w3"],
+        ["zzz_absent"],
+    ]
+    for terms in term_sets:
+        for op in ("or", "and"):
+            got = bm25_mod.ql_dirichlet_search(
+                postings, doclens, total, terms, k=10, operator=op
+            ).collect()
+            want = direct(terms, op)[:10]
+            assert [r["id"] for r in got] == [i for i, _ in want], (terms, op)
+            for g, (_, sc) in zip(got, want):
+                assert abs(g["score"] - sc) < 1e-9
+
+    # keyset cursor: page 2 strictly-after page 1's last row == the
+    # one-shot ranking's rows 6..10
+    one_shot = bm25_mod.ql_dirichlet_search(
+        postings, doclens, total, [rare, "w0"], k=10
+    ).collect()
+    if len(one_shot) > 5:
+        last = one_shot[4]
+        page2 = bm25_mod.ql_dirichlet_search(
+            postings, doclens, total, [rare, "w0"], k=5,
+            after=(last["score"], last["id"]),
+        ).collect()
+        assert [r["id"] for r in page2] == [r["id"] for r in one_shot[5:10]]
+    postings.unpersist(), doclens.unpersist()
+
+
+def test_stored_bounds_go_stale_under_ingest(spark):
+    """Correctness-under-ingest for the pruning artifacts: a per-term
+    score upper bound stored at epoch A can be VIOLATED after ingest —
+    shorter new docs raise saturation (dl falls) and drift avgdl/df, so
+    the new best doc can score above the old bound, and pruning with
+    the stale artifact would silently drop it.  The served pruning
+    paths derive bounds from the live posting lists per query, so they
+    stay lossless across the same ingest (both maxscore and block-max
+    forms pinned here)."""
+    term = "q"
+    epoch_a = spark.createDataFrame(
+        [(f"a{i}", term + " " + " ".join(["pad"] * 9)) for i in range(20)]
+        + [(f"z{i}", " ".join(["pad"] * 10)) for i in range(20)],
+        "id string, text string",
+    )
+    pa, da, sa = bm25_mod.build_bm25_index(epoch_a)
+    ra = sa.first()
+
+    def max_contrib(postings, doclens, n_docs, avgdl):
+        import math
+
+        rows = (
+            postings.filter(F.col("term") == term)
+            .join(doclens, "id")
+            .select("tf", "dl")
+            .collect()
+        )
+        df = len(rows)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        return max(
+            idf
+            * (r["tf"] * (bm25_mod.K1 + 1.0))
+            / (
+                r["tf"]
+                + bm25_mod.K1
+                * (1.0 - bm25_mod.B + bm25_mod.B * (r["dl"] / avgdl))
+            )
+            for r in rows
+        )
+
+    stored_bound = max_contrib(pa, da, int(ra["n_docs"]), float(ra["avgdl"]))
+
+    # epoch B ingests very short docs containing the term: dl = 1 ->
+    # saturation ~1, and corpus avgdl drops
+    merged = epoch_a.unionByName(
+        spark.createDataFrame(
+            [(f"b{i}", term) for i in range(10)], "id string, text string"
+        )
+    )
+    pm, dm, sm = bm25_mod.build_bm25_index(merged)
+    rm = sm.first()
+    new_max = max_contrib(pm, dm, int(rm["n_docs"]), float(rm["avgdl"]))
+    assert new_max > stored_bound + 1e-9, (
+        "construction failed: ingest did not raise the true bound"
+    )
+
+    # the served pruning paths recompute bounds per query -> lossless
+    plain = bm25_mod.bm25_search(
+        pm, dm, int(rm["n_docs"]), float(rm["avgdl"]), [term, "pad"], k=10
+    ).collect()
+    for nb in (None, 8):
+        pruned = bm25_mod.bm25_maxscore_search(
+            pm, dm, int(rm["n_docs"]), float(rm["avgdl"]), [term, "pad"],
+            k=10, n_blocks=nb,
+        ).collect()
+        assert [r["id"] for r in pruned] == [r["id"] for r in plain], nb
