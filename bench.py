@@ -190,6 +190,7 @@ HEADLINE = [
     "ql_dirichlet_topk",
     "approx_quantiles_contract",
     "bm25_impact_pruned_topk",
+    "ltr_feature_matrix",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

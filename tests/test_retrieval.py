@@ -443,3 +443,26 @@ def test_impact_pruned_index_quality_and_size(spark, sf_dir):
     total = unpiv.count()
     kept = unpiv.filter(F.col("c") >= tau).count()
     assert 0.45 <= kept / total <= 0.56
+
+
+def test_ltr_feature_matrix_null_evidence_and_leg_coverage(spark, sf_dir):
+    """The LTR export keeps missing evidence NULL (vector-recalled docs
+    without a term hit carry no bm25/ql) and covers both first-stage
+    legs: the keyword top-1 and the dense top-1 are both rows."""
+    rows = q.spark_queries()["ltr_feature_matrix"](spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    kw_top = q.spark_queries()["bm25_keyword_topk"](spark, sf_dir).collect()
+    vec_top = q.spark_queries()["knn_cosine_topk"](spark, sf_dir).collect()
+    assert kw_top[0]["doc_id"] in by_id
+    assert int(vec_top[0]["id"]) in by_id
+    # every row has the dense + prior features; bm25/ql are NULL exactly
+    # for the no-term-hit docs (hit docs carry both)
+    for r in rows:
+        assert r["cos_sim"] is not None and r["n_chars"] is not None
+        has_hit = (r["tf_dup"] + r["tf_vector"] + r["tf_hash"]) > 0
+        assert (r["bm25"] is not None) == has_hit
+        assert (r["ql"] is not None) == has_hit
+    # NULL-production itself is hash-proven by the shared oracle (both
+    # engines LEFT-JOIN the same candidate pool); at this SF the dense
+    # top-20 may happen to all contain a query term, so no hard
+    # at-least-one-NULL assertion — the equivalence above is the pin.

@@ -8545,6 +8545,133 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTR_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+qstats AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+         {", ".join(f"CAST(sum(tf_{t}) AS BIGINT) AS cf_{t}" for t in _BM25_TERMS)}
+  FROM base
+),
+qlscored AS (
+  SELECT doc_id, round({_QL_SUM}, 6) AS ql
+  FROM base CROSS JOIN qstats
+  WHERE {_BM25_HIT} > 0
+),
+qv AS (SELECT embedding AS query_embedding FROM embeddings WHERE vec_id = 0),
+cosleg AS (
+  SELECT d.doc_id,
+         {duck_cosine('e.embedding', 'qv.query_embedding')} AS cos_sim
+  FROM documents d
+  JOIN embeddings e ON d.doc_id = e.vec_id, qv
+),
+cand AS (
+  (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20)
+  UNION
+  (SELECT doc_id FROM cosleg ORDER BY cos_sim DESC, doc_id LIMIT 20)
+)
+SELECT c.doc_id, s.bm25, ql.ql, b.dl,
+       {", ".join(f"b.tf_{t}" for t in _BM25_TERMS)},
+       round(co.cos_sim, 6) AS cos_sim,
+       (d.lang = 'en') AS is_en, d.n_chars
+FROM cand c
+LEFT JOIN scored s ON s.doc_id = c.doc_id
+LEFT JOIN qlscored ql ON ql.doc_id = c.doc_id
+JOIN base b ON b.doc_id = c.doc_id
+JOIN cosleg co ON co.doc_id = c.doc_id
+JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@register("ltr_feature_matrix", _LTR_ORACLE)
+def ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank TRAINING-DATA export — the feature join every
+    ranking pipeline runs before fitting a reranker (LambdaMART/LTR):
+    for one information need, the candidate pool is the UNION of the
+    keyword top-20 and the dense top-20 (the two first-stage
+    retrievers), and each candidate carries the model features —
+    lexical (bm25, Dirichlet ql, per-term tfs, dl), dense (cosine to
+    the query vector), and document priors (is_en, n_chars).  Missing
+    evidence stays NULL (a vector-recalled doc with no term hit has no
+    bm25), the convention LTR toolkits expect — never a fake 0, which
+    for a log-prob feature would rank ABOVE every real value.
+
+    Scale shape: the two candidate legs are the only corpus-sized work
+    (each a scan -> TakeOrderedAndProject(20)); the <=40-row candidate
+    set then drives broadcast probe joins back to the feature sources —
+    the LEFT joins broadcast the candidate side's matches, never the
+    corpus (the collapsed_topk_by_near_dup probe discipline).  At
+    100 TB with q queries this fans out embarrassingly: per-query
+    candidate pools are independent, features come from the maintained
+    artifacts (postings/stats/embeddings), and the export is one
+    append-only table keyed (query_id, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = _bm25_base(docs)
+    scored = _bm25_scored(spark, sf_dir).select("doc_id", "bm25")
+    qstats = base.agg(
+        F.sum("dl").cast("long").alias("total_tokens"),
+        *[
+            F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    qlscored = (
+        base.crossJoin(F.broadcast(qstats))
+        .withColumn("ql", F.round(F.expr(_QL_SUM), 6))
+        .filter(F.expr(_BM25_HIT) > 0)
+        .select("doc_id", "ql")
+    )
+    qv = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+    cosleg = (
+        docs.join(
+            load_table(spark, sf_dir, "embeddings"),
+            docs.doc_id == F.col("vec_id"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            cosine_similarity("embedding", "query_embedding").alias(
+                "cos_sim"
+            ),
+        )
+    )
+    cand = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id")
+        .union(
+            cosleg.orderBy(F.desc("cos_sim"), "doc_id")
+            .limit(20)
+            .select("doc_id")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(scored, "doc_id", "left")
+        .join(qlscored, "doc_id", "left")
+        .join(base.select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS]), "doc_id")
+        .join(cosleg.withColumn("cos_sim", F.round("cos_sim", 6)), "doc_id")
+        .join(
+            docs.select(
+                "doc_id",
+                (F.col("lang") == "en").alias("is_en"),
+                "n_chars",
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "bm25", "ql", "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            "cos_sim", "is_en", "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # maxP passage retrieval: 32-token windows, stride 16.  The per-chunk
 # score reuses _BM25_SUM verbatim by ALIASING chunk-level quantities to
 # the formula's column names (chunk length -> dl, avg chunk length ->
