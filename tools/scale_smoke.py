@@ -1089,6 +1089,110 @@ def main() -> None:
 
     results["maxscore_served_sec"], _ = timed(maxscore_served)
 
+    def ql_served():
+        # Dirichlet-QL serving at 500k docs: the Lucene decomposition
+        # touches only the query terms' posting lists (the smoothing
+        # mass is a dl-only closed form), so the LM ranking costs the
+        # same artifact probes as BM25; invariant: the conjunctive page
+        # is a subset of the disjunctive page with identical scores.
+        from vector_database_api_spark.operators import bm25 as B
+
+        postings, doclens, stats = B.build_bm25_index(docs, id_col="doc_id")
+        postings = postings.persist()
+        postings.count()
+        doclens = doclens.persist()
+        doclens.count()
+        row = stats.collect()[0]
+        total = float(row["n_docs"]) * float(row["avgdl"])
+        terms = ["dup", "vector", "hash"]
+        disj = B.ql_dirichlet_search(
+            postings, doclens, total, terms, k=10
+        ).collect()
+        conj = B.ql_dirichlet_search(
+            postings, doclens, total, terms, k=10, operator="and"
+        ).collect()
+        postings.unpersist()
+        doclens.unpersist()
+        assert disj, "QL ranking empty at scale"
+        d_scores = {r["id"]: r["score"] for r in disj}
+        for r in conj:
+            if r["id"] in d_scores:
+                assert abs(r["score"] - d_scores[r["id"]]) < 1e-9
+        return len(disj)
+
+    results["ql_served_sec"], _ = timed(ql_served)
+
+    def impact_pruned_scaled():
+        # static uniform pruning at 500k docs: tau = median positive
+        # impact still cuts the kept postings to ~half, and the pruned
+        # top-10 keeps >= 8 of the exact top-10 (the sf0.01 pinned
+        # quality holds an order of magnitude up).
+        from vector_database_api_spark.queries import (
+            _BM25_TERMS,
+            _bm25_base,
+            _bm25_contrib_sql,
+            _bm25_stats,
+        )
+
+        base = _bm25_base(docs).persist()
+        base.count()
+        stats = base.sparkSession.createDataFrame(
+            [_bm25_stats(base).collect()[0]]
+        )
+        impacts = base.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            *[
+                F.expr(_bm25_contrib_sql(t)).alias(f"c_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+        unpiv = impacts.selectExpr(
+            "stack(3, "
+            + ", ".join(f"'{t}', c_{t}" for t in _BM25_TERMS)
+            + ") AS (term, c)"
+        ).filter("c > 0")
+        tau = unpiv.agg(F.expr("percentile(c, 0.5)").alias("tau"))
+        total_p = unpiv.count()
+        kept = (
+            unpiv.crossJoin(F.broadcast(tau))
+            .filter(F.col("c") >= F.col("tau"))
+            .count()
+        )
+        pruned_sum = " + ".join(
+            f"(CASE WHEN c_{t} >= tau THEN c_{t} ELSE 0.0 END)"
+            for t in _BM25_TERMS
+        )
+        full_sum = " + ".join(f"c_{t}" for t in _BM25_TERMS)
+        pruned_top = (
+            impacts.crossJoin(F.broadcast(tau))
+            .withColumn("s", F.expr(pruned_sum))
+            .filter("s > 0")
+            .orderBy(F.desc("s"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        full_top = (
+            impacts.withColumn("s", F.expr(full_sum))
+            .filter("s > 0")
+            .orderBy(F.desc("s"), "doc_id")
+            .limit(10)
+            .select("doc_id")
+            .collect()
+        )
+        base.unpersist()
+        frac = round(kept / total_p, 4)
+        assert 0.4 <= frac <= 0.6, f"kept fraction drifted: {frac}"
+        overlap = len(
+            {r[0] for r in pruned_top} & {r[0] for r in full_top}
+        )
+        assert overlap >= 8, f"pruned-index quality collapsed: {overlap}/10"
+        return frac
+
+    results["impact_pruned_sec"], results["impact_kept_frac"] = timed(
+        impact_pruned_scaled
+    )
+
     def collapsed_topk_scaled():
         # collapsed_topk_by_near_dup's r7 plan at 500k docs + a 500k-row
         # components artifact: the corpus-sized work is ONE scoring scan

@@ -8510,6 +8510,29 @@ ORDER BY ql DESC, doc_id LIMIT 10
 """
 
 
+def _cached_ql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (total_tokens, cf_dup, cf_vector, cf_hash): the collection
+    LANGUAGE MODEL — the statistics artifact Dirichlet-QL scoring reads
+    next to the BM25 stats row (both are combinable aggregates, both
+    maintained by the same streaming partial-stats pattern)."""
+    key = ("ql-stats", sf_dir)
+    if key not in _SERVING_INDEXES:
+        qstats = (
+            _bm25_base(load_table(spark, sf_dir, "documents"))
+            .agg(
+                F.sum("dl").cast("long").alias("total_tokens"),
+                *[
+                    F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}")
+                    for t in _BM25_TERMS
+                ],
+            )
+            .persist()
+        )
+        qstats.count()
+        _SERVING_INDEXES[key] = qstats
+    return _SERVING_INDEXES[key]
+
+
 @register("ql_dirichlet_topk", _QL_ORACLE)
 def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood top-10 — the language-model
@@ -8528,13 +8551,7 @@ def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan -> 1-row broadcast -> whole-stage-codegen arithmetic ->
     TakeOrderedAndProject."""
     base = _bm25_base(load_table(spark, sf_dir, "documents"))
-    qstats = base.agg(
-        F.sum("dl").cast("long").alias("total_tokens"),
-        *[
-            F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
+    qstats = _cached_ql_stats(spark, sf_dir)
     return (
         base.crossJoin(F.broadcast(qstats))
         .withColumn("ql", F.round(F.expr(_QL_SUM), 6))
@@ -8583,6 +8600,47 @@ ORDER BY c.doc_id
 """
 
 
+def _ltr_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-sized leg 1: keyword top-20 — the family's shared scoring
+    scan (`_bm25_scored`, one pass + broadcast stats artifact).
+    Audited via AUDIT_SUBPLANS (the query proper collects it)."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id")
+    )
+
+
+def _ltr_query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("query_embedding"))
+    )
+
+
+def _ltr_cos(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    return emb.crossJoin(F.broadcast(_ltr_query_vec(spark, sf_dir))).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity("embedding", "query_embedding").alias("cos_sim"),
+    )
+
+
+def _ltr_cos_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-sized leg 2: dense top-20.  Audited via AUDIT_SUBPLANS."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb_docs = load_table(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    return (
+        _ltr_cos(spark, sf_dir, emb_docs)
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(20)
+        .select("doc_id")
+    )
+
+
 @register("ltr_feature_matrix", _LTR_ORACLE)
 def ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learning-to-rank TRAINING-DATA export — the feature join every
@@ -8593,80 +8651,76 @@ def ltr_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical (bm25, Dirichlet ql, per-term tfs, dl), dense (cosine to
     the query vector), and document priors (is_en, n_chars).  Missing
     evidence stays NULL (a vector-recalled doc with no term hit has no
-    bm25), the convention LTR toolkits expect — never a fake 0, which
-    for a log-prob feature would rank ABOVE every real value.
+    bm25), the convention LTR toolkits expect.
 
-    Scale shape: the two candidate legs are the only corpus-sized work
-    (each a scan -> TakeOrderedAndProject(20)); the <=40-row candidate
-    set then drives broadcast probe joins back to the feature sources —
-    the LEFT joins broadcast the candidate side's matches, never the
-    corpus (the collapsed_topk_by_near_dup probe discipline).  At
-    100 TB with q queries this fans out embarrassingly: per-query
-    candidate pools are independent, features come from the maintained
-    artifacts (postings/stats/embeddings), and the export is one
-    append-only table keyed (query_id, doc_id)."""
+    Scale shape: exactly TWO corpus passes — the top-20 legs, collected
+    concurrently and exactly ONCE (<=40 ids; a lazy pool frame would
+    re-execute both legs per downstream probe — the first cut did, and
+    benched 2.1 s / ratio 6.3 vs the keyword leg's own 0.5 s) — then
+    ONE pool job: documents and embeddings probed with pushed-down id
+    IN filters, joined broadcast (40x40), and EVERY feature computed in
+    a single select (same per-row expressions against the same
+    broadcast statistics artifacts -> identical values; a probe-per-
+    feature-source shape spent more on per-job broadcast latency than
+    on data).  Legs audited via AUDIT_SUBPLANS.  At 100 TB with q
+    queries this fans out embarrassingly: per-query pools are
+    independent and features come from the maintained artifacts
+    (stats/LM/embeddings)."""
+    from vector_database_api_spark.operators import bm25 as bm25_ops
+
     docs = load_table(spark, sf_dir, "documents")
-    base = _bm25_base(docs)
-    scored = _bm25_scored(spark, sf_dir).select("doc_id", "bm25")
-    qstats = base.agg(
-        F.sum("dl").cast("long").alias("total_tokens"),
-        *[
-            F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}")
-            for t in _BM25_TERMS
-        ],
+    kw_ids, cos_ids = bm25_ops.collect_parallel(
+        _ltr_kw_leg(spark, sf_dir), _ltr_cos_leg(spark, sf_dir)
     )
-    qlscored = (
-        base.crossJoin(F.broadcast(qstats))
-        .withColumn("ql", F.round(F.expr(_QL_SUM), 6))
-        .filter(F.expr(_BM25_HIT) > 0)
-        .select("doc_id", "ql")
+    ids = sorted({r["doc_id"] for r in kw_ids} | {r["doc_id"] for r in cos_ids})
+    pool_docs = docs.filter(F.col("doc_id").isin(ids)).filter(
+        F.col("text").isNotNull()
     )
-    qv = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("query_embedding"))
+    pool_emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(ids)
     )
-    cosleg = (
-        docs.join(
-            load_table(spark, sf_dir, "embeddings"),
-            docs.doc_id == F.col("vec_id"),
+    staged = (
+        pool_docs.join(
+            F.broadcast(pool_emb), pool_docs.doc_id == pool_emb.vec_id
         )
-        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(_cached_bm25_stats(spark, sf_dir)))
+        .crossJoin(F.broadcast(_cached_ql_stats(spark, sf_dir)))
+        .crossJoin(F.broadcast(_ltr_query_vec(spark, sf_dir)))
         .select(
             "doc_id",
-            cosine_similarity("embedding", "query_embedding").alias(
-                "cos_sim"
-            ),
+            F.expr("split(lower(text), ' ', -1)").alias("_toks"),
+            "embedding",
+            "query_embedding",
+            (F.col("lang") == "en").alias("is_en"),
+            "n_chars",
+            "n_docs", "avgdl", "total_tokens",
+            *[f"df_{t}" for t in _BM25_TERMS],
+            *[f"cf_{t}" for t in _BM25_TERMS],
+        )
+        .select(
+            "*",
+            F.size("_toks").cast("long").alias("dl"),
+            *[
+                F.expr(f"size(filter(_toks, x -> x = '{t}'))")
+                .cast("long")
+                .alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
         )
     )
-    cand = (
-        scored.orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-        .select("doc_id")
-        .union(
-            cosleg.orderBy(F.desc("cos_sim"), "doc_id")
-            .limit(20)
-            .select("doc_id")
-        )
-        .distinct()
-    )
+    hit = F.expr(_BM25_HIT) > 0
     return (
-        cand.join(scored, "doc_id", "left")
-        .join(qlscored, "doc_id", "left")
-        .join(base.select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS]), "doc_id")
-        .join(cosleg.withColumn("cos_sim", F.round("cos_sim", 6)), "doc_id")
-        .join(
-            docs.select(
-                "doc_id",
-                (F.col("lang") == "en").alias("is_en"),
-                "n_chars",
-            ),
+        staged.select(
             "doc_id",
-        )
-        .select(
-            "doc_id", "bm25", "ql", "dl",
+            F.when(hit, F.round(F.expr(_BM25_SUM), 6)).alias("bm25"),
+            F.when(hit, F.round(F.expr(_QL_SUM), 6)).alias("ql"),
+            "dl",
             *[f"tf_{t}" for t in _BM25_TERMS],
-            "cos_sim", "is_en", "n_chars",
+            F.round(
+                cosine_similarity("embedding", "query_embedding"), 6
+            ).alias("cos_sim"),
+            "is_en",
+            "n_chars",
         )
         .orderBy("doc_id")
     )
@@ -9152,6 +9206,7 @@ AUDIT_SUBPLANS: dict[str, dict[str, SparkQuery]] = {
         "vec_leg": _rrf_filtered_vec_leg,
     },
     "mmr_diversified_topk": {"pool": _mmr_pool},
+    "ltr_feature_matrix": {"kw_leg": _ltr_kw_leg, "cos_leg": _ltr_cos_leg},
 }
 
 
@@ -9873,9 +9928,9 @@ def bm25_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-terms doc mass prunes away even in queries where one
     corpus-wide outlier document would otherwise inflate every bound.
     The block-max table joins candidates on a contiguous-range block id
-    (n_docs/64 rows, query-terms columns only — broadcast);
-    everything else matches the MaxScore twin, including the 1e-6
-    rounding guard."""
+    (n_docs/64 rows, query-terms columns only; hint-free — see the
+    join-shape note inline); everything else matches the MaxScore
+    twin, including the 1e-6 rounding guard."""
     pivoted = _bm25_postings_pivoted(spark, sf_dir)
     stats = _cached_bm25_stats(spark, sf_dir)
     bm = _cached_bm25_blockmax(spark, sf_dir)
@@ -9904,9 +9959,17 @@ def bm25_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0)
         )
         ub_sum = term_ub if ub_sum is None else ub_sum + term_ub
+    # NO broadcast hint on the block-max table: it is corpus/64 rows —
+    # corpus-GROWING, so a forced broadcast is the r6 collapsed-topk
+    # defect class.  The probe is an equi-join on the block id: AQE
+    # broadcasts it at bench scale on its own, and at 100 TB it stays a
+    # shuffle join co-partitioned with the candidates by block (both
+    # sides hash the same bounded-width key) — while a real deployment
+    # stores the maxima INLINE with the posting blocks (the serving
+    # path's per-(term, block) form is exactly that and stays tiny).
     survivors = (
         pivoted.withColumn("block", F.floor(F.col("doc_id") / _BMW_BLOCK))
-        .join(F.broadcast(bm), "block")
+        .join(bm, "block")
         .withColumn("_ub_sum", ub_sum)
         .crossJoin(F.broadcast(theta))
         .filter(F.col("_ub_sum") >= F.col("theta") - F.lit(1e-6))
