@@ -194,6 +194,8 @@ HEADLINE = [
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",
+    "hybrid_linear_fusion",
+    "hybrid_combmnz_fusion",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",

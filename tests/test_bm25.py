@@ -121,6 +121,45 @@ def test_rrf_fuse_math_and_ties():
     assert [d for d, *_ in fused2] == ["p", "q"]
 
 
+def test_minmax_normalize():
+    ranked = [("a", 9.0), ("b", 7.0), ("c", 5.0)]
+    norms = bm25_mod.minmax_normalize(ranked)
+    assert norms == {"a": 1.0, "b": 0.5, "c": 0.0}
+    # constant-score leg (incl. k=1): everything normalizes to 1.0, not 0/0
+    assert bm25_mod.minmax_normalize([("x", 3.0), ("y", 3.0)]) == {
+        "x": 1.0,
+        "y": 1.0,
+    }
+    assert bm25_mod.minmax_normalize([("only", 42.0)]) == {"only": 1.0}
+    assert bm25_mod.minmax_normalize([]) == {}
+
+
+def test_linear_fuse_weights_and_missing_legs():
+    kw = [("a", 9.0), ("b", 5.0)]  # norms a=1.0, b=0.0
+    vec = [("b", 0.9), ("c", 0.5)]  # norms b=1.0, c=0.0
+    fused = bm25_mod.linear_fuse(kw, vec, w_kw=0.6, w_vec=0.4)
+    as_map = {d: (nk, nv, raw) for d, nk, nv, raw in fused}
+    assert as_map["a"] == (1.0, None, 0.6)  # missing vec leg -> 0.0, norm None
+    assert as_map["b"] == (0.0, 1.0, 0.4)
+    assert as_map["c"] == (None, 0.0, 0.0)
+    assert [d for d, *_ in fused] == ["a", "b", "c"]
+    # tie on fused raw breaks by id
+    tied = bm25_mod.linear_fuse([("z", 1.0)], [("y", 1.0)], w_kw=0.5, w_vec=0.5)
+    assert [d for d, *_ in tied] == ["y", "z"]
+
+
+def test_combmnz_fuse_consensus_boost():
+    kw = [("a", 9.0), ("b", 5.0)]  # norms a=1.0, b=0.0
+    vec = [("b", 0.9), ("c", 0.5)]  # norms b=1.0, c=0.0
+    fused = bm25_mod.combmnz_fuse(kw, vec)
+    as_map = {d: (hits, raw) for d, hits, raw in fused}
+    # b's consensus (2 legs) doubles its normalized sum: (0.0 + 1.0) * 2
+    assert as_map["b"] == (2, 2.0)
+    assert as_map["a"] == (1, 1.0)
+    assert as_map["c"] == (1, 0.0)
+    assert [d for d, *_ in fused] == ["b", "a", "c"]
+
+
 def test_streaming_bm25_index_matches_batch(spark, tmp_path):
     """M1 keyword-index maintenance: streamed postings/doclens equal a
     batch build over the same chunks, and the served search over the

@@ -356,6 +356,72 @@ def rrf_fuse(
     return fused
 
 
+def minmax_normalize(ranked: list[tuple]) -> dict:
+    """{id: (score - min) / (max - min)} over one COLLECTED top-k leg —
+    the per-leg score normalization CombSUM/CombMNZ-family fusion uses
+    (Fox & Shaw 1994; Lee 1997 found min-max the most robust of the
+    Comb normalizers).  A constant-score leg (max == min, e.g. k = 1)
+    normalizes to 1.0 everywhere: the leg ranked those docs at its own
+    maximum confidence, and 0/0 must not decide retrieval order.  Pure
+    double arithmetic in leg order — bit-identical to the SQL oracle's
+    (s - min)/(max - min)."""
+    if not ranked:
+        return {}
+    scores = [row[1] for row in ranked]
+    mn, mx = min(scores), max(scores)
+    if mx > mn:
+        return {row[0]: (row[1] - mn) / (mx - mn) for row in ranked}
+    return {row[0]: 1.0 for row in ranked}
+
+
+def linear_fuse(
+    kw_ranked: list[tuple],
+    vec_ranked: list[tuple],
+    w_kw: float = 0.6,
+    w_vec: float = 0.4,
+) -> list[tuple]:
+    """Weighted-linear score fusion of two collected legs over min-max
+    normalized scores — the convex-combination hybrid (alpha-blending)
+    every dense+sparse serving stack exposes as its tuning knob, next
+    to rank-only RRF.  Each leg is [(id, score), ...] in rank order.
+    Returns [(id, n_kw, n_vec, fused_raw)] sorted by (-fused_raw, id);
+    norms are None for a doc absent from a leg (its contribution is
+    0.0).  Fixed evaluation order (w_kw*n_kw + w_vec*n_vec) keeps the
+    double math bit-identical to the SQL oracle."""
+    n_kw = minmax_normalize(kw_ranked)
+    n_vec = minmax_normalize(vec_ranked)
+    fused = []
+    for d in set(n_kw) | set(n_vec):
+        nk, nv = n_kw.get(d), n_vec.get(d)
+        raw = w_kw * (nk if nk is not None else 0.0) + w_vec * (
+            nv if nv is not None else 0.0
+        )
+        fused.append((d, nk, nv, raw))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    return fused
+
+
+def combmnz_fuse(kw_ranked: list[tuple], vec_ranked: list[tuple]) -> list[tuple]:
+    """CombMNZ fusion (Fox & Shaw 1994): sum of min-max-normalized leg
+    scores multiplied by the number of legs that retrieved the doc —
+    the classic boost-the-consensus fusion that historically beat
+    CombSUM on TREC runs.  Each leg is [(id, score), ...] in rank
+    order.  Returns [(id, hits, combmnz_raw)] sorted by (-raw, id).
+    (n_kw + n_vec) * hits in fixed order — bit-identical to the SQL
+    oracle's arithmetic."""
+    n_kw = minmax_normalize(kw_ranked)
+    n_vec = minmax_normalize(vec_ranked)
+    fused = []
+    for d in set(n_kw) | set(n_vec):
+        nk, nv = n_kw.get(d), n_vec.get(d)
+        hits = (1 if nk is not None else 0) + (1 if nv is not None else 0)
+        raw = ((nk if nk is not None else 0.0)
+               + (nv if nv is not None else 0.0)) * hits
+        fused.append((d, hits, raw))
+    fused.sort(key=lambda t: (-t[2], t[0]))
+    return fused
+
+
 def ql_dirichlet_search(
     postings: DataFrame,
     doclens: DataFrame,

@@ -9091,6 +9091,146 @@ def hybrid_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEAR_FUSION_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+kw AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
+kwb AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM kw),
+kwn AS (
+  SELECT doc_id,
+         CASE WHEN b.mx > b.mn THEN (bm25 - b.mn) / (b.mx - b.mn)
+              ELSE 1.0 END AS n_kw
+  FROM kw, kwb b
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id, {duck_cosine('embedding', 'q.qv')} AS sim
+  FROM embeddings, q
+),
+vv AS (SELECT doc_id, sim FROM vs ORDER BY sim DESC, doc_id LIMIT 20),
+vvb AS (SELECT min(sim) AS mn, max(sim) AS mx FROM vv),
+vvn AS (
+  SELECT doc_id,
+         CASE WHEN b.mx > b.mn THEN (sim - b.mn) / (b.mx - b.mn)
+              ELSE 1.0 END AS n_vec
+  FROM vv, vvb b
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, n_kw, n_vec,
+         0.6 * COALESCE(n_kw, 0.0) + 0.4 * COALESCE(n_vec, 0.0) AS lin_raw
+  FROM kwn k FULL OUTER JOIN vvn v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, round(n_kw, 6) AS n_kw, round(n_vec, 6) AS n_vec,
+       round(lin_raw, 6) AS fused
+FROM fused
+ORDER BY lin_raw DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_linear_fusion", _LINEAR_FUSION_ORACLE)
+def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-LINEAR hybrid fusion (alpha-blending, alpha = 0.6
+    keyword / 0.4 dense) over min-max-normalized leg scores — the
+    score-aware fusion knob every dense+sparse stack tunes, next to
+    rank-only RRF (`hybrid_rrf_fusion`): RRF discards score magnitudes,
+    linear fusion preserves them, and which wins is collection-
+    dependent, so a serving layer offers both.  Same two
+    TakeOrderedAndProject legs as the RRF twin (single-scan BM25 HOF
+    plan + broadcast-query-vector cosine — the only data-sized work at
+    100 TB), collected concurrently; normalization + blending over the
+    <=40 collected rows is bounded coordinator arithmetic
+    (`operators/bm25.py::linear_fuse`, fixed evaluation order —
+    bit-exact with the SQL oracle).  Constant-score legs normalize to
+    1.0 (documented in `minmax_normalize`); docs absent from a leg
+    contribute 0.0 and keep a NULL norm column."""
+    from vector_database_api_spark.operators import bm25 as bm25_ops
+
+    kw, vv = _collect_parallel(
+        _rrf_kw_leg(spark, sf_dir), _rrf_vec_leg(spark, sf_dir)
+    )
+    fused = bm25_ops.linear_fuse(
+        [(r["doc_id"], r["bm25"]) for r in kw],
+        [(r["doc_id"], r["sim"]) for r in vv],
+    )
+    out = spark.createDataFrame(
+        fused[:10], "doc_id: bigint, n_kw: double, n_vec: double, fused: double"
+    )
+    return out.select(
+        "doc_id",
+        F.round("n_kw", 6).alias("n_kw"),
+        F.round("n_vec", 6).alias("n_vec"),
+        F.round("fused", 6).alias("fused"),
+    )
+
+
+_COMBMNZ_ORACLE = f"""
+WITH {_BM25_SCORED_CTES},
+kw AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20),
+kwb AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM kw),
+kwn AS (
+  SELECT doc_id,
+         CASE WHEN b.mx > b.mn THEN (bm25 - b.mn) / (b.mx - b.mn)
+              ELSE 1.0 END AS n_kw
+  FROM kw, kwb b
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id, {duck_cosine('embedding', 'q.qv')} AS sim
+  FROM embeddings, q
+),
+vv AS (SELECT doc_id, sim FROM vs ORDER BY sim DESC, doc_id LIMIT 20),
+vvb AS (SELECT min(sim) AS mn, max(sim) AS mx FROM vv),
+vvn AS (
+  SELECT doc_id,
+         CASE WHEN b.mx > b.mn THEN (sim - b.mn) / (b.mx - b.mn)
+              ELSE 1.0 END AS n_vec
+  FROM vv, vvb b
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         CAST((CASE WHEN n_kw IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN n_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         (COALESCE(n_kw, 0.0) + COALESCE(n_vec, 0.0))
+           * ((CASE WHEN n_kw IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN n_vec IS NOT NULL THEN 1 ELSE 0 END)) AS mnz_raw
+  FROM kwn k FULL OUTER JOIN vvn v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, hits, round(mnz_raw, 6) AS combmnz
+FROM fused
+ORDER BY mnz_raw DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_combmnz_fusion", _COMBMNZ_ORACLE)
+def hybrid_combmnz_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombMNZ hybrid fusion (Fox & Shaw 1994) — min-max-normalized
+    score sum times the number of legs retrieving the doc, the classic
+    boost-the-consensus fusion from the TREC metasearch literature.
+    Completes the fusion family (rank-only RRF, score-linear blend,
+    consensus-weighted CombMNZ) over the SAME two single-scan top-20
+    legs, so the three queries share leg plans and differ only in the
+    bounded coordinator step (`operators/bm25.py::combmnz_fuse`,
+    (n_kw + n_vec) * hits in fixed order — bit-exact with the SQL
+    oracle).  At 100 TB the marginal cost of offering all three fusion
+    modes is zero extra corpus work: legs are computed once per
+    request, fusion is O(k) on <=40 rows."""
+    from vector_database_api_spark.operators import bm25 as bm25_ops
+
+    kw, vv = _collect_parallel(
+        _rrf_kw_leg(spark, sf_dir), _rrf_vec_leg(spark, sf_dir)
+    )
+    fused = bm25_ops.combmnz_fuse(
+        [(r["doc_id"], r["bm25"]) for r in kw],
+        [(r["doc_id"], r["sim"]) for r in vv],
+    )
+    out = spark.createDataFrame(
+        fused[:10], "doc_id: bigint, hits: bigint, combmnz: double"
+    )
+    return out.select(
+        "doc_id", "hits", F.round("combmnz", 6).alias("combmnz")
+    )
+
+
 def _mmr_oracle_sql(k: int = 5, lam: str = "CAST(0.7 AS DOUBLE)", one_minus: str = "CAST(0.3 AS DOUBLE)") -> str:
     """Unrolled greedy-MMR oracle (the BPE-merge precedent: iterative
     algorithms get unrolled CTE rounds so DuckDB can replay them
@@ -9207,6 +9347,10 @@ AUDIT_SUBPLANS: dict[str, dict[str, SparkQuery]] = {
     },
     "mmr_diversified_topk": {"pool": _mmr_pool},
     "ltr_feature_matrix": {"kw_leg": _ltr_kw_leg, "cos_leg": _ltr_cos_leg},
+    # the fusion variants share the unfiltered RRF legs verbatim — the
+    # audit rows prove "three fusion modes, one pair of leg plans"
+    "hybrid_linear_fusion": {"bm25_leg": _rrf_kw_leg, "vec_leg": _rrf_vec_leg},
+    "hybrid_combmnz_fusion": {"bm25_leg": _rrf_kw_leg, "vec_leg": _rrf_vec_leg},
 }
 
 
