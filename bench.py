@@ -196,6 +196,7 @@ HEADLINE = [
     "hybrid_rrf_filtered",
     "hybrid_linear_fusion",
     "hybrid_combmnz_fusion",
+    "per_source_topn_salted",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",

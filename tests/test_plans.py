@@ -318,6 +318,47 @@ def test_window_partition_key_extraction(spark):
     assert audit_plan(multi)["window_partition_keys"] == {"g", "h"}
 
 
+def test_window_salt_shard_marker(spark):
+    """A window partitioned by (content_key, _salt) is sharded by
+    construction (operators/skew.py::grouped_topk phase 1): the parser
+    reports the allowlisted ``_salt`` marker ALONE, while the same
+    content key without the salt still surfaces for the gate to fail."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10)
+        .withColumn("fingerprint", F.col("id") % 3)
+        .withColumn("_salt", (F.col("id") % 4).cast("int"))
+    )
+    salted = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fingerprint", "_salt").orderBy("id")
+        ),
+    )
+    assert audit_plan(salted)["window_partition_keys"] == {"_salt"}
+    plain = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("fingerprint").orderBy("id")),
+    )
+    assert audit_plan(plain)["window_partition_keys"] == {"fingerprint"}
+
+
+def test_grouped_topk_plan_has_no_unsharded_window(spark, sf_dir):
+    """grouped_topk's whole point: its only Window is the _salt-sharded
+    phase-1 ranking; phase 2 is a combinable aggregate, not a window.
+    The audit must therefore see exactly the ``_salt`` marker."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+    from vector_database_api_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    a = audit_plan(grouped_topk(ev, "event_type", "value", "event_id", 5))
+    assert a["window_partition_keys"] == {"_salt"}
+
+
 def test_dedup_keep_first_plans_are_window_free(spark, sf_dir):
     """The keep-first family and the span doc-frequency profile must not
     plan a Window over an unbounded content key (hash / span / chunk

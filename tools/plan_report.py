@@ -60,6 +60,10 @@ BOUNDED_WINDOW_KEYS = {
     "l_orderkey", "o_orderkey",         # one order's lines
     "l_partkey", "ps_partkey",          # one part's suppliers (~4, SF-independent)
     "band", "probe_rank", "bucket",     # bounded index structure keys
+    # windows sharded by operators/skew.py::grouped_topk report this
+    # marker alone (plans/audit.py): per-task work is group/shards by
+    # construction, whatever the co-partition keys' cardinality
+    "_salt",
 }
 
 

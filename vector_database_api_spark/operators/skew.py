@@ -1,4 +1,4 @@
-"""Skew-mitigation join: salting for hot keys.
+"""Skew mitigation: salted joins and salted per-group top-k.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime by subdividing oversized partitions.  Salting is the explicit
@@ -14,7 +14,7 @@ to ``left.join(right, key)``) — pinned by tests/test_skew.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,4 +45,73 @@ def salted_join(
     )
     return (
         salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_col: str,
+    tie_col: str,
+    k: int,
+    shards: int = 16,
+) -> DataFrame:
+    """EXACT top-``k`` rows per group by (``order_col`` DESC,
+    ``tie_col`` ASC) — the skew-safe form of
+    ``row_number().over(partitionBy(group))`` for groups that can be
+    arbitrarily hot (a viral domain, a giant duplicate cluster).
+
+    The plain window serializes each group onto ONE task (AQE never
+    skew-splits windows — the BOUNDED_WINDOW_KEYS rationale), so a
+    100M-row group at 100 TB runs on one executor.  This operator
+    shards first: phase 1 ranks within (group, ``_salt``) — per-task
+    work is group_size/``shards``, the knob to size against the
+    hottest expected group — and keeps k rows per shard, an upper
+    bound on what can reach the global top-k from that shard.  Phase 2
+    reduces the <= shards*k survivors per group with a combinable
+    aggregate (sort_array over a collect_list bounded by construction
+    — NOT a second window, so no unbounded partition anywhere).  The
+    union of shard top-ks contains the group top-k, so the result is
+    row-for-row identical to the plain window (pinned by
+    tests/test_skew.py, and hash-proven against the plain-window
+    DuckDB oracle by queries.py::per_source_topn_salted).
+
+    (``order_col``, ``tie_col``) must be a TOTAL order (the usual
+    (score, id) shape) — with boundary ties the shard assignment could
+    otherwise pick either twin.  ``order_col`` must be numeric and
+    non-NULL: phase 2 sorts struct(-order, tie) ascending, the
+    direction-normalizing trick that keeps the reduce a plain
+    sort_array.  Shard assignment reuses ``salted_join``'s
+    monotonically_increasing_id discipline — deterministic under
+    retries and immune to value-identical rows landing in one shard
+    (hashing row CONTENT would re-concentrate exactly the giant
+    duplicate groups this exists for).  Output: group columns,
+    ``rank`` (1-based), and every non-group input column."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    payload = [c for c in df.columns if c not in gcols]
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % shards).cast("int")
+    )
+    shard_w = Window.partitionBy(*gcols, "_salt").orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(shard_w))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    packed = F.struct(
+        (-F.col(order_col)).alias("_neg_ord"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(*[F.col(c) for c in payload]).alias("_row"),
+    )
+    return (
+        pruned.groupBy(*gcols)
+        .agg(F.slice(F.sort_array(F.collect_list(packed)), 1, k).alias("_top"))
+        .select(*gcols, F.posexplode("_top").alias("_pos", "_item"))
+        .select(
+            *gcols,
+            (F.col("_pos") + 1).alias("rank"),
+            F.col("_item._row.*"),
+        )
     )

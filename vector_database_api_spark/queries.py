@@ -10458,4 +10458,44 @@ def bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PER_SOURCE_TOPN_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT source, CAST(rnk AS INT) AS rank, doc_id, n_chars
+FROM ranked
+WHERE rnk <= 3
+ORDER BY source, rank
+"""
+
+
+@register("per_source_topn_salted", _PER_SOURCE_TOPN_ORACLE)
+def per_source_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 documents per source by (n_chars DESC, doc_id ASC) through
+    the SKEW-SAFE salted two-phase operator
+    (`operators/skew.py::grouped_topk`) — the per-domain cap every
+    training-data pipeline applies (keep the N best pages per domain so
+    one crawler-friendly site cannot dominate the mixture), hash-proven
+    equal to the plain-window SQL the oracle runs.  The plain form
+    serializes each domain onto one task (AQE never splits windows);
+    the salted form bounds per-task work at group/shards, so a viral
+    domain holding 1% of a 100 TB crawl ranks on ``shards`` tasks
+    instead of one.  Phase 2 is a combinable sort_array reduce over
+    <= shards*k rows per group — no unsharded window anywhere in the
+    plan (pinned by tests/test_plans.py via the ``_salt`` audit
+    marker)."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return grouped_topk(
+        docs, "source", "n_chars", "doc_id", 3, shards=16
+    ).orderBy("source", "rank")
+
+
 _register_late_subplans()
