@@ -198,6 +198,8 @@ HEADLINE = [
     "hybrid_combmnz_fusion",
     "per_source_topn_salted",
     "source_topic_keywords",
+    "bm25_batch_topk",
+    "ir_eval_metrics",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",

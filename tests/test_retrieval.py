@@ -466,3 +466,104 @@ def test_ltr_feature_matrix_null_evidence_and_leg_coverage(spark, sf_dir):
     # engines LEFT-JOIN the same candidate pool); at this SF the dense
     # top-20 may happen to all contain a query term, so no hard
     # at-least-one-NULL assertion — the equivalence above is the pin.
+
+
+def test_ir_eval_matches_python_trec_eval(spark, sf_dir):
+    """The IR evaluation suite must agree with an independent pure-Python
+    trec_eval-style recomputation: qrels rebuilt from the raw corpus
+    (rel = #query terms present), run read back from bm25_batch_topk,
+    every metric recomputed with float arithmetic from scratch."""
+    from vector_database_api_spark.queries import _BATCH_QUERIES
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").lower().split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"] is not None
+    }
+    run = {}
+    for r in q.spark_queries()["bm25_batch_topk"](spark, sf_dir).collect():
+        run.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    got = {
+        r["qid"]: r
+        for r in q.spark_queries()["ir_eval_metrics"](spark, sf_dir).collect()
+    }
+    assert set(got) == {qid for qid, _ in _BATCH_QUERIES}
+    for qid, terms in _BATCH_QUERIES:
+        rel = {
+            d: sum(1 for t in terms if t in tk) for d, tk in docs.items()
+        }
+        graded = sorted((g for g in rel.values() if g > 0), reverse=True)
+        n_rel = sum(1 for g in rel.values() if g >= 2)
+        ranked = [rel[d] for _, d in sorted(run[qid])]
+        assert len(ranked) == 10
+        dcg = sum(
+            (2.0**g - 1.0) / math.log(i + 2) for i, g in enumerate(ranked)
+        )
+        idcg = sum(
+            (2.0**g - 1.0) / math.log(i + 2)
+            for i, g in enumerate(graded[:10])
+        )
+        hits = [1 if g >= 2 else 0 for g in ranked]
+        mrr = next(
+            (1.0 / (i + 1) for i, h in enumerate(hits) if h), 0.0
+        )
+        ap = (
+            sum(
+                sum(hits[: i + 1]) / (i + 1.0)
+                for i, h in enumerate(hits)
+                if h
+            )
+            / min(n_rel, 10)
+            if n_rel
+            else 0.0
+        )
+        m = got[qid]
+        assert m["n_rel"] == n_rel
+        assert m["ndcg10"] == pytest.approx(dcg / idcg if idcg else 0.0, abs=2e-6)
+        assert m["mrr10"] == pytest.approx(mrr, abs=2e-6)
+        assert m["map10"] == pytest.approx(ap, abs=2e-6)
+        assert m["p10"] == pytest.approx(sum(hits) / 10.0, abs=2e-6)
+        assert m["recall10"] == pytest.approx(
+            sum(hits) / n_rel if n_rel else 0.0, abs=2e-6
+        )
+
+
+def test_ir_metric_exprs_degenerate_cases(spark):
+    """The shared metric expressions on hand-built corner rows: a run
+    with zero relevant docs scores 0 everywhere; a perfect run (all
+    grade-3, ideal ordering) scores 1.0 on every normalized metric;
+    short runs (rel_r NULL past the result count) are treated as
+    non-relevant padding."""
+    from vector_database_api_spark.queries import _IR_METRICS
+
+    cols = ", ".join(f"rel_{r} int" for r in range(1, 11))
+    schema = f"qid int, {cols}, n3 bigint, n2 bigint, n1 bigint, n_rel bigint"
+    rows = [
+        # no relevant docs anywhere: metrics all zero (incl. guard paths)
+        tuple([1] + [0] * 10 + [0, 0, 5, 0]),
+        # perfect: 10 grade-3 results, exactly 10 grade-3 docs exist
+        tuple([2] + [3] * 10 + [10, 0, 0, 10]),
+        # short run: 2 results then NULL padding, 2 relevant total
+        tuple([3, 3, 2] + [None] * 8 + [1, 1, 0, 2]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["qid"]: r
+        for r in df.selectExpr(
+            "qid", *[f"{e} AS {n}" for n, e in _IR_METRICS.items()]
+        ).collect()
+    }
+    z = out[1]
+    assert (z["ndcg10"], z["mrr10"], z["map10"], z["p10"], z["recall10"]) == (
+        0.0, 0.0, 0.0, 0.0, 0.0,
+    )
+    p = out[2]
+    assert (p["ndcg10"], p["mrr10"], p["map10"], p["p10"], p["recall10"]) == (
+        1.0, 1.0, 1.0, 1.0, 1.0,
+    )
+    s = out[3]
+    assert s["mrr10"] == 1.0
+    assert s["p10"] == pytest.approx(0.2)
+    assert s["recall10"] == pytest.approx(1.0)
+    assert s["map10"] == pytest.approx(1.0)  # both relevant, found at 1 and 2
+    assert s["ndcg10"] == pytest.approx(1.0)  # ideal order for its qrels
