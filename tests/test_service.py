@@ -365,6 +365,61 @@ def test_hybrid_index_search(engine):
     assert vec_only[0]["id"] == "c00" and vec_only[0]["r_kw"] is None
 
 
+def test_hybrid_fusion_modes_match_operator_fusers(engine):
+    """search(fusion=linear|combmnz) must equal the operator-level
+    fusers applied to the SAME two legs (schema, ids and values) —
+    offering extra fusion modes costs only the O(k) combiner; and
+    non-hybrid paths reject a non-default fusion."""
+    from vector_database_api_spark.operators.bm25 import (
+        combmnz_fuse,
+        linear_fuse,
+    )
+    from vector_database_api_spark.operators.knn import knn_brute_force
+
+    engine.index_library("libA", "hybrid")
+    q = "python document number 0 about python"
+    chunks = engine.chunks("libA")
+    meta = engine._index_meta("libA")
+    kw_rows = engine._bm25_topk(meta[1], chunks, q, 5, None).collect()
+    qdf = engine.spark.createDataFrame(
+        [([float(x) for x in text_to_vector(q, 16)],)],
+        "query_embedding array<float>",
+    )
+    vec_rows = (
+        knn_brute_force(chunks, qdf, k=5).select("id", "similarity").collect()
+    )
+    kw_pairs = [(r["id"], r["score"]) for r in kw_rows]
+    vec_pairs = [(r["id"], r["similarity"]) for r in vec_rows]
+
+    lin = engine.search("libA", query_text=q, k=5, fusion="linear").collect()
+    assert set(lin[0].asDict()) == {"id", "n_kw", "n_vec", "fused", "similarity"}
+    exp_lin = linear_fuse(kw_pairs, vec_pairs)[:5]
+    assert [(r["id"], r["n_kw"], r["n_vec"], r["fused"]) for r in lin] == [
+        (d, nk, nv, raw) for d, nk, nv, raw in exp_lin
+    ]
+
+    mnz = engine.search("libA", query_text=q, k=5, fusion="combmnz").collect()
+    assert set(mnz[0].asDict()) == {"id", "hits", "combmnz", "similarity"}
+    exp_mnz = combmnz_fuse(kw_pairs, vec_pairs)[:5]
+    assert [(r["id"], r["hits"], r["combmnz"]) for r in mnz] == [
+        (d, h, raw) for d, h, raw in exp_mnz
+    ]
+    # the top consensus doc hits both legs
+    assert mnz[0]["hits"] == 2 and mnz[0]["id"] == "c00"
+
+    # telemetry carries the fusion dimension
+    _, m = engine.search_timed("libA", query_text=q, k=3, fusion="combmnz")
+    assert m["fusion"] == "combmnz" and m["n_results"] == 3
+    assert "fusion" in engine.search_metrics_df().columns
+
+    # validation: unknown fusion, and non-hybrid paths reject non-default
+    with pytest.raises(ValueError, match="fusion must be"):
+        engine.search("libA", query_text=q, fusion="borda")
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="needs a built hybrid index"):
+        engine.search("libA", query_text=q, fusion="linear")
+
+
 def test_index_switch_drops_text_indexes(engine):
     import os
 

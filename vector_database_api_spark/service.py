@@ -494,6 +494,7 @@ class VectorEngine:
         similarity_threshold: float | None = None,
         mode: str = "or",
         ranking: str = "bm25",
+        fusion: str = "rrf",
     ) -> DataFrame:
         """Filtered top-k search: index dispatch when built, brute-force
         fallback otherwise; k clamped to [1, max_k] with default
@@ -525,7 +526,16 @@ class VectorEngine:
         Lucene LMDirichlet decomposition in
         operators/bm25.py::ql_dirichlet_search).  The pruning modes
         ("maxscore"/"blockmax") are BM25-bound-specific and raise with
-        ranking="ql"; "or"/"and" compose."""
+        ranking="ql"; "or"/"and" compose.
+
+        ``fusion`` selects the hybrid-index leg combiner (hybrid index
+        only — any other path raises on a non-default fusion):
+        ``"rrf"`` (default, rank-only reciprocal-rank fusion, registry
+        twin ``hybrid_rrf_fusion``), ``"linear"`` (0.6/0.4 weighted
+        blend of min-max-normalized leg scores, twin
+        ``hybrid_linear_fusion``) or ``"combmnz"`` (normalized score
+        sum x legs-retrieving count, twin ``hybrid_combmnz_fusion``).
+        The result schema follows the fusion's native columns."""
         meta = self._index_meta(library_id)
         kind = meta[0] if meta is not None else None
         if mode not in ("or", "and", "maxscore", "blockmax"):
@@ -536,6 +546,14 @@ class VectorEngine:
         if mode != "or" and kind != "bm25":
             raise ValueError(
                 f"mode='{mode}' needs a built bm25 index, not '{kind}'"
+            )
+        if fusion not in ("rrf", "linear", "combmnz"):
+            raise ValueError(
+                f"fusion must be 'rrf', 'linear' or 'combmnz', got '{fusion}'"
+            )
+        if fusion != "rrf" and kind != "hybrid":
+            raise ValueError(
+                f"fusion='{fusion}' needs a built hybrid index, not '{kind}'"
             )
         self._check_ranking(ranking, mode, kind)
         if query_embedding is None and kind != "bm25":
@@ -576,6 +594,7 @@ class VectorEngine:
                 k,
                 metadata_filters,
                 similarity_threshold,
+                fusion=fusion,
             )
 
         if meta is None:
@@ -718,6 +737,7 @@ class VectorEngine:
         similarity_threshold: float | None = None,
         mode: str = "or",
         ranking: str = "bm25",
+        fusion: str = "rrf",
     ) -> tuple[list, dict[str, Any]]:
         """``search()`` with the reference's per-request telemetry
         (``execution_time_ms``): dispatches identically, attaches an
@@ -740,6 +760,7 @@ class VectorEngine:
             similarity_threshold=similarity_threshold,
             mode=mode,
             ranking=ranking,
+            fusion=fusion,
         )
         score_col = self._score_column(result)
         obs = Observation()
@@ -756,6 +777,7 @@ class VectorEngine:
             "library_id": library_id,
             "mode": mode,
             "ranking": ranking,
+            "fusion": fusion,
             "execution_time_ms": round(elapsed_ms, 3),
             **obs.get,
         }
@@ -766,12 +788,13 @@ class VectorEngine:
 
     def search_metrics_df(self) -> DataFrame:
         """The request-telemetry log as a DataFrame (newest last):
-        (library_id, mode, ranking, execution_time_ms, n_results,
-        best_score, worst_score) — aggregate it like any other table (p95 latency,
-        per-mode means).  Bounded by SEARCH_METRICS_CAP requests."""
+        (library_id, mode, ranking, fusion, execution_time_ms,
+        n_results, best_score, worst_score) — aggregate it like any
+        other table (p95 latency, per-mode means).  Bounded by
+        SEARCH_METRICS_CAP requests."""
         schema = (
             "library_id string, mode string, ranking string, "
-            "execution_time_ms double, "
+            "fusion string, execution_time_ms double, "
             "n_results bigint, best_score double, worst_score double"
         )
         return self.spark.createDataFrame(
@@ -780,6 +803,7 @@ class VectorEngine:
                     m["library_id"],
                     m["mode"],
                     m.get("ranking", "bm25"),
+                    m.get("fusion", "rrf"),
                     float(m["execution_time_ms"]),
                     int(m["n_results"]),
                     m["best_score"],
@@ -869,20 +893,27 @@ class VectorEngine:
         k: int,
         metadata_filters: dict[str, Any] | None,
         similarity_threshold: float | None,
+        fusion: str = "rrf",
     ) -> DataFrame:
         """Two-leg hybrid search, reference filter-then-search semantics
-        composed with RRF fusion (rrf_k=60, the standard constant): the
-        metadata filter restricts BOTH legs BEFORE their top-k cuts, each
-        leg is a distributed top-k (keyword: postings join; vector: exact
-        cosine scan — the oracle-exact leg; an ANN index slots in here at
-        larger corpora), and fusion runs over the two COLLECTED k-row legs
-        — bounded O(k) coordinator work, constant in corpus size (the
-        fusion locus of every real hybrid engine; the registry twin
-        ``hybrid_rrf_filtered`` oracle-checks the same pipeline).  Without
-        ``query_text`` the keyword leg is empty and the result degrades to
-        vector ranks — same contract, fewer signals.
+        composed with the selected fusion: the metadata filter restricts
+        BOTH legs BEFORE their top-k cuts, each leg is a distributed
+        top-k (keyword: postings join; vector: exact cosine scan — the
+        oracle-exact leg; an ANN index slots in here at larger corpora),
+        and fusion runs over the two COLLECTED k-row legs — bounded O(k)
+        coordinator work, constant in corpus size (the fusion locus of
+        every real hybrid engine; the registry twins
+        ``hybrid_rrf_filtered`` / ``hybrid_linear_fusion`` /
+        ``hybrid_combmnz_fusion`` oracle-check the same combiners).
+        Offering all three fusion modes costs ZERO extra corpus work:
+        legs are computed once per request, only the O(k) combiner
+        differs.  Without ``query_text`` the keyword leg is empty and
+        the result degrades to vector ranks — same contract, fewer
+        signals.
 
-        Returns (id, r_kw, r_vec, rrf, similarity); similarity is the
+        Returns the fusion's native columns plus ``similarity`` — rrf:
+        (id, r_kw, r_vec, rrf, ...); linear: (id, n_kw, n_vec, fused,
+        ...); combmnz: (id, hits, combmnz, ...).  ``similarity`` is the
         doc's cosine when it appeared in the vector leg (NULL for
         keyword-only docs, which a set threshold therefore drops)."""
         vec_leg = knn_brute_force(
@@ -897,18 +928,36 @@ class VectorEngine:
             kw_rows, vec_rows = bm25_mod.collect_parallel(kw_leg, vec_leg)
         else:
             kw_rows, vec_rows = [], vec_leg.collect()
-        fused = bm25_mod.rrf_fuse(
-            [(r["id"], r["score"]) for r in kw_rows],
-            [(r["id"], r["similarity"]) for r in vec_rows],
-        )
+        kw_pairs = [(r["id"], r["score"]) for r in kw_rows]
+        vec_pairs = [(r["id"], r["similarity"]) for r in vec_rows]
         sims = {r["id"]: float(r["similarity"]) for r in vec_rows}
-        out = self.spark.createDataFrame(
-            [
+        if fusion == "rrf":
+            fused = bm25_mod.rrf_fuse(kw_pairs, vec_pairs)
+            rows = [
                 (d, rk, rv, raw, sims.get(d))
                 for d, rk, rv, raw in fused[: int(k)]
-            ],
-            "id string, r_kw int, r_vec int, rrf double, similarity double",
-        )
+            ]
+            schema = (
+                "id string, r_kw int, r_vec int, rrf double, "
+                "similarity double"
+            )
+        elif fusion == "linear":
+            fused = bm25_mod.linear_fuse(kw_pairs, vec_pairs)
+            rows = [
+                (d, nk, nv, raw, sims.get(d))
+                for d, nk, nv, raw in fused[: int(k)]
+            ]
+            schema = (
+                "id string, n_kw double, n_vec double, fused double, "
+                "similarity double"
+            )
+        else:
+            fused = bm25_mod.combmnz_fuse(kw_pairs, vec_pairs)
+            rows = [
+                (d, h, raw, sims.get(d)) for d, h, raw in fused[: int(k)]
+            ]
+            schema = "id string, hits int, combmnz double, similarity double"
+        out = self.spark.createDataFrame(rows, schema)
         return self._apply_threshold(out, similarity_threshold)
 
     def search_diversified(
@@ -1024,8 +1073,9 @@ class VectorEngine:
     @staticmethod
     def _score_column(result: DataFrame) -> str:
         """The native score column of a search result, per dispatch path:
-        'score' (bm25), 'rrf' (hybrid), else 'similarity' (vector)."""
-        for c in ("score", "rrf", "similarity"):
+        'score' (bm25), 'rrf'/'fused'/'combmnz' (hybrid, per fusion mode),
+        else 'similarity' (vector)."""
+        for c in ("score", "rrf", "fused", "combmnz", "similarity"):
             if c in result.columns:
                 return c
         raise ValueError(f"no score column in {result.columns}")
