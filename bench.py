@@ -200,6 +200,8 @@ HEADLINE = [
     "source_topic_keywords",
     "bm25_batch_topk",
     "ir_eval_metrics",
+    "term_autocomplete",
+    "more_like_this_topk",
     "mmr_diversified_topk",
     "phrase_search_positional",
     "search_facet_counts",

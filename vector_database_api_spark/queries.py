@@ -10466,6 +10466,41 @@ def bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTOCOMPLETE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term <> '' GROUP BY term
+)
+SELECT term, df FROM vocab
+WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 5
+"""
+
+
+@register("term_autocomplete", _AUTOCOMPLETE_ORACLE)
+def term_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete: the 5 most-frequent vocabulary terms
+    starting with 's', ranked by document frequency — the suggest-as-
+    you-type surface every search box needs, served from the VOCAB
+    artifact (`_cached_vocab`, the distinct-term projection of the
+    postings).  Plan: a vocab-sized probe with the prefix predicate +
+    TakeOrderedAndProject — NEVER touches the corpus or the postings;
+    at 100 TB the vocabulary is the only thing that grows (sub-
+    linearly), and a real deployment range-partitions it by term so
+    the prefix probe prunes to one partition (the Z-order/layout
+    discipline in sources/formats.py)."""
+    vocab = _cached_vocab(spark, sf_dir)
+    return (
+        vocab.filter(F.col("term").startswith("s"))
+        .orderBy(F.desc("df"), "term")
+        .limit(5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched multi-query retrieval + IR evaluation (nDCG / MRR / MAP / P / R).
 #
@@ -10780,6 +10815,136 @@ def ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(expr), 6).alias(name)
             for name, expr in _IR_METRICS.items()
         ],
+    )
+
+
+_MLT_SEED = 0  # seed document for more-like-this
+_MLT_N_TERMS = 3
+_MLT_WT = (
+    "CAST(tf AS DOUBLE) * ln(1.0 + (CAST(n_docs AS DOUBLE)"
+    " - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+)
+_MLT_CONTRIBS = " + ".join(
+    f"({_bm25_contrib_cols_sql(f'tf_p{p}', f'df_p{p}')})"
+    for p in range(1, _MLT_N_TERMS + 1)
+)
+_MLT_NMATCH = " + ".join(
+    f"(CASE WHEN tf_p{p} > 0 THEN 1 ELSE 0 END)"
+    for p in range(1, _MLT_N_TERMS + 1)
+)
+
+_MLT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+lens AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term <> '' GROUP BY term
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+seedtf AS (
+  SELECT term, count(*) AS tf FROM toks
+  WHERE doc_id = {_MLT_SEED} AND length(term) >= 3
+  GROUP BY term
+),
+mlt AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY {_MLT_WT} DESC, term) AS INT) AS r
+  FROM seedtf JOIN vocab USING (term) CROSS JOIN stats
+  ORDER BY r LIMIT {_MLT_N_TERMS}
+),
+hitstf AS (
+  SELECT t.doc_id, m.r, m.df, count(*) AS tf
+  FROM toks t JOIN mlt m USING (term)
+  GROUP BY t.doc_id, m.r, m.df
+),
+piv AS (
+  SELECT doc_id,
+         {", ".join(f"max(CASE WHEN r = {p} THEN tf END) AS tf_p{p}" for p in range(1, _MLT_N_TERMS + 1))},
+         {", ".join(f"max(CASE WHEN r = {p} THEN df END) AS df_p{p}" for p in range(1, _MLT_N_TERMS + 1))}
+  FROM hitstf GROUP BY doc_id
+),
+mscored AS (
+  SELECT p.doc_id,
+         {_MLT_NMATCH} AS n_terms,
+         round({_MLT_CONTRIBS}, 6) AS mlt_score
+  FROM piv p JOIN lens USING (doc_id) CROSS JOIN stats
+  WHERE p.doc_id <> {_MLT_SEED}
+)
+SELECT doc_id, n_terms, mlt_score FROM mscored
+ORDER BY mlt_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("more_like_this_topk", _MLT_ORACLE)
+def more_like_this_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style MoreLikeThis: extract the seed document's
+    {_MLT_N_TERMS} most representative terms (tf x idf over its own
+    tokens, len >= 3 — the MLT interestingness heuristic), then BM25
+    those terms against the corpus, seed excluded — the
+    find-similar-documents surface a document store serves next to
+    vector kNN (this is its LEXICAL twin; `knn_cosine_topk` is the
+    dense one).
+
+    Plan at 100 TB: term extraction reads ONE document's posting rows
+    (a seed-id probe of the postings artifact joined to the vocab df
+    table — never the corpus) and collects <= a document's distinct
+    terms at the coordinator, the RM3/feedback discipline — cached per
+    seed as the term-vector artifact (Lucene serves MLT from STORED
+    term vectors for exactly this reason, and the extracted rows carry
+    their df, so scoring needs no vocab join); scoring is the batch
+    machinery — derived terms broadcast into the postings, per-(doc)
+    tf/df pivot to FIXED term-rank columns, fixed-order scalar
+    contributions (bit-exact with the oracle, no accumulation-order
+    float sums), TakeOrderedAndProject."""
+    postings, doclens = _cached_bm25_postings(spark, sf_dir)
+    stats = _cached_bm25_stats(spark, sf_dir).select("n_docs", "avgdl")
+    tv_key = ("mlt-term-vector", sf_dir, _MLT_SEED)
+    if tv_key not in _SERVING_INDEXES:
+        vocab = _cached_vocab(spark, sf_dir)
+        _SERVING_INDEXES[tv_key] = (
+            postings.filter(F.col("id") == _MLT_SEED)
+            .filter(F.length("term") >= 3)
+            .join(F.broadcast(vocab), "term")
+            .crossJoin(F.broadcast(stats.select("n_docs")))
+            .select("term", "df", F.expr(_MLT_WT).alias("wt"))
+            .orderBy(F.desc("wt"), "term")
+            .limit(_MLT_N_TERMS)
+            .collect()
+        )
+    seed_terms = _SERVING_INDEXES[tv_key]
+    qterms = spark.createDataFrame(
+        [(p, r["term"], r["df"]) for p, r in enumerate(seed_terms, 1)],
+        "r int, term string, df bigint",
+    )
+    hits = postings.join(F.broadcast(qterms), "term")
+    piv = hits.groupBy(F.col("id").alias("doc_id")).agg(
+        *[
+            F.max(F.when(F.col("r") == p, F.col("tf"))).alias(f"tf_p{p}")
+            for p in range(1, _MLT_N_TERMS + 1)
+        ],
+        *[
+            F.max(F.when(F.col("r") == p, F.col("df"))).alias(f"df_p{p}")
+            for p in range(1, _MLT_N_TERMS + 1)
+        ],
+    )
+    return (
+        piv.filter(F.col("doc_id") != _MLT_SEED)
+        .join(doclens.select(F.col("id").alias("doc_id"), "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(_MLT_NMATCH).alias("n_terms"),
+            F.round(F.expr(_MLT_CONTRIBS), 6).alias("mlt_score"),
+        )
+        .orderBy(F.desc("mlt_score"), "doc_id")
+        .limit(10)
     )
 
 
