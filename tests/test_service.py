@@ -420,6 +420,46 @@ def test_hybrid_fusion_modes_match_operator_fusers(engine):
         engine.search("libA", query_text=q, fusion="linear")
 
 
+def test_find_similar_by_id(engine):
+    """find_similar: by='vector' ranks by cosine to the seed's own
+    embedding with the seed excluded; by='text' is MLT from the stored
+    text index; 404-analogue and validation errors."""
+    sim = engine.find_similar("libA", "c00", k=3).collect()
+    assert len(sim) == 3 and all(r["id"] != "c00" for r in sim)
+    assert set(sim[0].asDict()) == {"id", "similarity", "distance"}
+    sims = [r["similarity"] for r in sim]
+    assert sims == sorted(sims, reverse=True)
+    # matches the brute-force ranking with the seed dropped
+    qdf = engine.spark.createDataFrame(
+        [([float(x) for x in text_to_vector(
+            "python document number 0 about python", 16)],)],
+        "query_embedding array<float>",
+    )
+    from vector_database_api_spark.operators.knn import knn_brute_force
+
+    expect = [
+        r["id"]
+        for r in knn_brute_force(engine.chunks("libA"), qdf, k=4).collect()
+        if r["id"] != "c00"
+    ][:3]
+    assert [r["id"] for r in sim] == expect
+
+    engine.index_library("libA", "bm25")
+    sim_t = engine.find_similar("libA", "c00", k=3, by="text").collect()
+    assert len(sim_t) == 3 and all(r["id"] != "c00" for r in sim_t)
+    assert set(sim_t[0].asDict()) == {"id", "score"}
+    # the seed's representative terms are python-topic tokens
+    assert int(sim_t[0]["id"][1:]) % 3 == 0
+
+    with pytest.raises(KeyError, match="not found"):
+        engine.find_similar("libA", "nope")
+    with pytest.raises(ValueError, match="by must be"):
+        engine.find_similar("libA", "c00", by="graph")
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="needs a bm25 or hybrid"):
+        engine.find_similar("libA", "c00", by="text")
+
+
 def test_index_switch_drops_text_indexes(engine):
     import os
 

@@ -1401,3 +1401,90 @@ class VectorEngine:
         raise ValueError(
             f"search_after supports bm25/brute-force paths, not '{kind}'"
         )
+
+    MLT_N_TERMS = 3
+
+    def find_similar(
+        self,
+        library_id: str,
+        chunk_id: str,
+        k: int | None = None,
+        by: str = "vector",
+    ) -> DataFrame:
+        """Find-similar-by-id: the "more like this document" surface a
+        store serves next to free-text search (Elasticsearch
+        more_like_this with a doc reference; the reference engine only
+        offers query-by-vector — this closes the by-id gap on both
+        evidence types).  ``by="vector"`` ranks by cosine to the seed
+        chunk's own embedding (no index needed — the brute-force scan,
+        an ANN index slots in identically); ``by="text"`` is Lucene-style
+        MLT from the stored text index: the seed's top tf*idf terms
+        (len >= 3, df from the posting lists — a TERM-BOUNDED probe,
+        never a corpus scan) feed the shared BM25 scorer (registry twin
+        `more_like_this_topk` oracle-checks the same math).  The seed
+        itself is excluded; a missing chunk raises KeyError (the
+        reference's 404 analogue).  k+1 rows collect and the seed drops
+        at the coordinator (bounded by max_k) — a filter above the
+        sorted limit would not preserve ranking order."""
+        if by not in ("vector", "text"):
+            raise ValueError(f"by must be 'vector' or 'text', got '{by}'")
+        k = self.config.clamp_k(k)
+        chunks = self.chunks(library_id)
+        seed = (
+            chunks.filter(F.col("id") == chunk_id)
+            .select("embedding")
+            .first()
+        )
+        if seed is None:
+            raise KeyError(
+                f"chunk '{chunk_id}' not found in library '{library_id}'"
+            )
+        if by == "vector":
+            qdf = self.spark.createDataFrame(
+                [([float(x) for x in seed["embedding"]],)],
+                "query_embedding array<float>",
+            )
+            rows = knn_brute_force(chunks, qdf, k=int(k) + 1).collect()
+            keep = [r for r in rows if r["id"] != chunk_id][: int(k)]
+            return self.spark.createDataFrame(
+                [(r["id"], r["similarity"], r["distance"]) for r in keep],
+                "id string, similarity double, distance double",
+            )
+        meta = self._index_meta(library_id)
+        if meta is None or meta[0] not in ("bm25", "hybrid"):
+            raise ValueError(
+                "find_similar(by='text') needs a bm25 or hybrid index, "
+                f"not '{meta[0] if meta else None}'"
+            )
+        postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
+        seed_post = postings.filter(F.col("id") == chunk_id).filter(
+            F.length("term") >= 3
+        )
+        dfs = (
+            postings.join(
+                F.broadcast(seed_post.select("term")), "term", "left_semi"
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        terms = [
+            r["term"]
+            for r in seed_post.join(F.broadcast(dfs), "term")
+            .select("term", (F.col("tf").cast("double") * idf).alias("wt"))
+            .orderBy(F.desc("wt"), "term")
+            .limit(self.MLT_N_TERMS)
+            .collect()
+        ]
+        if not terms:
+            return self.spark.createDataFrame([], "id string, score double")
+        rows = bm25_mod.bm25_search(
+            postings, doclens, n_docs, avgdl, terms, k=int(k) + 1
+        ).collect()
+        keep = [r for r in rows if r["id"] != chunk_id][: int(k)]
+        return self.spark.createDataFrame(
+            [(r["id"], r["score"]) for r in keep], "id string, score double"
+        )
