@@ -766,3 +766,60 @@ def test_near_dup_gate_holds_at_10x_batch_size(spark, tmp_path):
             want.add(rid)
     assert got == want
     assert len(want) < docs.count()
+
+
+def test_streaming_topic_model_matches_batch_and_replay(spark, tmp_path, sf_dir):
+    """Streamed c-TF-IDF topic-model counts == batch recomputation over
+    the same corpus (identical scorer, so scores match bit-for-bit),
+    and crash-replay of a committed batch is a no-op."""
+    from vector_database_api_spark.operators.quality import ctfidf_scores
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 20), (20, 35), (35, 10**9)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "topic_counts")
+    M.incremental_topic_model_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        store,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination(300)
+
+    streamed = {
+        (r["source"], r["term"]): r["ctfidf"]
+        for r in M.topic_model_serving(spark, store).collect()
+    }
+
+    batch_tc = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    batch = {
+        (r["source"], r["term"]): r["ctfidf"]
+        for r in ctfidf_scores(batch_tc).collect()
+    }
+    assert streamed == batch  # bit-exact: same counts, same scorer
+
+    # crash-replay: reprocess batch 0's rows under the same batch id —
+    # dynamic overwrite rewrites its own partition with identical content
+    proc = M.topic_counts_batch_processor(store)
+    proc(docs.filter(F.col("doc_id") < 20), 0)
+    replayed = {
+        (r["source"], r["term"]): r["ctfidf"]
+        for r in M.topic_model_serving(spark, store).collect()
+    }
+    assert replayed == batch

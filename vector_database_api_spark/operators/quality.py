@@ -42,3 +42,39 @@ def observed_keep_counts(decisions: DataFrame) -> tuple[DataFrame, Observation]:
         ).alias("n_repetitive"),
     )
     return observed, obs
+
+
+def ctfidf_scores(tc: DataFrame, class_col: str = "source") -> DataFrame:
+    """(class, term, ctfidf) from a (class, term, cnt) count table —
+    class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst 2022):
+    score = (tf_in_class / class_tokens) * ln(1 + avg_class_tokens /
+    corpus_tf).  Shared by the batch topic query
+    (queries.source_topic_keywords) and the streamed topic-model
+    artifact (streaming.maintenance.topic_model_serving), so streamed
+    == batch is an identity of plans, not a tolerance.
+
+    Scale shape: every derived statistic is a combinable aggregate of
+    the count table (per-class totals broadcast back — classes are
+    enumerable; per-term totals a vocab-bounded shuffle join,
+    AQE-splittable; average class size a 1-row broadcast), and the
+    score itself is whole-stage arithmetic on integer counts — no
+    float accumulation anywhere, so the doubles are reproducible
+    bit-for-bit across engines."""
+    wc = tc.groupBy(class_col).agg(F.sum("cnt").alias("w_c"))
+    ft = tc.groupBy("term").agg(F.sum("cnt").alias("f_t"))
+    tot = wc.agg(
+        (F.sum("w_c").cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        tc.join(F.broadcast(wc), class_col)
+        .join(ft, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            class_col,
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.col("w_c").cast("double"))
+                * F.log(F.lit(1.0) + F.col("a") / F.col("f_t").cast("double"))
+            ).alias("ctfidf"),
+        )
+    )

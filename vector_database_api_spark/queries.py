@@ -11058,6 +11058,8 @@ def source_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull()
         )
+        from vector_database_api_spark.operators.quality import ctfidf_scores
+
         tc = (
             docs.select(
                 "source",
@@ -11070,30 +11072,10 @@ def source_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .persist()
         )
-        wc = tc.groupBy("source").agg(F.sum("cnt").alias("w_c"))
-        ft = tc.groupBy("term").agg(F.sum("cnt").alias("f_t"))
-        tot = wc.agg(
-            (F.sum("w_c").cast("double") / F.count(F.lit(1))).alias("a")
-        )
-        scored = (
-            tc.join(F.broadcast(wc), "source")
-            .join(ft, "term")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "source",
-                "term",
-                (
-                    (
-                        F.col("cnt").cast("double")
-                        / F.col("w_c").cast("double")
-                    )
-                    * F.log(
-                        F.lit(1.0) + F.col("a") / F.col("f_t").cast("double")
-                    )
-                ).alias("ctfidf"),
-            )
-            .persist()
-        )
+        # scorer shared with the streamed artifact
+        # (streaming.maintenance.topic_model_serving) — streamed ==
+        # batch is an identity of plans
+        scored = ctfidf_scores(tc, "source").persist()
         scored.count()
         tc.unpersist()
         _SERVING_INDEXES[key] = scored

@@ -1087,3 +1087,88 @@ def bm25_index_serving_stats(spark: SparkSession, index_dir: str):
         .first()
     )
     return int(row["n_docs"]), float(row["avgdl"]) if row["avgdl"] is not None else 1.0
+
+
+def topic_counts_batch_processor(
+    store_dir: str,
+    text_col: str = "text",
+    class_col: str = "source",
+    min_len: int = 3,
+):
+    """foreachBatch body of :func:`incremental_topic_model_maintenance`,
+    exposed at module level so tests drive crash/replay directly.
+
+    Maintains the (class, term, cnt) count table behind the c-TF-IDF
+    topic-model artifact (queries.source_topic_keywords persists the
+    derived scores per corpus; this keeps the upstream counts fresh
+    under ingest).  Each micro-batch writes ONLY its own partial
+    counts, partitioned by ``_batch_id`` with dynamic partition
+    overwrite — a replayed batch rewrites its own partition with
+    identical content, so the sink is idempotent with no meta guard.
+    Serving merges partials with a combinable sum
+    (:func:`topic_model_serving`) — merge-on-read, never a rewrite of
+    the vocab-sized table per batch."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        tc = (
+            batch.filter(F.col(text_col).isNotNull())
+            .select(
+                class_col,
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), " ", -1)
+                ).alias("term"),
+            )
+            .filter(F.length("term") >= min_len)
+            .groupBy(class_col, "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        (
+            tc.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(store_dir)
+        )
+
+    return process_batch
+
+
+def incremental_topic_model_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    class_col: str = "source",
+) -> StreamingQuery:
+    """Streaming maintenance of the topic-model count table — the
+    M1-family twin for the c-TF-IDF surface: as documents arrive, the
+    per-class term counts stay fresh without recomputing the corpus
+    explode.  Semantics, replay safety and scale shape on
+    :func:`topic_counts_batch_processor`."""
+    process_batch = topic_counts_batch_processor(
+        store_dir, text_col=text_col, class_col=class_col
+    )
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def topic_model_serving(
+    spark: SparkSession, store_dir: str, class_col: str = "source"
+) -> DataFrame:
+    """(class, term, ctfidf) served from the streamed count partials:
+    merge-on-read combinable sum, then the SAME scorer the batch query
+    uses (operators/quality.py::ctfidf_scores) — streamed == batch is
+    an identity of plans, pinned by tests/test_streaming.py."""
+    from vector_database_api_spark.operators.quality import ctfidf_scores
+
+    tc = (
+        spark.read.parquet(store_dir)
+        .groupBy(class_col, "term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return ctfidf_scores(tc, class_col)
