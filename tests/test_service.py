@@ -420,6 +420,24 @@ def test_hybrid_fusion_modes_match_operator_fusers(engine):
         engine.search("libA", query_text=q, fusion="linear")
 
 
+def test_suggest_terms_prefix_autocomplete(engine):
+    """suggest_terms ranks index terms under a prefix by (df DESC, term
+    ASC); needs a text index; rejects an empty prefix."""
+    engine.index_library("libA", "bm25")
+    got = engine.suggest_terms("libA", "d", n=3).collect()
+    assert [r["term"] for r in got][:2] == ["document", "databases"]
+    # 'document' hits all 20 libA chunks, 'databases' its topic third
+    assert got[0]["df"] == 20
+    dfs = [r["df"] for r in got]
+    assert dfs == sorted(dfs, reverse=True)
+    assert engine.suggest_terms("libA", "zzz").collect() == []
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.suggest_terms("libA", "")
+    engine.index_library("libA", "lsh")
+    with pytest.raises(ValueError, match="needs a bm25 or hybrid"):
+        engine.suggest_terms("libA", "d")
+
+
 def test_find_similar_by_id(engine):
     """find_similar: by='vector' ranks by cosine to the seed's own
     embedding with the seed excluded; by='text' is MLT from the stored

@@ -1404,6 +1404,35 @@ class VectorEngine:
 
     MLT_N_TERMS = 3
 
+    def suggest_terms(
+        self, library_id: str, prefix: str, n: int = 5
+    ) -> DataFrame:
+        """Prefix autocomplete from the stored text index (bm25 or
+        hybrid required): the ``n`` most-frequent index terms starting
+        with ``prefix``, by (document frequency DESC, term ASC) —
+        the suggest-as-you-type surface (registry twin
+        `term_autocomplete` oracle-checks the same ranking).  Cost is a
+        vocab-sized aggregate over the prefix-filtered postings — the
+        predicate pushes to the parquet scan of the index, never
+        touches chunk text.  Empty prefix is rejected (it would rank
+        the whole vocabulary)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        meta = self._index_meta(library_id)
+        if meta is None or meta[0] not in ("bm25", "hybrid"):
+            raise ValueError(
+                "suggest_terms needs a bm25 or hybrid index, "
+                f"not '{meta[0] if meta else None}'"
+            )
+        postings, _, _, _ = self._read_text_index(meta[1])
+        return (
+            postings.filter(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .orderBy(F.desc("df"), "term")
+            .limit(int(n))
+        )
+
     def find_similar(
         self,
         library_id: str,
