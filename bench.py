@@ -200,6 +200,7 @@ HEADLINE = [
     "source_topic_keywords",
     "bm25_batch_topk",
     "ir_eval_metrics",
+    "query_difficulty_nqc",
     "term_autocomplete",
     "more_like_this_topk",
     "mmr_diversified_topk",

@@ -10818,6 +10818,106 @@ def ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nqc_exprs() -> dict[str, str]:
+    """Textual query-difficulty expressions over score columns
+    (s_1..s_10), valid verbatim in Spark SQL and DuckDB.  NQC (Shtok,
+    Kurland & Carmel 2012) is the standard deviation of the top-k
+    retrieval scores, normalized here by the top-1 score (the corpus-
+    mean normalizer of the paper would be a float sum over an
+    unbounded hit set — accumulation-order-dependent across engines
+    and across Spark runs; the top-1 variant keeps every operand one
+    of 10 FIXED columns).  All sums are fixed-order textual chains,
+    divisors are double casts — bit-exact across engines, no
+    aggregation anywhere."""
+    ranks = range(1, 11)
+    mean = (
+        "(" + " + ".join(f"s_{r}" for r in ranks) + ") / CAST(10.0 AS DOUBLE)"
+    )
+    var = (
+        "("
+        + " + ".join(f"(s_{r} - _m) * (s_{r} - _m)" for r in ranks)
+        + ") / CAST(10.0 AS DOUBLE)"
+    )
+    return {
+        "mean10": mean,
+        "var10": var,  # references _m (the staged mean column)
+        "nqc10": (
+            "CASE WHEN s_1 > CAST(0.0 AS DOUBLE) THEN sqrt(_v) / s_1 "
+            "ELSE CAST(0.0 AS DOUBLE) END"
+        ),
+    }
+
+
+_NQC = _nqc_exprs()
+
+_QPP_ORACLE = f"""
+WITH {_BATCH_CTES},
+spiv AS (
+  SELECT qid,
+         {", ".join(f"max(CASE WHEN rank = {r} THEN bm25 END) AS s_{r}" for r in range(1, 11))}
+  FROM branked WHERE rank <= 10 GROUP BY qid
+),
+staged AS (
+  SELECT qid, s_1, {_NQC["mean10"]} AS _m,
+         {", ".join(f"s_{r}" for r in range(2, 11))}
+  FROM spiv
+),
+staged2 AS (
+  SELECT qid, s_1, _m, {_NQC["var10"]} AS _v FROM staged
+)
+SELECT qid, round(_m, 6) AS mean_top10, round(s_1, 6) AS best_score,
+       round({_NQC["nqc10"]}, 6) AS nqc10
+FROM staged2
+ORDER BY qid
+"""
+
+
+@register("query_difficulty_nqc", _QPP_ORACLE)
+def query_difficulty_nqc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction over the batch run: NQC (Shtok et
+    al. 2012) — the standard deviation of the top-10 retrieval scores,
+    top-1-normalized — per query, the post-retrieval difficulty signal
+    a serving stack uses to gate expensive second passes (run RM3 or a
+    reranker only when the first pass looks unstable).  A low NQC =
+    flat score curve = the query is hard / evidence is weak.
+
+    Scale shape: reads the persisted run artifact (`_cached_batch_run`
+    — no rescoring), pivots the top-10 scores to FIXED rank columns in
+    one combinable groupBy, and evaluates mean/variance/NQC as
+    fixed-order scalar chains over those 10 columns (no aggregation,
+    no transcendental but sqrt — IEEE-exact on both engines), so the
+    predictor costs O(Q) rows of arithmetic whatever the corpus
+    size."""
+    run = _cached_batch_run(spark, sf_dir)
+    spiv = (
+        run.filter(F.col("rank") <= 10)
+        .groupBy("qid")
+        .agg(
+            *[
+                F.max(F.when(F.col("rank") == r, F.col("bm25"))).alias(
+                    f"s_{r}"
+                )
+                for r in range(1, 11)
+            ]
+        )
+    )
+    staged = spiv.select(
+        "qid",
+        "s_1",
+        F.expr(_NQC["mean10"]).alias("_m"),
+        *[f"s_{r}" for r in range(2, 11)],
+    )
+    staged2 = staged.select(
+        "qid", "s_1", "_m", F.expr(_NQC["var10"]).alias("_v")
+    )
+    return staged2.select(
+        "qid",
+        F.round("_m", 6).alias("mean_top10"),
+        F.round("s_1", 6).alias("best_score"),
+        F.round(F.expr(_NQC["nqc10"]), 6).alias("nqc10"),
+    ).orderBy("qid")
+
+
 _MLT_SEED = 0  # seed document for more-like-this
 _MLT_N_TERMS = 3
 _MLT_WT = (
