@@ -725,6 +725,57 @@ def test_search_expanded_requires_text_index(engine):
         engine.search_expanded("libA", query_text="python document")
 
 
+def test_search_expanded_selective_nqc_gate(engine):
+    """min_nqc gates pass 2 (the selective-PRF query-drift guard): an
+    unreachable threshold returns the PLAIN pass-1 top-k (id+score
+    equal to search()); a zero threshold always expands (rows equal to
+    the unconditional RM3 path); and the gate costs no extra pass —
+    pass-1 rows are collected either way."""
+    from vector_database_api_spark.operators import bm25 as bm25_mod
+
+    engine.index_library("libA", "bm25")
+    q = "python document"
+    gated = engine.search_expanded(
+        "libA", query_text=q, k=5, min_nqc=1e9
+    ).collect()
+    plain = engine.search("libA", query_text=q, k=5).collect()
+    assert [(r["id"], r["score"]) for r in gated] == [
+        (r["id"], r["score"]) for r in plain
+    ]
+    always = engine.search_expanded(
+        "libA", query_text=q, k=5, min_nqc=0.0
+    ).collect()
+    uncond = engine.search_expanded("libA", query_text=q, k=5).collect()
+    assert [(r["id"], r["score"]) for r in always] == [
+        (r["id"], r["score"]) for r in uncond
+    ]
+    # the gate's NQC matches an independent recomputation on pass 1
+    meta = engine._index_meta("libA")
+    postings, doclens, n_docs, avgdl = engine._read_text_index(meta[1])
+    scores = [
+        r["score"]
+        for r in bm25_mod.bm25_search(
+            postings, doclens, n_docs, avgdl,
+            bm25_mod.tokenize_query(q), k=10,
+        ).collect()
+    ]
+    m = sum(scores) / len(scores)
+    nqc = (sum((s - m) ** 2 for s in scores) / len(scores)) ** 0.5 / scores[0]
+    # threshold just under the measured value expands; just over gates
+    assert [
+        (r["id"], r["score"])
+        for r in engine.search_expanded(
+            "libA", query_text=q, k=5, min_nqc=nqc * 0.99
+        ).collect()
+    ] == [(r["id"], r["score"]) for r in uncond]
+    assert [
+        (r["id"], r["score"])
+        for r in engine.search_expanded(
+            "libA", query_text=q, k=5, min_nqc=nqc * 1.01
+        ).collect()
+    ] == [(r["id"], r["score"]) for r in plain]
+
+
 def test_search_after_paginates_brute_force(engine):
     """Two keyset pages == the top-2k in one shot, rank-exact, no overlap."""
     qt = "python document number 0 about python"

@@ -1218,6 +1218,7 @@ class VectorEngine:
         metadata_filters: dict[str, Any] | None = None,
         fb_k: int = 10,
         n_expansion_terms: int = 5,
+        min_nqc: float | None = None,
     ) -> DataFrame:
         """RM3 pseudo-relevance feedback through the library's keyword
         index (requires index_type 'bm25' or 'hybrid'): pass 1 retrieves
@@ -1230,7 +1231,17 @@ class VectorEngine:
         candidates in BOTH passes while df stays corpus-level).  The
         registry twin `rm3_expanded_search` oracle-checks the same
         pipeline against DuckDB on the documents corpus.  Returns
-        (id, score), at most k rows."""
+        (id, score), at most k rows.
+
+        ``min_nqc`` enables SELECTIVE expansion (the query-drift guard
+        of the selective-PRF literature: expansion helps queries whose
+        first pass already looks coherent and hurts unstable ones):
+        pass 1's NQC difficulty score (registry twin
+        `query_difficulty_nqc` — stddev of the top scores, top-1
+        normalized, computed from the ALREADY-COLLECTED pass-1 rows at
+        zero extra cost) gates pass 2 — below the threshold the plain
+        pass-1 top-k returns unexpanded.  None (default) always
+        expands."""
         from vector_database_api_spark.operators.filters import (
             apply_metadata_filters,
         )
@@ -1248,15 +1259,40 @@ class VectorEngine:
                 self.chunks(library_id), metadata_filters
             ).select("id")
         terms = bm25_mod.tokenize_query(query_text)
-        feedback = bm25_mod.bm25_search(
-            postings,
-            doclens,
-            n_docs,
-            avgdl,
-            terms,
-            k=fb_k,
-            candidate_ids=cand,
-        ).select("id")
+        if min_nqc is not None:
+            pass1 = bm25_mod.bm25_search(
+                postings,
+                doclens,
+                n_docs,
+                avgdl,
+                terms,
+                k=max(int(fb_k), int(k)),
+                candidate_ids=cand,
+            ).collect()
+            scores = [r["score"] for r in pass1[: int(fb_k)]]
+            nqc = 0.0
+            if scores and scores[0] > 0.0:
+                m = sum(scores) / len(scores)
+                var = sum((s - m) * (s - m) for s in scores) / len(scores)
+                nqc = var**0.5 / scores[0]
+            if nqc < min_nqc:
+                return self.spark.createDataFrame(
+                    [(r["id"], r["score"]) for r in pass1[: int(k)]],
+                    "id string, score double",
+                )
+            feedback = self.spark.createDataFrame(
+                [(r["id"],) for r in pass1[: int(fb_k)]], "id string"
+            )
+        else:
+            feedback = bm25_mod.bm25_search(
+                postings,
+                doclens,
+                n_docs,
+                avgdl,
+                terms,
+                k=fb_k,
+                candidate_ids=cand,
+            ).select("id")
         expansion = bm25_mod.rm3_expansion(
             postings, doclens, terms, feedback, n_terms=n_expansion_terms
         )
