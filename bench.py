@@ -201,6 +201,7 @@ HEADLINE = [
     "bm25_batch_topk",
     "ir_eval_metrics",
     "query_difficulty_nqc",
+    "hybrid_batch_rrf_topk",
     "term_autocomplete",
     "more_like_this_topk",
     "mmr_diversified_topk",

@@ -10818,6 +10818,135 @@ def ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_HYBRID_ORACLE = f"""
+WITH {_BATCH_CTES},
+kwr AS (
+  SELECT qid, doc_id, CAST(rank AS BIGINT) AS r_kw
+  FROM branked WHERE rank <= 20
+),
+bq AS (
+  SELECT CAST(vec_id AS INT) AS qid, embedding AS qv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 6
+),
+docsemb AS (
+  SELECT e.vec_id AS doc_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+vs AS (
+  SELECT bq.qid, de.doc_id,
+         {duck_cosine('de.embedding', 'bq.qv')} AS sim
+  FROM docsemb de CROSS JOIN bq
+),
+vrall AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec
+  FROM vs
+),
+vr AS (SELECT * FROM vrall WHERE r_vec <= 20),
+fused AS (
+  SELECT COALESCE(k.qid, v.qid) AS qid,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id, r_kw, r_vec,
+         COALESCE(1.0 / (60 + r_kw), 0.0)
+         + COALESCE(1.0 / (60 + r_vec), 0.0) AS rrf_raw
+  FROM kwr k FULL OUTER JOIN vr v
+    ON k.qid = v.qid AND k.doc_id = v.doc_id
+),
+franked AS (
+  SELECT qid, doc_id, r_kw, r_vec, rrf_raw,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY rrf_raw DESC, doc_id) AS INT) AS rank
+  FROM fused
+)
+SELECT qid, rank, doc_id, r_kw, r_vec, round(rrf_raw, 6) AS rrf
+FROM franked WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+@register("hybrid_batch_rrf_topk", _BATCH_HYBRID_ORACLE)
+def hybrid_batch_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched HYBRID retrieval, fully in-plan: 6 (keyword query,
+    query vector) pairs x [BM25 top-20 leg + cosine top-20 leg + RRF
+    fusion + fused top-10] in ONE DataFrame plan with NO coordinator
+    step — the shape that serves a whole query log's hybrid requests
+    as one Spark job.  The single-request hybrids
+    (`hybrid_rrf_fusion` + service `_hybrid_topk`) fuse at the
+    coordinator because one request's legs are two collected k-row
+    lists; a BATCH of requests makes the fusion itself data-parallel
+    (per-qid rank windows on both legs, a (qid, doc) FULL OUTER join
+    of two <=20-row-per-qid frames, a fused ranking window) — every
+    window is qid-keyed, k rows of state per query.  Rank-only RRF is
+    integer arithmetic until the final 1/(60+r) doubles, identical on
+    both engines by construction.  Query vectors are embeddings
+    vec_id 1..6 standing in for the 6 keyword queries' dense twins;
+    the dense leg scores the doc-aligned embedding rows (the ltr
+    pattern).  Both legs serve from persisted RUN artifacts (the
+    keyword batch run and its dense twin below — score once, evaluate/
+    fuse many; live, the dense rescore is one broadcast of Q query
+    vectors against the embedding store — nothing per-query), so the
+    steady-state fusion request touches only <=20-row-per-qid rank
+    frames.  No cosmetic final sort: rank identifies order."""
+    run = _cached_batch_run(spark, sf_dir)
+    kwr = (
+        run.filter(F.col("rank") <= 20)
+        .select("qid", "doc_id", F.col("rank").cast("long").alias("r_kw"))
+    )
+    dkey = ("dense-batch-run", sf_dir)
+    if dkey not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings")
+        bq = (
+            embs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 6))
+            .select(
+                F.col("vec_id").cast("int").alias("qid"),
+                F.col("embedding").alias("qv"),
+            )
+        )
+        docsemb = embs.join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        ).select(F.col("vec_id").alias("doc_id"), "embedding")
+        vs = docsemb.crossJoin(F.broadcast(bq)).select(
+            "qid",
+            "doc_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
+        dr = (
+            vs.withColumn("r_vec", F.row_number().over(wv).cast("long"))
+            .filter(F.col("r_vec") <= 20)
+            .select("qid", "doc_id", "r_vec")
+            .persist()
+        )
+        dr.count()
+        _SERVING_INDEXES[dkey] = dr
+    vr = _SERVING_INDEXES[dkey]
+    fused = kwr.join(vr, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "r_kw",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_kw")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid", "rank", "doc_id", "r_kw", "r_vec",
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )
+
+
 def _nqc_exprs() -> dict[str, str]:
     """Textual query-difficulty expressions over score columns
     (s_1..s_10), valid verbatim in Spark SQL and DuckDB.  NQC (Shtok,
