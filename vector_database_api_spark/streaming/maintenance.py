@@ -1172,3 +1172,146 @@ def topic_model_serving(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return ctfidf_scores(tc, class_col)
+
+
+# ---------------------------------------------------------------------------
+# Store compaction: the nightly fold the merge-on-read artifacts assume
+# ---------------------------------------------------------------------------
+
+COMPACTED_BATCH_ID = -1
+
+
+def compact_batch_store(
+    spark: SparkSession,
+    store_dir: str,
+    fold: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict:
+    """Fold a ``_batch_id``-partitioned artifact store down to TWO
+    partitions — the reserved compacted base (``_batch_id = -1``, an id
+    Structured Streaming never assigns) plus the NEWEST live batch —
+    without changing a single served row.
+
+    Every merge-on-read store here (BM25 term stats, winnow
+    fingerprints, topic counts) grows one partition per micro-batch; at
+    100 TB that is thousands of partials whose per-file overhead
+    eventually dominates the serve-time merge.  Their docstrings all
+    promise "a nightly compaction can fold partials without changing
+    served values" — this is that compaction.
+
+    Replay contract (why the newest partition is NEVER folded): under a
+    Structured Streaming checkpoint, only the single most recent batch
+    can ever re-run — every earlier batch id is committed and will not
+    be replayed.  The per-batch sinks' idempotence guarantee (dynamic
+    partition overwrite rewrites a replayed batch's own partition with
+    identical content) therefore only needs to hold for the newest
+    partition, which compaction leaves verbatim.  Folding it too would
+    double-count a replay: the replayed write would re-create the
+    partition next to a base that already contains its rows.
+
+    Scheduling contract: run between ``availableNow`` drains (the
+    maintenance pattern used by every store here), never concurrently
+    with an in-flight micro-batch.  The swap is two directory renames
+    on a local/posix filesystem; an object-store deployment would
+    version the directory and flip a manifest pointer instead — the
+    fold itself is identical.
+
+    ``fold``: optional combiner applied to the union of folded
+    partitions (``_batch_id`` already dropped) — the SAME combinable
+    aggregate the store's serving function applies, so serve-time
+    merge(fold(x)) == merge(x) by associativity.  ``None`` keeps rows
+    verbatim (append-only stores).  Crash-safe: a leftover temp dir
+    from a previous failed run is discarded and rebuilt; the store
+    itself is replaced only by the final rename.
+    """
+    import os
+    import shutil
+
+    ids = sorted(
+        r["_batch_id"]
+        for r in spark.read.parquet(store_dir)
+        .select("_batch_id")
+        .distinct()
+        .collect()
+    )
+    newest = ids[-1]
+    foldable = [i for i in ids if i != newest]
+    if len(foldable) < 2:
+        return {"compacted": False, "folded_partitions": 0, "kept_batch_id": newest}
+
+    df = spark.read.parquet(store_dir)
+    folded = df.filter(F.col("_batch_id") != newest).drop("_batch_id")
+    if fold is not None:
+        folded = fold(folded)
+    folded = folded.withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
+    kept = df.filter(F.col("_batch_id") == newest)
+
+    tmp = store_dir + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        folded.unionByName(kept)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(tmp)
+    )
+    old = store_dir + ".precompact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old)
+    return {
+        "compacted": True,
+        "folded_partitions": len(foldable),
+        "kept_batch_id": newest,
+    }
+
+
+def compact_bm25_stats(spark: SparkSession, stats_dir: str) -> dict:
+    """Compact both BM25 statistics sinks.  The folds are the exact
+    combinable sums :func:`bm25_stats_serving` applies at read time
+    (term-keyed df/tf sums; corpus scalar sums), so serving output is
+    bit-identical before and after by associativity of integer sums —
+    pinned by tests/test_compaction.py."""
+
+    def terms_fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("tf").alias("tf")
+        )
+
+    def corpus_fold(df: DataFrame) -> DataFrame:
+        return (
+            df.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            # all-empty foldable partitions would fold to a NULL row;
+            # serving's sums ignore it, but keep the store clean
+            .where(F.col("n_docs").isNotNull())
+        )
+
+    return {
+        "terms": compact_batch_store(spark, stats_dir + "/terms", terms_fold),
+        "corpus": compact_batch_store(spark, stats_dir + "/corpus", corpus_fold),
+    }
+
+
+def compact_winnow_store(spark: SparkSession, store_dir: str) -> dict:
+    """Compact the winnow fingerprint store.  The store is append-only
+    occurrence rows (the df>32 hot cap is merge-on-read, never baked
+    in), so the fold is row-preserving — compaction only collapses the
+    per-batch partition fan-out."""
+    return compact_batch_store(spark, store_dir, None)
+
+
+def compact_topic_store(
+    spark: SparkSession, store_dir: str, class_col: str = "source"
+) -> dict:
+    """Compact the c-TF-IDF count store with the serving-side
+    (class, term) count sum — :func:`topic_model_serving` output is
+    unchanged by associativity."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(class_col, "term").agg(F.sum("cnt").alias("cnt"))
+
+    return compact_batch_store(spark, store_dir, fold)
