@@ -1461,6 +1461,62 @@ def main() -> None:
     assert salted_rows == plain_rows, "salted top-k diverged from the window"
     hotdf.unpersist()
 
+    # artifact-store compaction at many-batch fan-out: a BM25 stats
+    # store fed by 24 micro-batches (the merge-on-read worst case the
+    # nightly fold exists for).  Correctness bar: served terms/corpus
+    # bit-identical before and after the fold; shape bar: partition
+    # fan-out collapses to {base, newest} so the serve-time merge reads
+    # 2 partials instead of 24 — at 100 TB that gap is thousands of
+    # small files vs two.
+    import shutil
+    import tempfile
+
+    import vector_database_api_spark.streaming.maintenance as MM
+
+    comp_base = tempfile.mkdtemp(prefix="compact-smoke-")
+    try:
+        stats_dir = comp_base + "/stats"
+        proc = MM.bm25_stats_batch_processor(stats_dir)
+        n_batches = 24
+        comp_docs = docs.filter(F.col("doc_id") < 200_000).persist()
+        comp_docs.count()
+        t0 = time.time()
+        for i in range(n_batches):
+            proc(comp_docs.filter(F.col("doc_id") % n_batches == i), i)
+        results["compaction_ingest_24_batches_sec"] = round(time.time() - t0, 2)
+        comp_docs.unpersist()
+
+        def _served():
+            terms, corpus = MM.bm25_stats_serving(spark, stats_dir)
+            return (
+                {r["term"]: (r["df"], r["tf"]) for r in terms.collect()},
+                corpus.collect()[0].asDict(),
+            )
+
+        t0 = time.time()
+        before = _served()
+        results["stats_serve_before_compact_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        comp = MM.compact_bm25_stats(spark, stats_dir)
+        results["compaction_fold_sec"] = round(time.time() - t0, 2)
+        assert comp["terms"]["compacted"] and comp["corpus"]["compacted"]
+        assert comp["terms"]["folded_partitions"] == n_batches - 1
+
+        t0 = time.time()
+        after = _served()
+        results["stats_serve_after_compact_sec"] = round(time.time() - t0, 2)
+        assert after == before, "compaction changed served BM25 statistics"
+        n_parts = (
+            spark.read.parquet(stats_dir + "/terms")
+            .select("_batch_id")
+            .distinct()
+            .count()
+        )
+        assert n_parts == 2, f"expected 2 partitions post-compaction, got {n_parts}"
+    finally:
+        shutil.rmtree(comp_base, ignore_errors=True)
+
     print(
         json.dumps(
             {
