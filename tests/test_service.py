@@ -1136,3 +1136,68 @@ def test_search_ranking_ql(engine):
         engine.search("libA", query_text=qt, ranking="ql", mode="maxscore")
     with pytest.raises(ValueError, match="needs a built bm25"):
         engine.search("libB", query_text=qt, ranking="ql")
+
+
+def test_hybrid_batch_matches_per_request_search(engine):
+    """search_hybrid_batch (one data-parallel plan for N requests, the
+    serving twin of registry `hybrid_batch_rrf_topk`) must return, per
+    qid, EXACTLY what N independent search() calls on the hybrid index
+    return: same ids, same leg ranks, bit-equal rrf (both sides are
+    1/(60+r) + 1/(60+r) in the same order), same similarity doubles.
+    Also pins the filtered form, the text-less (vector-only) request,
+    the threshold contract, and the non-hybrid rejection."""
+    engine.index_library("libA", "hybrid")
+    reqs = [
+        ("python document number 0 about python", None),
+        ("ml document number 1 about ml", None),
+        ("databases", None),
+        (None, [float(x) for x in text_to_vector("python probe", 16)]),
+    ]
+    batch = engine.search_hybrid_batch("libA", reqs, k=5).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {0, 1, 2, 3}
+
+    for qid, (qt, qe) in enumerate(reqs):
+        single = engine.search(
+            "libA", query_text=qt, query_embedding=qe, k=5
+        ).collect()
+        got = by_qid[qid]
+        assert [r["id"] for r in got] == [r["id"] for r in single], qid
+        for g, s in zip(got, single):
+            assert g["r_kw"] == s["r_kw"] and g["r_vec"] == s["r_vec"], qid
+            assert g["rrf"] == s["rrf"], qid  # bit-equal doubles
+            if s["similarity"] is None:
+                assert g["similarity"] is None
+            else:
+                assert g["similarity"] == s["similarity"], qid
+
+    # filtered batch == filtered singles (both legs restricted pre-cut)
+    flt = {"topic": "ml"}
+    fbatch = engine.search_hybrid_batch(
+        "libA", reqs[:2], k=5, metadata_filters=flt
+    ).collect()
+    for qid in (0, 1):
+        single = engine.search(
+            "libA", query_text=reqs[qid][0], k=5, metadata_filters=flt
+        ).collect()
+        rows = sorted(
+            (r for r in fbatch if r["qid"] == qid), key=lambda r: r["rank"]
+        )
+        assert [(r["id"], r["r_kw"], r["r_vec"], r["rrf"]) for r in rows] == [
+            (r["id"], r["r_kw"], r["r_vec"], r["rrf"]) for r in single
+        ], qid
+        assert all(int(r["id"][1:]) % 3 == 1 for r in rows)  # ml chunks
+
+    # threshold drops keyword-only (NULL-similarity) docs, as in search()
+    thr = engine.search_hybrid_batch(
+        "libA", reqs[:1], k=5, similarity_threshold=-1.0
+    ).collect()
+    assert thr and all(r["similarity"] is not None for r in thr)
+
+    # contract errors
+    with pytest.raises(ValueError, match="hybrid"):
+        engine.search_hybrid_batch("libB", reqs, k=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.search_hybrid_batch("libA", [], k=5)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Lucene-flavored BM25, identical constants and idf form to the
 # oracle-checked queries.py family (_bm25_contrib_sql)
@@ -40,6 +41,7 @@ B = 0.75
 # served Block-Max WAND granule (mode="blockmax"); the registry twin's
 # contiguous-range granule is queries._BMW_BLOCK
 BLOCKMAX_BLOCKS = 64
+RRF_K = 60  # the standard RRF constant, shared by the single and batch paths
 
 
 def tokens_expr(text_col: str) -> Column:
@@ -167,6 +169,81 @@ def _after_filter(scored: DataFrame, after: tuple) -> DataFrame:
             (F.col("score") == F.lit(float(a_score)))
             & (F.col("id") > F.lit(a_id))
         )
+    )
+
+
+def bm25_batch_search(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    queries: list[list[str]],
+    k: int = 10,
+    candidate_ids: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Every query's BM25 top-k in ONE plan: (qid, id, score, rank),
+    qid = the query's 0-based position in ``queries``.
+
+    The per-request :func:`bm25_search` serves one query; a BATCH of
+    requests (a query log, an evaluation run, the keyword legs of N
+    hybrid requests) should be one Spark job, not N: the (qid, term)
+    table is broadcast against the postings once, scoring groups by
+    (qid, id), and the top-k cut is a per-qid ranking window — bounded
+    by construction, k rows of state per query.  Statistics semantics
+    match the single-request path exactly: per-term df comes from the
+    term-filtered postings BEFORE any candidate restriction
+    (corpus-level statistics), and ``candidate_ids`` restricts which
+    docs may score (filter-then-search).  A query with no terms simply
+    contributes no rows.  Ordering per qid is (score DESC, id ASC) —
+    the same tie-break as the single path, so ranks agree wherever
+    scores do (pinned against per-request search in
+    tests/test_service.py)."""
+    spark = postings.sparkSession
+    qt_rows = [
+        (qid, t)
+        for qid, terms in enumerate(queries)
+        for t in dict.fromkeys(terms)
+        if t
+    ]
+    if not qt_rows or n_docs == 0:
+        return spark.createDataFrame(
+            [], "qid int, id string, score double, rank int"
+        )
+    qterms = spark.createDataFrame(qt_rows, "qid int, term string")
+    hits = postings.join(F.broadcast(qterms), "term")
+    df_t = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    if candidate_ids is not None:
+        hits = hits.join(candidate_ids.select("id"), "id", "left_semi")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    contrib = idf * (
+        tf
+        * (k1 + 1.0)
+        / (tf + k1 * ((1.0 - b) + b * (F.col("dl").cast("double") / float(avgdl))))
+    )
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(doclens, "id")
+        .select("qid", "id", contrib.alias("contrib"))
+        .groupBy("qid", "id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "id", "score", "rank")
     )
 
 
@@ -331,7 +408,7 @@ def bm25_maxscore_search(
 def rrf_fuse(
     kw_ranked: list[tuple],
     vec_ranked: list[tuple],
-    rrf_k: int = 60,
+    rrf_k: int = RRF_K,
 ) -> list[tuple]:
     """Reciprocal-rank fusion of two COLLECTED, already-ordered legs —
     the bounded O(k) coordinator step of every real hybrid engine

@@ -960,6 +960,152 @@ class VectorEngine:
         out = self.spark.createDataFrame(rows, schema)
         return self._apply_threshold(out, similarity_threshold)
 
+    def search_hybrid_batch(
+        self,
+        library_id: str,
+        requests: list[tuple[str | None, list[float] | None]],
+        k: int | None = None,
+        metadata_filters: dict[str, Any] | None = None,
+        similarity_threshold: float | None = None,
+    ) -> DataFrame:
+        """A BATCH of hybrid requests as ONE Spark job — the serving
+        twin of the oracle-checked registry query
+        ``hybrid_batch_rrf_topk``: where :meth:`search` on a hybrid
+        index fuses ONE request's two collected k-row legs at the
+        coordinator, a batch makes the fusion itself data-parallel.
+        The keyword legs run as one plan (``bm25_mod.bm25_batch_search``
+        — a broadcast (qid, term) table against the stored postings,
+        per-qid ranking window), the vector legs as one broadcast of
+        ALL query vectors against the chunk embeddings, and RRF is a
+        (qid, id) FULL OUTER join of two <=k-row-per-qid rank frames
+        plus a fused per-qid window.  No per-request work, no
+        coordinator step; every window is qid-keyed with k rows of
+        state per request.
+
+        ``requests``: (query_text, query_embedding) pairs, 0-based qid
+        by position.  Missing embeddings resolve via the deterministic
+        embedder (as in :meth:`search`); a None query_text leaves that
+        request's keyword leg empty (vector ranks only) — the same
+        degradation contract as the single path.  ``metadata_filters``
+        restrict BOTH legs of every request before their top-k cuts;
+        ``similarity_threshold`` applies to fused docs' cosine evidence
+        (keyword-only docs carry NULL similarity and are dropped when a
+        threshold is set) — identical semantics to :meth:`search` on
+        the hybrid path, pinned per-request equal to it in
+        tests/test_service.py.
+
+        Returns (qid, rank, id, r_kw, r_vec, rrf, similarity) with
+        rank <= k per qid."""
+        from pyspark.sql.window import Window
+
+        from vector_database_api_spark.functions.vector import (
+            dot_product,
+            norm2,
+        )
+        from vector_database_api_spark.operators.filters import (
+            apply_metadata_filters,
+        )
+
+        meta = self._index_meta(library_id)
+        if meta is None or meta[0] != "hybrid":
+            kind = meta[0] if meta is not None else None
+            raise ValueError(
+                f"search_hybrid_batch needs a built hybrid index, not '{kind}'"
+            )
+        if not requests:
+            raise ValueError("requests must be non-empty")
+        k = self.config.clamp_k(k)
+        if similarity_threshold is None:
+            similarity_threshold = self.config.similarity_threshold
+        chunks = self.chunks(library_id)
+        scoped = apply_metadata_filters(chunks, metadata_filters)
+
+        # keyword legs: one plan over the stored postings; per-term df
+        # stays corpus-level, candidates restrict scoring (the same
+        # filter-then-search split as _bm25_topk)
+        postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
+        cand = scoped.select("id") if metadata_filters else None
+        term_lists = [
+            bm25_mod.tokenize_query(t) if t is not None else []
+            for t, _ in requests
+        ]
+        kwr = bm25_mod.bm25_batch_search(
+            postings, doclens, n_docs, avgdl, term_lists, k=k,
+            candidate_ids=cand,
+        ).select("qid", "id", F.col("rank").alias("r_kw"))
+
+        # vector legs: every query vector on the ONE broadcast side,
+        # the same staged-norm cosine as knn_brute_force (bit-identical
+        # similarity), ranked per qid
+        vecs = [
+            e
+            if e is not None
+            else [
+                float(x)
+                for x in text_to_vector(
+                    t if t is not None else "", self.config.embedding_dim
+                )
+            ]
+            for t, e in requests
+        ]
+        qdf = self.spark.createDataFrame(
+            [(qid, v) for qid, v in enumerate(vecs)],
+            "qid int, query_embedding array<float>",
+        ).select("qid", "query_embedding", norm2("query_embedding").alias("_qn2"))
+        staged = (
+            scoped.filter(F.col("embedding").isNotNull())
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "qid",
+                "id",
+                F.col("_qn2"),
+                norm2("embedding").alias("_na2"),
+                dot_product("embedding", "query_embedding").alias("_dot"),
+            )
+        )
+        sim = (
+            F.when(
+                (F.col("_na2") == F.lit(0.0)) | (F.col("_qn2") == F.lit(0.0)),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.col("_dot") / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_qn2")))
+            )
+            .alias("similarity")
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
+        vr = (
+            staged.select("qid", "id", sim)
+            .withColumn("r_vec", F.row_number().over(wv))
+            .filter(F.col("r_vec") <= int(k))
+        )
+
+        # data-parallel RRF: both legs are <=k rows per qid
+        fused = kwr.join(vr, ["qid", "id"], "full_outer").select(
+            "qid",
+            "id",
+            "r_kw",
+            "r_vec",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(bm25_mod.RRF_K) + F.col("r_kw")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(bm25_mod.RRF_K) + F.col("r_vec")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf"),
+            "similarity",
+        )
+        wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), "id")
+        out = (
+            fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= int(k))
+            .select("qid", "rank", "id", "r_kw", "r_vec", "rrf", "similarity")
+        )
+        return self._apply_threshold(out, similarity_threshold)
+
     def search_diversified(
         self,
         library_id: str,
