@@ -175,3 +175,85 @@ def test_single_batch_store_is_noop(spark, sf_dir, tmp_path):
         "kept_batch_id": 0,
     }
     assert _partition_ids(spark, store) == [0]
+
+
+def test_crash_between_renames_heals_at_entry(spark, sf_dir, tmp_path):
+    """r7 ADVICE: a crash between the two swap renames leaves all data
+    stranded in .precompact and no store dir.  The next compaction run
+    must restore the store (and clear the dead run's lock) before
+    proceeding."""
+    batches = _doc_batches(spark, sf_dir)
+    store = str(tmp_path / "topics")
+    proc = M.topic_counts_batch_processor(store)
+    for i, b in enumerate(batches[:3]):
+        proc(b, i)
+
+    def served():
+        return {
+            (r["source"], r["term"]): r["ctfidf"]
+            for r in M.topic_model_serving(spark, store).collect()
+        }
+
+    before = served()
+    # simulate the crash window: store moved aside, temp never renamed
+    # in, dead compactor's lock still on disk
+    os.rename(store, store + ".precompact")
+    open(M._compaction_lock(store), "w").close()
+    assert not os.path.exists(store)
+
+    res = M.compact_topic_store(spark, store)  # entry-heals, then folds
+    assert res["compacted"] and res["folded_partitions"] == 2
+    assert os.path.exists(store)
+    assert not os.path.exists(store + ".precompact")
+    assert not os.path.exists(M._compaction_lock(store))
+    assert served() == before
+
+
+def test_concurrent_compactor_and_writer_are_excluded(spark, sf_dir, tmp_path):
+    """VERDICT r7 task 5: the 'never concurrently with an in-flight
+    micro-batch' scheduling contract is enforced, not advisory — while
+    the ._COMPACTING lock is held, a second compactor and every
+    _batch_id-store micro-batch writer fail fast."""
+    batches = _doc_batches(spark, sf_dir)
+    store = str(tmp_path / "topics")
+    proc = M.topic_counts_batch_processor(store)
+    for i, b in enumerate(batches[:3]):
+        proc(b, i)
+    served_before = spark.read.parquet(store).count()
+
+    # hold the lock as an in-flight compactor would
+    open(M._compaction_lock(store), "w").close()
+    with pytest.raises(M.CompactionInProgressError):
+        M.compact_topic_store(spark, store)  # second compactor excluded
+    with pytest.raises(M.CompactionInProgressError):
+        proc(batches[3], 3)  # concurrent micro-batch write excluded
+    # the excluded batch wrote nothing — replay-safe to re-run later
+    assert spark.read.parquet(store).count() == served_before
+
+    os.remove(M._compaction_lock(store))
+    proc(batches[3], 3)  # after release the same batch lands normally
+    assert _partition_ids(spark, store) == [0, 1, 2, 3]
+    res = M.compact_topic_store(spark, store)
+    assert res["compacted"] and res["kept_batch_id"] == 3
+
+
+def test_all_batch_store_writers_check_the_lock(spark, sf_dir, tmp_path):
+    """Every _batch_id-partitioned store writer — not just topics —
+    fails fast under an in-flight compaction lock."""
+    batches = _doc_batches(spark, sf_dir)
+
+    stats = str(tmp_path / "stats")
+    sproc = M.bm25_stats_batch_processor(stats)
+    sproc(batches[0], 0)
+    open(M._compaction_lock(stats + "/terms"), "w").close()
+    with pytest.raises(M.CompactionInProgressError):
+        sproc(batches[1], 1)
+    os.remove(M._compaction_lock(stats + "/terms"))
+
+    wstore = str(tmp_path / "winnow")
+    wproc = M.winnow_fp_batch_processor(wstore)
+    wproc(batches[0].select("doc_id", "source", "text"), 0)
+    open(M._compaction_lock(wstore), "w").close()
+    with pytest.raises(M.CompactionInProgressError):
+        wproc(batches[1].select("doc_id", "source", "text"), 1)
+    os.remove(M._compaction_lock(wstore))

@@ -343,6 +343,14 @@ def test_window_salt_shard_marker(spark):
         F.row_number().over(Window.partitionBy("fingerprint").orderBy("id")),
     )
     assert audit_plan(plain)["window_partition_keys"] == {"fingerprint"}
+    # r7 ADVICE: a window partitioned by _salt ALONE is not sharded —
+    # per-task work is corpus/shards, linear in data — and must NOT be
+    # blessed by column name alone; it reports a non-allowlisted marker
+    bare = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("_salt").orderBy("id")),
+    )
+    assert audit_plan(bare)["window_partition_keys"] == {"<bare-salt>"}
 
 
 def test_grouped_topk_plan_has_no_unsharded_window(spark, sf_dir):

@@ -80,3 +80,25 @@ def test_grouped_topk_hot_group_and_small_groups(spark):
     # groups smaller than k (and than shards) keep all rows, ranked
     assert out["tiny"] == [(1, 1, 3.0), (2, 2, 3.0)]
     assert out["solo"] == [(1, 9, 1.0)]
+
+
+def test_grouped_topk_rejects_nan_order(spark):
+    """r7 ADVICE: NaN ranks GREATEST in the phase-1 desc window but
+    -NaN sorts LAST in phase 2's ascending sort_array, so NaN rows
+    would be silently mis-ranked vs the plain window.  The operator
+    must fail loudly on the first NaN instead."""
+    import pytest
+
+    rows = [("g", 1, 1.0), ("g", 2, float("nan")), ("g", 3, 2.0)]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    with pytest.raises(Exception, match="NaN in order column"):
+        grouped_topk(df, "g", "score", "id", 2, shards=4).collect()
+    # NaN-free floats are unaffected
+    clean = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 3.0)], "g string, id long, score double"
+    )
+    got = grouped_topk(clean, "g", "score", "id", 2, shards=4).collect()
+    assert [(r["rank"], r["id"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (1, 2),
+        (2, 1),
+    ]

@@ -78,10 +78,17 @@ def grouped_topk(
 
     (``order_col``, ``tie_col``) must be a TOTAL order (the usual
     (score, id) shape) — with boundary ties the shard assignment could
-    otherwise pick either twin.  ``order_col`` must be numeric and
-    non-NULL: phase 2 sorts struct(-order, tie) ascending, the
-    direction-normalizing trick that keeps the reduce a plain
-    sort_array.  Shard assignment reuses ``salted_join``'s
+    otherwise pick either twin.  ``order_col`` must be numeric,
+    non-NULL, and non-NaN: phase 2 sorts struct(-order, tie)
+    ascending, the direction-normalizing trick that keeps the reduce a
+    plain sort_array — and NaN breaks that normalization (r7 ADVICE:
+    Spark's desc window ranks NaN GREATEST, so phase 1 keeps it first,
+    but -NaN is still NaN and sorts LAST in phase 2's ascending
+    sort_array, silently mis-ranking or dropping NaN rows relative to
+    the plain window).  Rather than diverge silently, a float/double
+    ``order_col`` is NaN-checked in the phase-1 projection and the job
+    FAILS on the first NaN row (the check rides the existing scan — no
+    extra pass; exact-total-order inputs pay one isnan per row).  Shard assignment reuses ``salted_join``'s
     monotonically_increasing_id discipline — deterministic under
     retries and immune to value-identical rows landing in one shard
     (hashing row CONTENT would re-concentrate exactly the giant
@@ -89,6 +96,19 @@ def grouped_topk(
     ``rank`` (1-based), and every non-group input column."""
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     payload = [c for c in df.columns if c not in gcols]
+    if dict(df.dtypes).get(order_col) in ("float", "double"):
+        # NaN-free contract, enforced: raise_error fires on the first
+        # NaN row instead of letting phases 1 and 2 disagree on it
+        df = df.withColumn(
+            order_col,
+            F.when(
+                F.isnan(F.col(order_col)),
+                F.raise_error(
+                    f"grouped_topk: NaN in order column '{order_col}' — "
+                    "NaN has no consistent rank across the two phases"
+                ),
+            ).otherwise(F.col(order_col)),
+        )
     salted = df.withColumn(
         "_salt", (F.monotonically_increasing_id() % shards).cast("int")
     )

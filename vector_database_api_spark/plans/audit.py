@@ -172,15 +172,25 @@ def window_partition_keys(plan: str) -> set[str]:
             for tok in _split_top_level(part)
             if tok.strip()
         ]
-        # A partition spec containing ``_salt`` is sharded BY
+        # A partition spec of (co-key(s), ``_salt``) is sharded BY
         # CONSTRUCTION (operators/skew.py::grouped_topk): per-task work
         # is group_size/shards regardless of the co-keys' cardinality,
         # which is precisely the mitigation this audit demands of hot
         # keys.  Report the ``_salt`` marker alone (allowlisted in
         # tools/plan_report.py) so the salted phase passes while the
-        # same keys WITHOUT the salt still fail.
-        if "_salt" in names:
+        # same keys WITHOUT the salt still fail.  A BARE {_salt} spec
+        # does NOT qualify (r7 ADVICE): with no co-key, each task holds
+        # corpus/shards rows — still linear in data — and blessing by
+        # column name alone would also bless any query that happens to
+        # name a column `_salt`.  Obligation documented at the gate:
+        # `shards` must be sized so hottest_group/shards fits one task
+        # (grouped_topk's default 32 assumes groups up to ~32x a
+        # task-sized row budget; hotter data needs a larger shards).
+        if "_salt" in names and len(names) >= 2:
             keys.add("_salt")
+            continue
+        if names == ["_salt"]:
+            keys.add("<bare-salt>")
             continue
         for name in names:
             keys.add(name)

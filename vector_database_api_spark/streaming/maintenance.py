@@ -611,6 +611,7 @@ def near_dup_gate_batch_processor(
         # file (the fast-skip guard) is updated last, only after both
         # sinks are durable.
         adm_list = list(admitted)
+        check_not_compacting(admitted_dir, sig_dir)
         (
             batch.filter(F.col(id_col).isin(adm_list))
             .withColumn("_batch_id", F.lit(batch_id))
@@ -755,6 +756,7 @@ def lm_gate_batch_processor(
         )
         n_adm = admitted.count()
         n_quar = quarantined.count()
+        check_not_compacting(admitted_dir, quarantine_dir)
         for df, sink in ((admitted, admitted_dir), (quarantined, quarantine_dir)):
             (
                 df.withColumn("_batch_id", F.lit(batch_id))
@@ -874,6 +876,7 @@ def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: s
             [(corpus_row["n_docs"], corpus_row["sum_dl"])],
             "n_docs bigint, sum_dl bigint",
         )
+        check_not_compacting(stats_dir + "/terms", stats_dir + "/corpus")
         for df, sink in (
             (term_partial, stats_dir + "/terms"),
             (corpus_partial, stats_dir + "/corpus"),
@@ -969,6 +972,7 @@ def winnow_fp_batch_processor(store_dir: str, k: int = 12, w: int = 6):
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         fp = dedup_mod.winnow_fingerprints(batch, k=k, w=w).persist()
         occ = dedup_mod.winnow_occurrences(fp)
+        check_not_compacting(store_dir)
         (
             occ.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1122,6 +1126,7 @@ def topic_counts_batch_processor(
             .groupBy(class_col, "term")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        check_not_compacting(store_dir)
         (
             tc.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1181,6 +1186,34 @@ def topic_model_serving(
 COMPACTED_BATCH_ID = -1
 
 
+class CompactionInProgressError(RuntimeError):
+    """A ``_batch_id``-partitioned store is mid-compaction (its
+    ``._COMPACTING`` lock exists): writers must not interleave with the
+    directory swap, and a second compactor must not race the first."""
+
+
+def _compaction_lock(store_dir: str) -> str:
+    return store_dir.rstrip("/") + "._COMPACTING"
+
+
+def check_not_compacting(*store_dirs: str) -> None:
+    """Writer-side half of the compaction scheduling contract: every
+    ``foreachBatch`` processor that writes a ``_batch_id``-partitioned
+    store calls this BEFORE its first sink write, so a micro-batch that
+    fires while :func:`compact_batch_store` holds the lock fails fast
+    (and is replayed by the streaming checkpoint on the next drain)
+    instead of writing into a directory that is about to be renamed out
+    from under it.  Raises :class:`CompactionInProgressError`."""
+    import os
+
+    for d in store_dirs:
+        if os.path.exists(_compaction_lock(d)):
+            raise CompactionInProgressError(
+                f"store {d} is being compacted (lock {_compaction_lock(d)}); "
+                "micro-batch writes must wait for compaction to finish"
+            )
+
+
 def compact_batch_store(
     spark: SparkSession,
     store_dir: str,
@@ -1208,63 +1241,108 @@ def compact_batch_store(
     double-count a replay: the replayed write would re-create the
     partition next to a base that already contains its rows.
 
-    Scheduling contract: run between ``availableNow`` drains (the
-    maintenance pattern used by every store here), never concurrently
-    with an in-flight micro-batch.  The swap is two directory renames
-    on a local/posix filesystem; an object-store deployment would
-    version the directory and flip a manifest pointer instead — the
-    fold itself is identical.
+    Scheduling contract — ENFORCED, not advisory (round 8): run between
+    ``availableNow`` drains (the maintenance pattern used by every
+    store here), never concurrently with an in-flight micro-batch.  The
+    compactor holds an exclusive ``._COMPACTING`` lock for the whole
+    fold+swap; every ``_batch_id``-store writer calls
+    :func:`check_not_compacting` before its first sink write and fails
+    fast with :class:`CompactionInProgressError` while the lock is held
+    (the streaming checkpoint replays the failed batch on the next
+    drain, and replay is idempotent by the dynamic-partition-overwrite
+    discipline).  The swap is two directory renames on a local/posix
+    filesystem; an object-store deployment would version the directory
+    and flip a manifest pointer instead — the fold itself is identical.
 
     ``fold``: optional combiner applied to the union of folded
     partitions (``_batch_id`` already dropped) — the SAME combinable
     aggregate the store's serving function applies, so serve-time
     merge(fold(x)) == merge(x) by associativity.  ``None`` keeps rows
-    verbatim (append-only stores).  Crash-safe: a leftover temp dir
-    from a previous failed run is discarded and rebuilt; the store
-    itself is replaced only by the final rename.
+    verbatim (append-only stores).
+
+    Crash-safe at every step (pinned by tests/test_compaction.py): a
+    leftover ``.compacting`` temp dir from a previous failed build is
+    discarded and rebuilt; a crash in the swap window between the two
+    renames (store moved to ``.precompact``, temp not yet renamed in)
+    is healed AT ENTRY by restoring ``.precompact`` — the next
+    compaction run is the recovery procedure.  Concurrency-safe: the
+    ``._COMPACTING`` lock is acquired exclusively (O_EXCL) for the
+    whole fold+swap, writers fail fast on it via
+    :func:`check_not_compacting`, and a second concurrent compactor
+    raises :class:`CompactionInProgressError` instead of racing the
+    renames.
     """
     import os
     import shutil
 
-    ids = sorted(
-        r["_batch_id"]
-        for r in spark.read.parquet(store_dir)
-        .select("_batch_id")
-        .distinct()
-        .collect()
-    )
-    newest = ids[-1]
-    foldable = [i for i in ids if i != newest]
-    if len(foldable) < 2:
-        return {"compacted": False, "folded_partitions": 0, "kept_batch_id": newest}
-
-    df = spark.read.parquet(store_dir)
-    folded = df.filter(F.col("_batch_id") != newest).drop("_batch_id")
-    if fold is not None:
-        folded = fold(folded)
-    folded = folded.withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
-    kept = df.filter(F.col("_batch_id") == newest)
-
-    tmp = store_dir + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    (
-        folded.unionByName(kept)
-        .write.mode("overwrite")
-        .partitionBy("_batch_id")
-        .parquet(tmp)
-    )
     old = store_dir + ".precompact"
-    if os.path.exists(old):
+    lock = _compaction_lock(store_dir)
+    # crash recovery: a previous run died between its two renames,
+    # leaving all data stranded in .precompact and no store dir
+    if not os.path.exists(store_dir) and os.path.exists(old):
+        os.rename(old, store_dir)
+        if os.path.exists(lock):
+            os.remove(lock)  # the dead run's lock; store is whole again
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise CompactionInProgressError(
+            f"store {store_dir} is already being compacted ({lock} exists); "
+            "if the previous compactor crashed mid-build, its temp dirs are "
+            "healed on the next run — remove the stale lock and re-run"
+        )
+    try:
+        ids = sorted(
+            r["_batch_id"]
+            for r in spark.read.parquet(store_dir)
+            .select("_batch_id")
+            .distinct()
+            .collect()
+        )
+        if not ids:
+            return {
+                "compacted": False,
+                "folded_partitions": 0,
+                "kept_batch_id": None,
+            }
+        newest = ids[-1]
+        foldable = [i for i in ids if i != newest]
+        if len(foldable) < 2:
+            return {
+                "compacted": False,
+                "folded_partitions": 0,
+                "kept_batch_id": newest,
+            }
+
+        df = spark.read.parquet(store_dir)
+        folded = df.filter(F.col("_batch_id") != newest).drop("_batch_id")
+        if fold is not None:
+            folded = fold(folded)
+        folded = folded.withColumn("_batch_id", F.lit(COMPACTED_BATCH_ID))
+        kept = df.filter(F.col("_batch_id") == newest)
+
+        tmp = store_dir + ".compacting"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            folded.unionByName(kept)
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(tmp)
+        )
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
         shutil.rmtree(old)
-    os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old)
-    return {
-        "compacted": True,
-        "folded_partitions": len(foldable),
-        "kept_batch_id": newest,
-    }
+        return {
+            "compacted": True,
+            "folded_partitions": len(foldable),
+            "kept_batch_id": newest,
+        }
+    finally:
+        os.remove(lock)
 
 
 def compact_bm25_stats(spark: SparkSession, stats_dir: str) -> dict:
