@@ -1201,3 +1201,7 @@ def test_hybrid_batch_matches_per_request_search(engine):
         engine.search_hybrid_batch("libB", reqs, k=5)
     with pytest.raises(ValueError, match="non-empty"):
         engine.search_hybrid_batch("libA", [], k=5)
+    # r7 ADVICE: a (None, None) request must raise like search() does,
+    # not silently embed the empty string
+    with pytest.raises(ValueError, match="text or embedding"):
+        engine.search_hybrid_batch("libA", reqs[:1] + [(None, None)], k=5)

@@ -1014,6 +1014,13 @@ class VectorEngine:
             )
         if not requests:
             raise ValueError("requests must be non-empty")
+        for i, (t, e) in enumerate(requests):
+            # per-request parity with search(): a (None, None) request
+            # must not silently become an empty-string embedding
+            if t is None and e is None:
+                raise ValueError(
+                    f"request {i}: query must have text or embedding"
+                )
         k = self.config.clamp_k(k)
         if similarity_threshold is None:
             similarity_threshold = self.config.similarity_threshold
@@ -1382,12 +1389,22 @@ class VectorEngine:
         ``min_nqc`` enables SELECTIVE expansion (the query-drift guard
         of the selective-PRF literature: expansion helps queries whose
         first pass already looks coherent and hurts unstable ones):
-        pass 1's NQC difficulty score (registry twin
-        `query_difficulty_nqc` — stddev of the top scores, top-1
+        pass 1's NQC difficulty score (stddev of the top scores, top-1
         normalized, computed from the ALREADY-COLLECTED pass-1 rows at
         zero extra cost) gates pass 2 — below the threshold the plain
         pass-1 top-k returns unexpanded.  None (default) always
-        expands."""
+        expands.
+
+        NQC normalization caveat (r7 ADVICE): this gate computes NQC
+        over the ACTUAL hit list — ``len(scores) <= fb_k`` unrounded
+        scores — while the registry twin `query_difficulty_nqc`
+        divides by exactly 10 over ROUNDED top-10 scores (its oracle
+        contract needs the fixed denominator).  The two agree whenever
+        pass 1 returns >= fb_k=10 hits (rounding noise aside); for
+        thinner result lists this definition uses the honest sample
+        size, so a ``min_nqc`` threshold calibrated from the registry
+        surface transfers only for queries with full top-10 lists —
+        calibrate from this method's own scores for tail queries."""
         from vector_database_api_spark.operators.filters import (
             apply_metadata_filters,
         )
