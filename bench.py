@@ -169,6 +169,7 @@ HEADLINE = [
     "span_dedup_by_source",
     "span_dedup_hot_spans",
     "bpe_merge_rounds",
+    "bpe_merge_rounds_r6",
     "bloom_prefilter_revenue",
     "char_entropy_by_source",
     "jl_projection_fidelity",

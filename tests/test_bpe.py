@@ -74,3 +74,50 @@ def test_final_reps_hand_computed(spark):
     assert reps["lower"] == "·low·e·r·"
     assert reps["newest"] == "·n·e·w·es·t·"
     assert reps["widest"] == "·w·i·d·es·t·"
+
+
+def test_plan_and_job_growth_linear_in_rounds(spark):
+    """The round count is a lifted parameter; the r7-era fully-unrolled
+    DAG doubled its plan per round (measured shuffle counts 16/84/368
+    at rounds 2/4/6 — each round embedded the previous round's rep
+    subtree twice).  The round-materialized form must be LINEAR: a
+    constant number of Spark jobs per extra round, and a terminal rep
+    plan whose size does not grow with rounds at all (each round
+    starts from checkpointed blocks, not lineage)."""
+    from vector_database_api_spark.operators.bpe import (
+        bpe_final_reps,
+        bpe_merge_rounds,
+        word_frequencies,
+    )
+    from vector_database_api_spark.plans.audit import audit_plan
+
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest wider",)], ["text"]
+    )
+    wf = word_frequencies(df).persist()
+    wf.count()
+    try:
+        sc = spark.sparkContext
+        jobs = {}
+        for r in (2, 4, 6):
+            sc.setJobGroup(f"bpe-linearity-{r}", "test")
+            bpe_merge_rounds(wf=wf, rounds=r)
+            jobs[r] = len(
+                sc.statusTracker().getJobIdsForGroup(f"bpe-linearity-{r}")
+            )
+            sc.setJobGroup(None, None)
+        per_round_a = (jobs[4] - jobs[2]) / 2
+        per_round_b = (jobs[6] - jobs[4]) / 2
+        assert per_round_a == per_round_b > 0, jobs
+        # argmax collect (Spark's incremental limit = up to 2 jobs) +
+        # checkpoint — a CONSTANT, never lineage replay
+        assert per_round_a <= 3, jobs
+
+        # terminal rep plan is checkpoint-rooted: constant size/shuffles
+        shuffles = {
+            r: audit_plan(bpe_final_reps(wf, rounds=r))["shuffles"]
+            for r in (2, 4, 6)
+        }
+        assert len(set(shuffles.values())) == 1, shuffles
+    finally:
+        wf.unpersist()

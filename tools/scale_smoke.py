@@ -1517,6 +1517,239 @@ def main() -> None:
     finally:
         shutil.rmtree(comp_base, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # r8: the batch/fusion/export family at 500k docs / 1M vectors —
+    # the r7 "data-parallel once batched" claims, one order-of-magnitude
+    # datapoint each, invariants asserted in-smoke.
+    # ------------------------------------------------------------------
+    from pyspark.sql import Window as _W8
+
+    from vector_database_api_spark.operators import bm25 as B8
+    from vector_database_api_spark.queries import (
+        _BATCH_QUERIES,
+        _bm25_contrib_cols_sql,
+    )
+
+    postings8, doclens8, stats8 = B8.build_bm25_index(docs, id_col="doc_id")
+    postings8.persist().count()
+    doclens8.persist().count()
+    dfs8 = (
+        postings8.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
+    dfs8.count()
+    qvec_rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < len(_BATCH_QUERIES))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # _BATCH_QUERIES qids are 1-based; map vec_id i -> qid i+1
+    qvecs = spark.createDataFrame(
+        [(int(r["vec_id"]) + 1, r["embedding"]) for r in qvec_rows],
+        "qid int, qvec array<float>",
+    )
+
+    def hybrid_rrf(requests):
+        """RRF-fused hybrid over the scaled corpus for the given
+        (qid, terms) requests — the queries.py::hybrid_batch_rrf_topk
+        shape: ONE plan regardless of len(requests)."""
+        qterms = spark.createDataFrame(
+            [(qid, pos, t) for qid, ts in requests for pos, t in enumerate(ts, 1)],
+            "qid int, pos int, term string",
+        )
+        hits = postings8.join(F.broadcast(qterms), "term").join(
+            F.broadcast(dfs8), "term"
+        )
+        piv = hits.groupBy("qid", F.col("id").alias("doc_id")).agg(
+            *[
+                F.max(F.when(F.col("pos") == p, F.col("tf"))).alias(f"tf_p{p}")
+                for p in (1, 2, 3)
+            ],
+            *[
+                F.max(F.when(F.col("pos") == p, F.col("df"))).alias(f"df_p{p}")
+                for p in (1, 2, 3)
+            ],
+        )
+        contribs = " + ".join(
+            f"({_bm25_contrib_cols_sql(f'tf_p{p}', f'df_p{p}')})"
+            for p in (1, 2, 3)
+        )
+        kw = (
+            piv.join(doclens8.select(F.col("id").alias("doc_id"), "dl"), "doc_id")
+            .crossJoin(F.broadcast(stats8))
+            .select("qid", "doc_id", F.expr(contribs).alias("bm25"))
+            .withColumn(
+                "r_kw",
+                F.row_number().over(
+                    _W8.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+                ),
+            )
+            .filter(F.col("r_kw") <= 10)
+            .select("qid", "doc_id", "r_kw")
+        )
+        req_ids = [qid for qid, _ in requests]
+        vec = (
+            embs.crossJoin(
+                F.broadcast(qvecs.filter(F.col("qid").isin(req_ids)))
+            )
+            .select(
+                "qid",
+                F.col("vec_id").alias("doc_id"),
+                cosine_similarity("embedding", "qvec").alias("sim"),
+            )
+            .withColumn(
+                "r_vec",
+                F.row_number().over(
+                    _W8.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
+                ),
+            )
+            .filter(F.col("r_vec") <= 10)
+            .select("qid", "doc_id", "r_vec")
+        )
+        fused = kw.join(vec, ["qid", "doc_id"], "full_outer").select(
+            "qid",
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_kw")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        wf = _W8.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+        return (
+            fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= 10)
+            .collect()
+        )
+
+    n_req = len(_BATCH_QUERIES)
+    results["hybrid_batch_sec"], batch_rows = timed(
+        lambda: len(hybrid_rrf(list(_BATCH_QUERIES)))
+    )
+    assert batch_rows == n_req * 10, batch_rows
+    t0 = time.time()
+    single_rows = sum(len(hybrid_rrf([rq])) for rq in _BATCH_QUERIES)
+    results["hybrid_singles_sum_sec"] = round(time.time() - t0, 2)
+    assert single_rows == batch_rows, (single_rows, batch_rows)
+    # the batch claim: N fused requests in one plan cost SUBLINEARLY in
+    # N vs N sequential single-request plans
+    assert (
+        results["hybrid_batch_sec"]
+        < 0.5 * results["hybrid_singles_sum_sec"]
+    ), (results["hybrid_batch_sec"], results["hybrid_singles_sum_sec"])
+
+    def ltr_export():
+        """ltr_feature_matrix's shape at 500k docs: two top-20 legs
+        (postings-served keyword + dense) collected once, then ONE
+        bounded pool probe with pushed-down id IN filters."""
+        terms = [t for _, ts in _BATCH_QUERIES[:1] for t in ts]
+        kw_scored = (
+            postings8.filter(F.col("term").isin(terms))
+            .join(F.broadcast(dfs8), "term")
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.sum("tf").alias("tf_sum"))
+            .orderBy(F.desc("tf_sum"), "doc_id")
+            .limit(20)
+        )
+        qv = qvecs.filter(F.col("qid") == 1).select("qvec")
+        cos_scored = (
+            embs.crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                cosine_similarity("embedding", "qvec").alias("sim"),
+            )
+            .orderBy(F.desc("sim"), "doc_id")
+            .limit(20)
+        )
+        kw_ids, cos_ids = B8.collect_parallel(kw_scored, cos_scored)
+        ids = sorted(
+            {r["doc_id"] for r in kw_ids} | {r["doc_id"] for r in cos_ids}
+        )
+        pool = (
+            docs.filter(F.col("doc_id").isin(ids))
+            .join(
+                F.broadcast(
+                    embs.filter(F.col("vec_id").isin(ids)).withColumnRenamed(
+                        "vec_id", "doc_id"
+                    )
+                ),
+                "doc_id",
+            )
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "doc_id",
+                F.length("text").alias("n_chars_live"),
+                cosine_similarity("embedding", "qvec").alias("cos_sim"),
+            )
+            .collect()
+        )
+        # both replicated tables are dense id ranges [0, n); an id
+        # outside the smaller range has no partner row (inner join,
+        # like the real query where doc_ids ⊆ vec_ids)
+        expect = len([i for i in ids if i < min(n_emb, n_doc)])
+        assert 0 < len(pool) == expect <= 40, (len(pool), expect, len(ids))
+        return len(pool)
+
+    results["ltr_export_sec"], _ = timed(ltr_export)
+
+    # score-once / evaluate-many: metrics re-read the persisted run,
+    # never the corpus — each evaluation pass must be a small constant,
+    # not another rescore
+    run8 = spark.createDataFrame(
+        [
+            (int(r["qid"]), int(r["doc_id"]), int(r["rank"]))
+            for r in hybrid_rrf(list(_BATCH_QUERIES))
+        ],
+        "qid int, doc_id bigint, rank int",
+    ).persist()
+    run8.count()
+
+    def eval_from_run():
+        out = (
+            run8.withColumn("rel", (F.col("doc_id") % 3 == 0).cast("int"))
+            .groupBy("qid")
+            .agg(
+                (F.sum(F.col("rel") / F.col("rank")) / 10.0).alias("map_ish"),
+                F.max(
+                    F.when(F.col("rel") == 1, 1.0 / F.col("rank")).otherwise(
+                        0.0
+                    )
+                ).alias("mrr"),
+            )
+            .collect()
+        )
+        assert len(out) == n_req
+        return len(out)
+
+    results["ir_eval_from_run_sec"], _ = timed(eval_from_run)
+    assert (
+        results["ir_eval_from_run_sec"] < results["hybrid_batch_sec"]
+    ), "evaluating the run must be cheaper than producing it"
+    run8.unpersist()
+    postings8.unpersist()
+    doclens8.unpersist()
+    dfs8.unpersist()
+
+    def bpe_rounds8():
+        """8 BPE merge rounds over the 500k-doc corpus: one corpus scan
+        ever (the wf artifact), then 8 vocabulary-sized materialized
+        rounds — jobs linear in rounds (pinned by tests/test_bpe.py)."""
+        from vector_database_api_spark.operators.bpe import (
+            bpe_merge_rounds,
+            word_frequencies,
+        )
+
+        wf = word_frequencies(docs).persist()
+        wf.count()
+        try:
+            merges = bpe_merge_rounds(wf=wf, rounds=8).collect()
+        finally:
+            wf.unpersist()
+        assert len(merges) == 8, len(merges)
+        assert [m["round"] for m in merges] == list(range(1, 9))
+        return len(merges)
+
+    results["bpe_rounds8_sec"], _ = timed(bpe_rounds8)
+
     print(
         json.dumps(
             {

@@ -3,11 +3,21 @@ a tokenizer training pipeline (Sennrich et al. 2016), expressed as pure
 DataFrame composition so the same corpus scan that powers vocab stats can
 learn merge rules.
 
-Beyond-reference operator (the reference has no text analytics at all);
-rounds are UNROLLED (merge choice r feeds the representation of round
-r+1), so a fixed small number of rounds keeps the whole computation one
-declarative DAG — no driver-side loop over corpus data, only over the
-round count.  Each round is:
+Beyond-reference operator (the reference has no text analytics at all).
+BPE learning is inherently SEQUENTIAL in rounds (merge choice r feeds
+the representation of round r+1), and the r7-era fully-unrolled DAG hid
+an exponential: each round's plan referenced the previous round's rep
+subtree twice (once under the broadcast argmax build, once as the merge
+probe), so plan shuffle count DOUBLED per round (measured 16/84/368 at
+rounds 2/4/6) — fatal long before the thousands of rounds a real
+tokenizer runs.  Since round 8 each round is MATERIALIZED: the 1-row
+argmax merge is collected (bounded driver data — the merge decision IS
+the model being learned) and inlined as literals, and the rep table's
+lineage is truncated with an eager ``localCheckpoint`` so round r+1's
+plan starts from stored blocks, never from round r's lineage.  Plans,
+shuffles, and compute are all LINEAR in rounds (pinned by
+tests/test_bpe.py); the rep data itself never leaves the executors.
+Each round is:
 
 1. pair statistics: explode adjacent symbol pairs of every distinct
    word's current representation, weighted by corpus word frequency —
@@ -87,6 +97,20 @@ def _best_pair(stats: DataFrame) -> DataFrame:
     return stats.orderBy(F.desc("c"), "a", "b").limit(1)
 
 
+def _merge_fold_literal(a: str, b: str) -> F.Column:
+    """The boundary-safe greedy merge fold with the learned pair
+    inlined as literals (symbols are ^[a-z]+$ by construction, so the
+    literals need no escaping)."""
+    return F.expr(
+        f"aggregate(filter(split(rep, '{SEP}'), x -> x <> ''), '{SEP}', "
+        f"(acc, x) -> CASE WHEN endswith(acc, '{SEP}{a}{SEP}') "
+        f"AND x = '{b}' "
+        f"THEN substring(acc, 1, length(acc) - {len(a)} - 1) "
+        f"|| '{a}{b}{SEP}' "
+        f"ELSE acc || x || '{SEP}' END)"
+    )
+
+
 def bpe_merge_rounds(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -95,51 +119,48 @@ def bpe_merge_rounds(
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges of the corpus.
 
-    Returns (round, merge_left, merge_right, pair_count) — one row per learned merge,
-    ordered by round.  Every step is DataFrame-declarative; the learned
-    merge of each round enters the next round's representation via a
-    broadcast 1-row cross join (the same tiny-scalar pattern as the
-    repo's top-supplier / max-subquery queries), so Catalyst sees one
-    DAG and the corpus never round-trips through the driver.
+    Returns (round, merge_left, merge_right, pair_count) — one row per
+    learned merge, ordered by round.  Each round runs ONE
+    vocabulary-sized pair-stats aggregation, collects the 1-row argmax
+    (the merge decision — bounded driver data; a trained tokenizer is
+    exactly this list), inlines it as literals into the merge fold, and
+    eagerly ``localCheckpoint``s the new rep table so the next round's
+    plan starts from stored executor blocks.  Plans, shuffles, and
+    compute are LINEAR in ``rounds`` (see module docstring for the
+    exponential the unrolled form hid); the rep table itself never
+    leaves the executors.
 
     ``wf`` is an optional pre-built :func:`word_frequencies` table — the
     per-corpus artifact a tokenizer-training service stores; callers that
     serve repeated BPE queries should build + persist it once and pass
-    it in (the unrolled DAG's branches each re-evaluate their inputs, so
-    an unpersisted wf re-scans the corpus per branch).  This function
-    never persists; the caller owns the cache lifecycle.
+    it in (round 1 reads it once; an unpersisted wf costs one extra
+    corpus scan).  Intermediate rep checkpoints are transient executor
+    blocks, released by Spark's context cleaner.
     """
     if wf is None:
         if df is None:
             raise ValueError("bpe_merge_rounds needs df or wf")
         wf = word_frequencies(df, text_col)
+    spark = wf.sparkSession
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
-    results = []
+    results: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        best = _best_pair(_pair_stats(reps))
-        results.append(
-            best.select(
-                F.lit(r).alias("round"),
-                F.col("a").alias("merge_left"),
-                F.col("b").alias("merge_right"),
-                F.col("c").alias("pair_count"),
-            )
+        best = _best_pair(_pair_stats(reps)).collect()
+        if not best:
+            # no adjacent pairs left: the unrolled form's empty cross
+            # join annihilated reps and produced no further merge rows
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        results.append((r, a, b, c))
+        reps = reps.select(
+            "word", "cnt", _merge_fold_literal(a, b).alias("rep")
         )
-        merge_fold = F.expr(
-            f"aggregate(filter(split(rep, '{SEP}'), x -> x <> ''), '{SEP}', "
-            f"(acc, x) -> CASE WHEN endswith(acc, '{SEP}' || a || '{SEP}') "
-            f"AND x = b "
-            f"THEN substring(acc, 1, length(acc) - length(a) - 1) "
-            f"|| a || b || '{SEP}' "
-            f"ELSE acc || x || '{SEP}' END)"
-        )
-        reps = reps.crossJoin(F.broadcast(best)).select(
-            "word", "cnt", merge_fold.alias("rep")
-        )
-    out = results[0]
-    for extra in results[1:]:
-        out = out.unionAll(extra)
-    return out
+        if r < rounds:
+            reps = reps.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        results,
+        "round int, merge_left string, merge_right string, pair_count bigint",
+    )
 
 
 def _duck_learn_cte_chain(
@@ -219,22 +240,24 @@ def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
     (each round's argmax merge enters the next fold via a broadcast
     1-row cross join); this returns the post-merge representations
     instead of the merge list, i.e. the trained tokenizer MODEL a
-    serving pipeline persists and joins against incoming text.  Never
-    persists; the caller owns the cache lifecycle."""
+    serving pipeline persists and joins against incoming text.  Same
+    round-materialized, linear-plan discipline as
+    :func:`bpe_merge_rounds` (collect the 1-row argmax, inline as
+    literals, checkpoint the rep lineage); the returned frame is the
+    final checkpointed rep table."""
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
-    for _ in range(rounds):
-        best = _best_pair(_pair_stats(reps))
-        merge_fold = F.expr(
-            f"aggregate(filter(split(rep, '{SEP}'), x -> x <> ''), '{SEP}', "
-            f"(acc, x) -> CASE WHEN endswith(acc, '{SEP}' || a || '{SEP}') "
-            f"AND x = b "
-            f"THEN substring(acc, 1, length(acc) - length(a) - 1) "
-            f"|| a || b || '{SEP}' "
-            f"ELSE acc || x || '{SEP}' END)"
+    for r in range(rounds):
+        best = _best_pair(_pair_stats(reps)).collect()
+        if not best:
+            # unrolled-form parity: an empty argmax cross-join
+            # annihilated the rep table
+            return reps.where(F.lit(False))
+        a, b = best[0]["a"], best[0]["b"]
+        reps = reps.select(
+            "word", "cnt", _merge_fold_literal(a, b).alias("rep")
         )
-        reps = reps.crossJoin(F.broadcast(best)).select(
-            "word", "cnt", merge_fold.alias("rep")
-        )
+        if r < rounds - 1:
+            reps = reps.localCheckpoint(eager=True)
     return reps
 
 

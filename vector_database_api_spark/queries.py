@@ -6863,6 +6863,24 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.bpe_merge_rounds(wf=_cached_bpe_wf(spark, sf_dir), rounds=3)
 
 
+@register(
+    "bpe_merge_rounds_r6",
+    bpe_mod.duck_bpe_merge_sql(rounds=6),
+)
+def bpe_merge_rounds_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_merge_rounds` at rounds=6 — the SAME parameterized learner
+    and per-round generated oracle CTE chain at a second round count
+    (r7 VERDICT task: a real tokenizer runs thousands of rounds, so the
+    round count must be a lifted parameter, not three hand-unrolled
+    stages).  Oracle-checking two counts pins that the generator, not
+    the instance, is correct; tests/test_bpe.py pins that plan shuffle
+    count grows LINEARLY in rounds (each round adds exactly one
+    vocabulary-sized pair-stats aggregation — the corpus is still
+    touched once ever, via the shared `_cached_bpe_wf` artifact), and
+    tools/scale_smoke.py runs rounds=8 at 500k docs."""
+    return bpe_mod.bpe_merge_rounds(wf=_cached_bpe_wf(spark, sf_dir), rounds=6)
+
+
 from vector_database_api_spark.operators import bloom as bloom_mod  # noqa: E402
 
 
@@ -8621,12 +8639,21 @@ ORDER BY c.doc_id
 
 
 def _ltr_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-sized leg 1: keyword top-20 — the family's shared scoring
-    scan (`_bm25_scored`, one pass + broadcast stats artifact).
+    """Leg 1: keyword top-20, served from the POSTINGS ARTIFACT with a
+    pushed-down ``term IN (query terms)`` filter — only the query
+    terms' posting lists are read, never the corpus (the
+    `bm25_postings_topk` path, whose scores are hash-proven identical
+    to the `_bm25_scored` corpus scan against the same oracle; r8:
+    this leg previously re-ran the corpus scan per call, the constant
+    factor behind ltr_feature_matrix's 2.9-3.5 anchor ratio).
     Audited via AUDIT_SUBPLANS (the query proper collects it)."""
+    scored = (
+        _bm25_postings_pivoted(spark, sf_dir)
+        .crossJoin(F.broadcast(_cached_bm25_stats(spark, sf_dir)))
+        .withColumn("bm25", F.round(F.expr(_BM25_SUM), 6))
+    )
     return (
-        _bm25_scored(spark, sf_dir)
-        .orderBy(F.desc("bm25"), "doc_id")
+        scored.orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
         .select("doc_id")
     )
@@ -8647,14 +8674,31 @@ def _ltr_cos(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     )
 
 
+def _cached_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-scoped embeddings (vec_id, embedding) — the VECTOR
+    STORE artifact a served dense retriever reads per query instead of
+    re-reading parquet and re-running the doc-scope semi-join per call
+    (r8: the per-call rebuild was half of ltr_feature_matrix's dense
+    leg cost).  Persisted once per sf_dir like every serving index."""
+    key = ("ltr-doc-embeddings", sf_dir)
+    if key not in _SERVING_INDEXES:
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings").join(
+            docs.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        emb = emb.persist()
+        emb.count()
+        _SERVING_INDEXES[key] = emb
+    return _SERVING_INDEXES[key]
+
+
 def _ltr_cos_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-sized leg 2: dense top-20.  Audited via AUDIT_SUBPLANS."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb_docs = load_table(spark, sf_dir, "embeddings").join(
-        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
+    """Corpus-sized leg 2: dense top-20 over the persisted vector-store
+    artifact.  Audited via AUDIT_SUBPLANS."""
     return (
-        _ltr_cos(spark, sf_dir, emb_docs)
+        _ltr_cos(spark, sf_dir, _cached_doc_embeddings(spark, sf_dir))
         .orderBy(F.desc("cos_sim"), "doc_id")
         .limit(20)
         .select("doc_id")
