@@ -7008,14 +7008,24 @@ from vector_database_api_spark.operators import projection as proj_mod  # noqa: 
     WITH cap AS (
       SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 200
     ),
-    s AS (
+    s0 AS (
       SELECT vec_id, embedding,
              {proj_mod.duck_project_sql('embedding', 64, 16)} AS proj
       FROM cap
     ),
+    s AS (
+      SELECT vec_id, embedding, proj,
+             sqrt({duck_norm2('embedding')}) AS nf,
+             sqrt({duck_norm2('proj')}) AS np
+      FROM s0
+    ),
     p AS (
-      SELECT {duck_cosine('a.embedding', 'b.embedding')} AS cf,
-             {duck_cosine('a.proj', 'b.proj')} AS cp
+      SELECT CASE WHEN a.nf = 0.0 OR b.nf = 0.0 THEN 0.0
+                  ELSE {duck_dot('a.embedding', 'b.embedding')}
+                       / (a.nf * b.nf) END AS cf,
+             CASE WHEN a.np = 0.0 OR b.np = 0.0 THEN 0.0
+                  ELSE {duck_dot('a.proj', 'b.proj')}
+                       / (a.np * b.np) END AS cp
       FROM s a JOIN s b ON a.vec_id < b.vec_id
     )
     SELECT CAST(floor(cf * 10) AS INT) AS band,
@@ -7049,15 +7059,31 @@ def jl_projection_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(200)
     )
+    # staged norms (the knn_cosine_topk discipline): sqrt(norm2) once
+    # per SAMPLE ROW (200x) instead of twice per PAIR (19,900x) — the
+    # identical doubles in the identical op order, so the oracle hash
+    # is unchanged; measured ~2x off this constant-cost audit
     s = emb.select(
         "vec_id",
         "embedding",
         F.expr(proj_mod.spark_project_sql("embedding", 64, 16)).alias("proj"),
+    ).select(
+        "*",
+        F.sqrt(vec_norm2("embedding")).alias("nf"),
+        F.sqrt(vec_norm2("proj")).alias("np"),
     )
     a, b = s.alias("a"), s.alias("b")
+
+    def _staged_cos(col: str, n: str) -> F.Column:
+        zero = (F.col(f"a.{n}") == F.lit(0.0)) | (F.col(f"b.{n}") == F.lit(0.0))
+        return F.when(zero, F.lit(0.0)).otherwise(
+            dot_product(F.col(f"a.{col}"), F.col(f"b.{col}"))
+            / (F.col(f"a.{n}") * F.col(f"b.{n}"))
+        )
+
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cf"),
-        cosine_similarity(F.col("a.proj"), F.col("b.proj")).alias("cp"),
+        _staged_cos("embedding", "nf").alias("cf"),
+        _staged_cos("proj", "np").alias("cp"),
     )
     return (
         pairs.select(
