@@ -192,6 +192,7 @@ HEADLINE = [
     "approx_quantiles_contract",
     "bm25_impact_pruned_topk",
     "ltr_feature_matrix",
+    "ltr_feature_matrix_batch",
     "maxp_passage_topk",
     "hybrid_rrf_fusion",
     "hybrid_rrf_filtered",

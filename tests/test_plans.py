@@ -387,14 +387,20 @@ def test_dedup_keep_first_plans_are_window_free(spark, sf_dir):
 def test_fusion_leg_plans_are_topk_and_python_free(spark, sf_dir):
     """The collected legs of coordinator-fusion queries (AUDIT_SUBPLANS)
     are the queries' only data-sized plans; each must be a distributed
-    top-k (TakeOrderedAndProject) with no row-wise Python — checked on
-    live plans, not just the committed PLANS_AUDIT.md snapshot."""
+    top-k — a global TakeOrderedAndProject OR a per-qid ranking window
+    (the batch-run shape: k rows of state per query) — with no row-wise
+    Python, checked on live plans, not just the committed
+    PLANS_AUDIT.md snapshot."""
     for name, legs in q.AUDIT_SUBPLANS.items():
         for leg, fn in legs.items():
             a = audit_plan(fn(spark, sf_dir))
-            assert a["take_ordered_topk"], (name, leg)
+            per_qid_topk = a["window_partition_keys"] == {"qid"}
+            assert a["take_ordered_topk"] or per_qid_topk, (name, leg)
             assert a["row_python_udfs"] == 0, (name, leg)
-            assert a["window_partition_keys"] == set(), (name, leg)
+            assert a["window_partition_keys"] in (set(), {"qid"}), (
+                name,
+                leg,
+            )
 
 
 def test_hint_gate_catches_dropped_broadcast(spark):

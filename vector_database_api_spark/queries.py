@@ -9448,6 +9448,12 @@ def _register_late_subplans() -> None:
     """Queries defined BELOW the AUDIT_SUBPLANS literal register their
     coordinator-collected legs here (called at import end)."""
     AUDIT_SUBPLANS["collapsed_topk_by_near_dup"] = {"top50": _collapse_top50}
+    # the batch export's coordinator-collected pool = full outer of the
+    # two persisted batch runs; audit the run-building plans
+    AUDIT_SUBPLANS["ltr_feature_matrix_batch"] = {
+        "kw_run": lambda spark, sf_dir: _bm25_batch_frames(spark, sf_dir)[1],
+        "dense_run": _cached_dense_batch_run,
+    }
 
 
 _PHRASE_ORACLE = """
@@ -10900,6 +10906,54 @@ def ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qv): embeddings vec_id 1..6 standing in for the 6 keyword
+    queries' dense twins — the query side of every batch dense leg."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 6))
+        .select(
+            F.col("vec_id").cast("int").alias("qid"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+
+
+def _cached_dense_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted DENSE batch run (qid, doc_id, r_vec<=20) — the
+    vector twin of `_cached_batch_run`, shared by the batch hybrid
+    fusion and the batch LTR export (score once, fuse/export many).
+    Live, the rescore is one broadcast of the Q query vectors against
+    the embedding store — nothing per-query."""
+    dkey = ("dense-batch-run", sf_dir)
+    if dkey not in _SERVING_INDEXES:
+        embs = load_table(spark, sf_dir, "embeddings")
+        docsemb = embs.join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("vec_id")
+            ),
+            "vec_id",
+            "left_semi",
+        ).select(F.col("vec_id").alias("doc_id"), "embedding")
+        vs = docsemb.crossJoin(
+            F.broadcast(_batch_query_vectors(spark, sf_dir))
+        ).select(
+            "qid",
+            "doc_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
+        dr = (
+            vs.withColumn("r_vec", F.row_number().over(wv).cast("long"))
+            .filter(F.col("r_vec") <= 20)
+            .select("qid", "doc_id", "r_vec")
+            .persist()
+        )
+        dr.count()
+        _SERVING_INDEXES[dkey] = dr
+    return _SERVING_INDEXES[dkey]
+
+
 _BATCH_HYBRID_ORACLE = f"""
 WITH {_BATCH_CTES},
 kwr AS (
@@ -10974,38 +11028,7 @@ def hybrid_batch_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         run.filter(F.col("rank") <= 20)
         .select("qid", "doc_id", F.col("rank").cast("long").alias("r_kw"))
     )
-    dkey = ("dense-batch-run", sf_dir)
-    if dkey not in _SERVING_INDEXES:
-        embs = load_table(spark, sf_dir, "embeddings")
-        bq = (
-            embs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 6))
-            .select(
-                F.col("vec_id").cast("int").alias("qid"),
-                F.col("embedding").alias("qv"),
-            )
-        )
-        docsemb = embs.join(
-            load_table(spark, sf_dir, "documents").select(
-                F.col("doc_id").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
-        ).select(F.col("vec_id").alias("doc_id"), "embedding")
-        vs = docsemb.crossJoin(F.broadcast(bq)).select(
-            "qid",
-            "doc_id",
-            cosine_similarity("embedding", "qv").alias("sim"),
-        )
-        wv = Window.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
-        dr = (
-            vs.withColumn("r_vec", F.row_number().over(wv).cast("long"))
-            .filter(F.col("r_vec") <= 20)
-            .select("qid", "doc_id", "r_vec")
-            .persist()
-        )
-        dr.count()
-        _SERVING_INDEXES[dkey] = dr
-    vr = _SERVING_INDEXES[dkey]
+    vr = _cached_dense_batch_run(spark, sf_dir)
     fused = kwr.join(vr, ["qid", "doc_id"], "full_outer").select(
         "qid",
         "doc_id",
@@ -11027,6 +11050,153 @@ def hybrid_batch_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf"),
         )
     )
+
+
+_LTR_BATCH_TFSUM = (
+    "CASE qid "
+    + " ".join(
+        f"WHEN {qid} THEN " + " + ".join(f"tf_{t}" for t in ts)
+        for qid, ts in _BATCH_QUERIES
+    )
+    + " END"
+)
+
+_LTR_BATCH_ORACLE = f"""
+WITH {_BATCH_CTES},
+kw AS (
+  SELECT qid, doc_id, CAST(rank AS BIGINT) AS r_kw
+  FROM branked WHERE rank <= 20
+),
+bq AS (
+  SELECT CAST(vec_id AS INT) AS qid, embedding AS qv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 6
+),
+docsemb AS (
+  SELECT e.vec_id AS doc_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+vs AS (
+  SELECT bq.qid, de.doc_id,
+         {duck_cosine('de.embedding', 'bq.qv')} AS sim
+  FROM docsemb de CROSS JOIN bq
+),
+vr AS (
+  SELECT qid, doc_id, r_vec FROM (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec
+    FROM vs
+  ) WHERE r_vec <= 20
+),
+pool AS (
+  SELECT COALESCE(k.qid, v.qid) AS qid,
+         COALESCE(k.doc_id, v.doc_id) AS doc_id, k.r_kw, v.r_vec
+  FROM kw k FULL OUTER JOIN vr v
+    ON k.qid = v.qid AND k.doc_id = v.doc_id
+)
+SELECT p.qid, p.doc_id, p.r_kw, p.r_vec, s.bm25,
+       CAST(s.rel AS BIGINT) AS n_hit_terms, b.dl,
+       CAST(({_LTR_BATCH_TFSUM.replace('qid', 'p.qid', 1).replace('tf_', 'b.tf_')}) AS BIGINT) AS tf_sum,
+       round(vsim.sim, 6) AS cos_sim,
+       (d.lang = 'en') AS is_en, d.n_chars
+FROM pool p
+JOIN bbase b ON b.doc_id = p.doc_id
+LEFT JOIN bscored s ON s.qid = p.qid AND s.doc_id = p.doc_id
+JOIN vs vsim ON vsim.qid = p.qid AND vsim.doc_id = p.doc_id
+JOIN documents d ON d.doc_id = p.doc_id
+ORDER BY p.qid, p.doc_id
+"""
+
+
+@register("ltr_feature_matrix_batch", _LTR_BATCH_ORACLE)
+def ltr_feature_matrix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LTR TRAINING-DATA export — `ltr_feature_matrix` for a
+    whole QUERY LOG at once, cashing the r7 claim that the per-query
+    export "fans out embarrassingly": 6 queries x [keyword top-20 pool
+    leg + dense top-20 pool leg + full feature join] with exactly ONE
+    bounded collect for the whole batch.  Both pool legs serve from
+    the persisted run artifacts (`_cached_batch_run`,
+    `_cached_dense_batch_run` — score once, export many; the same
+    runs the hybrid fusion and IR evaluation read), so the steady-
+    state export touches two <=20-row-per-qid rank frames, collects
+    their full-outer pool ONCE (<= 40*Q rows — k*N-bounded driver
+    data), and probes documents + embeddings with pushed-down id IN
+    filters.  Features per (qid, doc): both leg ranks, bm25 and
+    n_hit_terms from the run (NULL for dense-only no-hit docs — the
+    missing-evidence-stays-NULL convention LTR toolkits expect),
+    per-query tf_sum via a qid-dispatched CASE over the batch's
+    distinct-term tf columns, dl, cosine to the query vector, and
+    document priors.  At 100 TB with a 10k-query log this is the
+    nightly feature-refresh job: runs maintained as artifacts, one
+    pool probe proportional to k*Q, never corpus x Q."""
+    run = _cached_batch_run(spark, sf_dir)
+    kw = run.filter(F.col("rank") <= 20).select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("r_kw")
+    )
+    vr = _cached_dense_batch_run(spark, sf_dir)
+    pool_rows = kw.join(vr, ["qid", "doc_id"], "full_outer").collect()
+    ids = sorted({r["doc_id"] for r in pool_rows})
+    pool = spark.createDataFrame(
+        [(r["qid"], r["doc_id"], r["r_kw"], r["r_vec"]) for r in pool_rows],
+        "qid int, doc_id bigint, r_kw bigint, r_vec bigint",
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .filter(F.col("text").isNotNull())
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ids))
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    doc_feats = (
+        docs.join(F.broadcast(emb), "doc_id")
+        .select(
+            "doc_id",
+            F.expr("split(lower(text), ' ', -1)").alias("_toks"),
+            "embedding",
+            (F.col("lang") == "en").alias("is_en"),
+            "n_chars",
+        )
+        .select(
+            "*",
+            F.size("_toks").cast("long").alias("dl"),
+            *[
+                F.expr(f"size(filter(_toks, x -> x = '{t}'))")
+                .cast("long")
+                .alias(f"tf_{t}")
+                for t in _BATCH_DISTINCT_TERMS
+            ],
+        )
+    )
+    staged = (
+        pool.join(F.broadcast(doc_feats), "doc_id")
+        .join(F.broadcast(_batch_query_vectors(spark, sf_dir)), "qid")
+        .join(
+            run.select(
+                "qid",
+                "doc_id",
+                "bm25",
+                F.col("rel").cast("long").alias("n_hit_terms"),
+            ),
+            ["qid", "doc_id"],
+            "left",
+        )
+    )
+    return staged.select(
+        "qid",
+        "doc_id",
+        "r_kw",
+        "r_vec",
+        "bm25",
+        "n_hit_terms",
+        "dl",
+        F.expr(_LTR_BATCH_TFSUM).cast("long").alias("tf_sum"),
+        F.round(cosine_similarity("embedding", "qv"), 6).alias("cos_sim"),
+        "is_en",
+        "n_chars",
+    ).orderBy("qid", "doc_id")
 
 
 def _nqc_exprs() -> dict[str, str]:
