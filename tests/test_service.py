@@ -1205,3 +1205,65 @@ def test_hybrid_batch_matches_per_request_search(engine):
     # not silently embed the empty string
     with pytest.raises(ValueError, match="text or embedding"):
         engine.search_hybrid_batch("libA", reqs[:1] + [(None, None)], k=5)
+
+
+def test_export_ltr_features_batch(engine):
+    """export_ltr_features (the served twin of registry
+    `ltr_feature_matrix_batch`): the pool is the union of the two
+    k_pool legs per request, bm25 is run-censored (NULL outside the
+    keyword top-k_pool), text-side features are exact, and the leg
+    ranks agree with the engine's own retrievers."""
+    engine.index_library("libA", "hybrid")
+    reqs = [
+        ("python document number 0 about python", None),
+        (None, [float(x) for x in text_to_vector("python probe", 16)]),
+    ]
+    out = engine.export_ltr_features("libA", reqs, k_pool=5).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == {0, 1}
+
+    for qid, rows in by_qid.items():
+        # pool = union of two <=5 legs
+        assert 5 <= len(rows) <= 10
+        kw_rows = [r for r in rows if r["r_kw"] is not None]
+        vec_rows = [r for r in rows if r["r_vec"] is not None]
+        assert sorted(r["r_kw"] for r in kw_rows) == list(
+            range(1, len(kw_rows) + 1)
+        )
+        assert sorted(r["r_vec"] for r in vec_rows) == list(
+            range(1, len(vec_rows) + 1)
+        )
+        for r in rows:
+            # run-censored bm25: present iff the doc is in the kw leg
+            assert (r["bm25"] is not None) == (r["r_kw"] is not None), r
+            # exact text evidence, never NULL
+            assert r["dl"] is not None and r["dl"] > 0
+            assert r["tf_sum"] is not None and r["n_hit_terms"] is not None
+            assert r["cos_sim"] is not None and r["n_chars"] > 0
+            # a keyword-recalled doc must actually contain query terms
+            if r["r_kw"] is not None and qid == 0:
+                assert r["n_hit_terms"] > 0 and r["tf_sum"] > 0
+
+    # the vector-only request has an empty term list: zero evidence is
+    # a real zero, not missing
+    assert all(r["tf_sum"] == 0 and r["n_hit_terms"] == 0 for r in by_qid[1])
+
+    # dense-leg parity: the export's r_vec ordering == the engine's own
+    # top-5 vector search
+    dense = engine.search(
+        "libA", query_embedding=reqs[1][1], k=5
+    ).collect()
+    got_vec = sorted(
+        (r["r_vec"], r["id"]) for r in by_qid[1] if r["r_vec"] is not None
+    )
+    assert [i for _, i in got_vec] == [r["id"] for r in dense][: len(got_vec)]
+
+    # contract errors
+    with pytest.raises(ValueError, match="text or embedding"):
+        engine.export_ltr_features("libA", [(None, None)])
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.export_ltr_features("libA", [])
+    with pytest.raises(ValueError, match="bm25 or hybrid"):
+        engine.export_ltr_features("libB", reqs)

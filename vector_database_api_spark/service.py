@@ -1113,6 +1113,166 @@ class VectorEngine:
         )
         return self._apply_threshold(out, similarity_threshold)
 
+    def export_ltr_features(
+        self,
+        library_id: str,
+        requests: list[tuple[str | None, list[float] | None]],
+        k_pool: int = 20,
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Batched LTR TRAINING-DATA export — the SERVED twin of the
+        registry query ``ltr_feature_matrix_batch``: for every request,
+        the candidate pool is the union of the keyword top-``k_pool``
+        and the dense top-``k_pool`` (the engine's two first-stage
+        retrievers over the library's stored index), and each (qid,
+        chunk) row carries the reranker-training features.  Requires a
+        built 'bm25' or 'hybrid' index.
+
+        Shapes (the batch discipline of :meth:`search_hybrid_batch`):
+        the keyword legs are ONE `bm25_batch_search` plan over the
+        stored postings; the dense legs are ONE broadcast of all query
+        vectors against the scoped chunk embeddings; the full-outer
+        pool is collected ONCE (<= 2*k_pool*N rows — bounded driver
+        data) and the chunk store is probed with a pushed-down id IN
+        filter for the text/embedding features.  Per-query term
+        features are computed with the terms bound as LITERAL ARRAYS
+        (the snippet-highlighting injection discipline — no query text
+        is ever spliced into an expression string).
+
+        Feature conventions (mirroring the oracle-checked registry
+        twin): ``bm25`` comes from the keyword leg and is
+        NULL for docs outside its top-``k_pool`` (run-file-censored
+        evidence, as when exporting from stored runs); ``tf_sum`` /
+        ``n_hit_terms`` / ``dl`` / ``cos_sim`` are computed EXACTLY for
+        every pool row from the probed chunk text + embedding (0 is a
+        real zero, not missing).  Returns (qid, id, r_kw, r_vec, bm25,
+        n_hit_terms, dl, tf_sum, cos_sim, n_chars), ordered by
+        (qid, id)."""
+        from pyspark.sql.window import Window
+
+        from vector_database_api_spark.functions.vector import (
+            cosine_similarity,
+        )
+        from vector_database_api_spark.operators.filters import (
+            apply_metadata_filters,
+        )
+
+        meta = self._index_meta(library_id)
+        if meta is None or meta[0] not in ("bm25", "hybrid"):
+            raise ValueError(
+                "export_ltr_features needs a built bm25 or hybrid index"
+            )
+        if not requests:
+            raise ValueError("requests must be non-empty")
+        for i, (t, e) in enumerate(requests):
+            if t is None and e is None:
+                raise ValueError(
+                    f"request {i}: query must have text or embedding"
+                )
+        k_pool = int(k_pool)
+        scoped = apply_metadata_filters(
+            self.chunks(library_id), metadata_filters
+        )
+
+        postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
+        cand = scoped.select("id") if metadata_filters else None
+        term_lists = [
+            bm25_mod.tokenize_query(t) if t is not None else []
+            for t, _ in requests
+        ]
+        kw = bm25_mod.bm25_batch_search(
+            postings, doclens, n_docs, avgdl, term_lists, k=k_pool,
+            candidate_ids=cand,
+        ).select(
+            "qid",
+            "id",
+            F.col("score").alias("bm25"),
+            F.col("rank").cast("long").alias("r_kw"),
+        )
+
+        vecs = [
+            e
+            if e is not None
+            else [
+                float(x)
+                for x in text_to_vector(
+                    t if t is not None else "", self.config.embedding_dim
+                )
+            ]
+            for t, e in requests
+        ]
+        qdf = self.spark.createDataFrame(
+            [(qid, v) for qid, v in enumerate(vecs)],
+            "qid int, query_embedding array<float>",
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
+        vr = (
+            scoped.filter(F.col("embedding").isNotNull())
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "qid",
+                "id",
+                cosine_similarity("embedding", "query_embedding").alias(
+                    "similarity"
+                ),
+            )
+            .withColumn("r_vec", F.row_number().over(wv).cast("long"))
+            .filter(F.col("r_vec") <= k_pool)
+            .select("qid", "id", "r_vec")
+        )
+
+        pool_rows = kw.join(vr, ["qid", "id"], "full_outer").collect()
+        ids = sorted({r["id"] for r in pool_rows})
+        pool = self.spark.createDataFrame(
+            [
+                (r["qid"], r["id"], r["r_kw"], r["r_vec"], r["bm25"])
+                for r in pool_rows
+            ],
+            "qid int, id string, r_kw bigint, r_vec bigint, bm25 double",
+        )
+        qterms = self.spark.createDataFrame(
+            [(qid, ts) for qid, ts in enumerate(term_lists)],
+            "qid int, terms array<string>",
+        )
+        feats = (
+            self.chunks(library_id)
+            .filter(F.col("id").isin(ids))
+            .select(
+                "id",
+                F.expr("split(lower(text), ' ', -1)").alias("_toks"),
+                "embedding",
+                F.length("text").cast("long").alias("n_chars"),
+            )
+        )
+        staged = (
+            pool.join(F.broadcast(feats), "id")
+            .join(F.broadcast(qterms), "qid")
+            .join(F.broadcast(qdf), "qid")
+        )
+        return staged.select(
+            "qid",
+            "id",
+            "r_kw",
+            "r_vec",
+            F.round("bm25", 6).alias("bm25"),
+            # terms are a COLUMN (literal array), never spliced into
+            # the expression text — hostile query terms cannot escape
+            F.expr("size(filter(terms, t -> array_contains(_toks, t)))")
+            .cast("long")
+            .alias("n_hit_terms"),
+            F.size("_toks").cast("long").alias("dl"),
+            F.expr(
+                "aggregate(terms, 0L, (acc, t) ->"
+                " acc + size(filter(_toks, x -> x = t)))"
+            )
+            .cast("long")
+            .alias("tf_sum"),
+            F.round(
+                cosine_similarity("embedding", "query_embedding"), 6
+            ).alias("cos_sim"),
+            "n_chars",
+        ).orderBy("qid", "id")
+
     def search_diversified(
         self,
         library_id: str,
