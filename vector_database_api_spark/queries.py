@@ -7371,14 +7371,18 @@ def lm_cross_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates entirely
     lm_key = ("bigram-lm", sf_dir)
     if lm_key not in _SERVING_INDEXES:
-        lm_src = fact.filter(F.col("source") == "src0")
+        fact_p = fact.persist()
+        lm_src = fact_p.filter(F.col("source") == "src0")
         u = lm_src.groupBy(F.col("w1").alias("w")).agg(
             F.count(F.lit(1)).alias("c1")
         ).persist()
         b = lm_src.groupBy("bg").agg(F.count(F.lit(1)).alias("c2")).persist()
         u.count(), b.count()
-        _SERVING_INDEXES[lm_key] = (u, b)
-    lm_uni, lm_big = _SERVING_INDEXES[lm_key]
+        # the exploded bigram fact is ALSO the scoring input — keep it
+        # persisted (the dsir featurize-once discipline, r8) so later
+        # scoring passes skip the per-call corpus explode
+        _SERVING_INDEXES[lm_key] = (u, b, fact_p)
+    lm_uni, lm_big, fact = _SERVING_INDEXES[lm_key]
     vocab = lm_uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         fact.join(lm_big, "bg", "left")
@@ -7840,9 +7844,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact_p.groupBy("b").agg(F.count(F.lit(1)).alias("cr")).persist()
         )
         tgt_a.count(), raw_a.count()
-        fact_p.unpersist()
-        _SERVING_INDEXES[dsir_key] = (tgt_a, raw_a)
-    tgt, raw = _SERVING_INDEXES[dsir_key]
+        # the featurized fact IS an artifact too (the DSIR paper
+        # featurizes the corpus once and scores from the feature file):
+        # keeping it persisted removes the per-call bigram re-hash
+        # (md5 per occurrence) from every later scoring pass (r8)
+        _SERVING_INDEXES[dsir_key] = (tgt_a, raw_a, fact_p)
+    tgt, raw, fact = _SERVING_INDEXES[dsir_key]
     nt = tgt.agg(F.sum("ct").alias("n_t"))
     nr = raw.agg(F.sum("cr").alias("n_r"))
     lw = F.log(
