@@ -196,9 +196,10 @@ def test_crash_between_renames_heals_at_entry(spark, sf_dir, tmp_path):
 
     before = served()
     # simulate the crash window: store moved aside, temp never renamed
-    # in, dead compactor's lock still on disk
+    # in, dead compactor's pid-stamped lock still on disk
     os.rename(store, store + ".precompact")
-    open(M._compaction_lock(store), "w").close()
+    with open(M._compaction_lock(store), "w") as fh:
+        fh.write("4194300")  # beyond pid_max: a dead owner
     assert not os.path.exists(store)
 
     res = M.compact_topic_store(spark, store)  # entry-heals, then folds
@@ -221,8 +222,9 @@ def test_concurrent_compactor_and_writer_are_excluded(spark, sf_dir, tmp_path):
         proc(b, i)
     served_before = spark.read.parquet(store).count()
 
-    # hold the lock as an in-flight compactor would
-    open(M._compaction_lock(store), "w").close()
+    # hold the lock as an in-flight LIVE compactor would (pid-stamped)
+    with open(M._compaction_lock(store), "w") as fh:
+        fh.write(str(os.getpid()))
     with pytest.raises(M.CompactionInProgressError):
         M.compact_topic_store(spark, store)  # second compactor excluded
     with pytest.raises(M.CompactionInProgressError):
@@ -245,7 +247,8 @@ def test_all_batch_store_writers_check_the_lock(spark, sf_dir, tmp_path):
     stats = str(tmp_path / "stats")
     sproc = M.bm25_stats_batch_processor(stats)
     sproc(batches[0], 0)
-    open(M._compaction_lock(stats + "/terms"), "w").close()
+    with open(M._compaction_lock(stats + "/terms"), "w") as fh:
+        fh.write(str(os.getpid()))
     with pytest.raises(M.CompactionInProgressError):
         sproc(batches[1], 1)
     os.remove(M._compaction_lock(stats + "/terms"))
@@ -253,7 +256,105 @@ def test_all_batch_store_writers_check_the_lock(spark, sf_dir, tmp_path):
     wstore = str(tmp_path / "winnow")
     wproc = M.winnow_fp_batch_processor(wstore)
     wproc(batches[0].select("doc_id", "source", "text"), 0)
-    open(M._compaction_lock(wstore), "w").close()
+    with open(M._compaction_lock(wstore), "w") as fh:
+        fh.write(str(os.getpid()))
     with pytest.raises(M.CompactionInProgressError):
         wproc(batches[1].select("doc_id", "source", "text"), 1)
     os.remove(M._compaction_lock(wstore))
+
+
+def test_exception_between_renames_self_heals_and_releases(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r8 review: an EXCEPTION between the two swap renames must not
+    release the lock over a missing store (a later micro-batch would
+    recreate the store with only its own rows while the history sat
+    stranded in .precompact).  The finally block renames .precompact
+    back in-process, so the store is whole and the lock is released."""
+    batches = _doc_batches(spark, sf_dir)
+    store = str(tmp_path / "topics")
+    proc = M.topic_counts_batch_processor(store)
+    for i, b in enumerate(batches[:3]):
+        proc(b, i)
+
+    def served():
+        return {
+            (r["source"], r["term"]): r["ctfidf"]
+            for r in M.topic_model_serving(spark, store).collect()
+        }
+
+    before = served()
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.endswith(".compacting") and dst == store:
+            raise OSError("injected crash between the two swap renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        M.compact_topic_store(spark, store)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # self-healed: store whole, history intact, lock released
+    assert os.path.exists(store)
+    assert not os.path.exists(M._compaction_lock(store))
+    assert served() == before
+    # and both a micro-batch write and a fresh compaction proceed
+    proc(batches[3], 3)
+    res = M.compact_topic_store(spark, store)
+    assert res["compacted"] and res["kept_batch_id"] == 3
+    assert _partition_ids(spark, store) == [M.COMPACTED_BATCH_ID, 3]
+
+
+def test_compactor_refuses_during_live_writer(spark, sf_dir, tmp_path):
+    """r8 review: the exclusion is two-way — a compactor that starts
+    while a micro-batch write is in flight (live writer marker) must
+    refuse instead of renaming the store out from under the write.
+    Dead writers' stale markers must NOT block compaction."""
+    batches = _doc_batches(spark, sf_dir)
+    store = str(tmp_path / "topics")
+    proc = M.topic_counts_batch_processor(store)
+    for i, b in enumerate(batches[:3]):
+        proc(b, i)
+
+    live_marker = store + f"._WRITING.{os.getpid()}.deadbeef"
+    open(live_marker, "w").close()
+    with pytest.raises(M.CompactionInProgressError, match="in-flight"):
+        M.compact_topic_store(spark, store)
+    assert not os.path.exists(M._compaction_lock(store))  # lock released
+    os.remove(live_marker)
+
+    stale_marker = store + "._WRITING.4194300.deadbeef"  # dead pid
+    open(stale_marker, "w").close()
+    res = M.compact_topic_store(spark, store)  # stale marker cleaned
+    assert res["compacted"]
+    assert not os.path.exists(stale_marker)
+
+
+def test_writer_blocked_while_store_mid_swap(spark, sf_dir, tmp_path):
+    """r8 review: a writer must stay excluded by a DEAD compactor's
+    lock while the store is mid-swap (dir missing, data in .precompact)
+    — clearing it and writing would strand the history — but may clear
+    a dead lock when the store dir is whole."""
+    batches = _doc_batches(spark, sf_dir)
+    store = str(tmp_path / "topics")
+    proc = M.topic_counts_batch_processor(store)
+    for i, b in enumerate(batches[:2]):
+        proc(b, i)
+
+    # mid-swap crash state with a dead owner
+    os.rename(store, store + ".precompact")
+    with open(M._compaction_lock(store), "w") as fh:
+        fh.write("4194300")
+    with pytest.raises(M.CompactionInProgressError):
+        proc(batches[2], 2)
+    assert not os.path.exists(store)  # nothing was written
+
+    # heal, then the same dead-lock with a WHOLE store is cleared
+    M.compact_topic_store(spark, store)
+    with open(M._compaction_lock(store), "w") as fh:
+        fh.write("4194300")
+    proc(batches[2], 2)  # dead lock over a whole store: write proceeds
+    assert not os.path.exists(M._compaction_lock(store))
+    assert 2 in _partition_ids(spark, store)

@@ -1622,9 +1622,11 @@ def main() -> None:
         )
 
     n_req = len(_BATCH_QUERIES)
-    results["hybrid_batch_sec"], batch_rows = timed(
-        lambda: len(hybrid_rrf(list(_BATCH_QUERIES)))
-    )
+    t0 = time.time()
+    batch_out = hybrid_rrf(list(_BATCH_QUERIES))  # timed AND kept:
+    results["hybrid_batch_sec"] = round(time.time() - t0, 2)
+    batch_rows = len(batch_out)  # run8 below reuses these rows, so the
+    # most expensive plan in the section runs once, not twice
     assert batch_rows == n_req * 10, batch_rows
     t0 = time.time()
     single_rows = sum(len(hybrid_rrf([rq])) for rq in _BATCH_QUERIES)
@@ -1705,7 +1707,7 @@ def main() -> None:
     run8 = spark.createDataFrame(
         [
             (int(r["qid"]), int(r["doc_id"]), int(r["rank"]))
-            for r in hybrid_rrf(list(_BATCH_QUERIES))
+            for r in batch_out
         ],
         "qid int, doc_id bigint, rank int",
     ).persist()

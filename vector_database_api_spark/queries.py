@@ -10934,14 +10934,12 @@ def _cached_dense_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding store — nothing per-query."""
     dkey = ("dense-batch-run", sf_dir)
     if dkey not in _SERVING_INDEXES:
-        embs = load_table(spark, sf_dir, "embeddings")
-        docsemb = embs.join(
-            load_table(spark, sf_dir, "documents").select(
-                F.col("doc_id").alias("vec_id")
-            ),
-            "vec_id",
-            "left_semi",
-        ).select(F.col("vec_id").alias("doc_id"), "embedding")
+        # build from the shared doc-scoped vector-store artifact
+        # (_cached_doc_embeddings) instead of re-reading parquet and
+        # re-running the doc-scope semi-join here (r8 review)
+        docsemb = _cached_doc_embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
         vs = docsemb.crossJoin(
             F.broadcast(_batch_query_vectors(spark, sf_dir))
         ).select(

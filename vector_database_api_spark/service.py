@@ -960,6 +960,90 @@ class VectorEngine:
         out = self.spark.createDataFrame(rows, schema)
         return self._apply_threshold(out, similarity_threshold)
 
+    def _batch_request_inputs(
+        self, requests: list[tuple[str | None, list[float] | None]]
+    ) -> tuple[list[list[str]], DataFrame]:
+        """Shared validation + featurization for batched request lists
+        (:meth:`search_hybrid_batch`, :meth:`export_ltr_features`):
+        rejects empty lists and (None, None) requests (per-request
+        parity with :meth:`search` — never silently embed the empty
+        string), tokenizes the keyword legs, resolves missing
+        embeddings via the deterministic embedder, and returns
+        ``(term_lists, qdf)`` with ``qdf = (qid, query_embedding,
+        _qn2)`` — the query norm staged ONCE per request, not once per
+        (chunk, request) pair (the knn_brute_force discipline)."""
+        from vector_database_api_spark.functions.vector import norm2
+
+        if not requests:
+            raise ValueError("requests must be non-empty")
+        for i, (t, e) in enumerate(requests):
+            if t is None and e is None:
+                raise ValueError(
+                    f"request {i}: query must have text or embedding"
+                )
+        term_lists = [
+            bm25_mod.tokenize_query(t) if t is not None else []
+            for t, _ in requests
+        ]
+        vecs = [
+            e
+            if e is not None
+            else [
+                float(x)
+                for x in text_to_vector(t, self.config.embedding_dim)
+            ]
+            for t, e in requests
+        ]
+        qdf = self.spark.createDataFrame(
+            [(qid, v) for qid, v in enumerate(vecs)],
+            "qid int, query_embedding array<float>",
+        ).select(
+            "qid", "query_embedding", norm2("query_embedding").alias("_qn2")
+        )
+        return term_lists, qdf
+
+    def _batch_dense_leg(
+        self, scoped: DataFrame, qdf: DataFrame, k: int
+    ) -> DataFrame:
+        """(qid, id, similarity, r_vec <= k): every query vector on the
+        ONE broadcast side against the scoped chunk embeddings — the
+        same staged-norm cosine as knn_brute_force (bit-identical
+        similarity), ranked per qid (k rows of state per request)."""
+        from pyspark.sql.window import Window
+
+        from vector_database_api_spark.functions.vector import (
+            dot_product,
+            norm2,
+        )
+
+        staged = (
+            scoped.filter(F.col("embedding").isNotNull())
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "qid",
+                "id",
+                F.col("_qn2"),
+                norm2("embedding").alias("_na2"),
+                dot_product("embedding", "query_embedding").alias("_dot"),
+            )
+        )
+        sim = (
+            F.when(
+                (F.col("_na2") == F.lit(0.0)) | (F.col("_qn2") == F.lit(0.0)),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.col("_dot") / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_qn2")))
+            )
+            .alias("similarity")
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
+        return (
+            staged.select("qid", "id", sim)
+            .withColumn("r_vec", F.row_number().over(wv))
+            .filter(F.col("r_vec") <= int(k))
+        )
+
     def search_hybrid_batch(
         self,
         library_id: str,
@@ -998,10 +1082,6 @@ class VectorEngine:
         rank <= k per qid."""
         from pyspark.sql.window import Window
 
-        from vector_database_api_spark.functions.vector import (
-            dot_product,
-            norm2,
-        )
         from vector_database_api_spark.operators.filters import (
             apply_metadata_filters,
         )
@@ -1012,15 +1092,7 @@ class VectorEngine:
             raise ValueError(
                 f"search_hybrid_batch needs a built hybrid index, not '{kind}'"
             )
-        if not requests:
-            raise ValueError("requests must be non-empty")
-        for i, (t, e) in enumerate(requests):
-            # per-request parity with search(): a (None, None) request
-            # must not silently become an empty-string embedding
-            if t is None and e is None:
-                raise ValueError(
-                    f"request {i}: query must have text or embedding"
-                )
+        term_lists, qdf = self._batch_request_inputs(requests)
         k = self.config.clamp_k(k)
         if similarity_threshold is None:
             similarity_threshold = self.config.similarity_threshold
@@ -1032,60 +1104,12 @@ class VectorEngine:
         # filter-then-search split as _bm25_topk)
         postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
         cand = scoped.select("id") if metadata_filters else None
-        term_lists = [
-            bm25_mod.tokenize_query(t) if t is not None else []
-            for t, _ in requests
-        ]
         kwr = bm25_mod.bm25_batch_search(
             postings, doclens, n_docs, avgdl, term_lists, k=k,
             candidate_ids=cand,
         ).select("qid", "id", F.col("rank").alias("r_kw"))
 
-        # vector legs: every query vector on the ONE broadcast side,
-        # the same staged-norm cosine as knn_brute_force (bit-identical
-        # similarity), ranked per qid
-        vecs = [
-            e
-            if e is not None
-            else [
-                float(x)
-                for x in text_to_vector(
-                    t if t is not None else "", self.config.embedding_dim
-                )
-            ]
-            for t, e in requests
-        ]
-        qdf = self.spark.createDataFrame(
-            [(qid, v) for qid, v in enumerate(vecs)],
-            "qid int, query_embedding array<float>",
-        ).select("qid", "query_embedding", norm2("query_embedding").alias("_qn2"))
-        staged = (
-            scoped.filter(F.col("embedding").isNotNull())
-            .crossJoin(F.broadcast(qdf))
-            .select(
-                "qid",
-                "id",
-                F.col("_qn2"),
-                norm2("embedding").alias("_na2"),
-                dot_product("embedding", "query_embedding").alias("_dot"),
-            )
-        )
-        sim = (
-            F.when(
-                (F.col("_na2") == F.lit(0.0)) | (F.col("_qn2") == F.lit(0.0)),
-                F.lit(0.0),
-            )
-            .otherwise(
-                F.col("_dot") / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_qn2")))
-            )
-            .alias("similarity")
-        )
-        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
-        vr = (
-            staged.select("qid", "id", sim)
-            .withColumn("r_vec", F.row_number().over(wv))
-            .filter(F.col("r_vec") <= int(k))
-        )
+        vr = self._batch_dense_leg(scoped, qdf, k)
 
         # data-parallel RRF: both legs are <=k rows per qid
         fused = kwr.join(vr, ["qid", "id"], "full_outer").select(
@@ -1145,11 +1169,14 @@ class VectorEngine:
         evidence, as when exporting from stored runs); ``tf_sum`` /
         ``n_hit_terms`` / ``dl`` / ``cos_sim`` are computed EXACTLY for
         every pool row from the probed chunk text + embedding (0 is a
-        real zero, not missing).  Returns (qid, id, r_kw, r_vec, bm25,
+        real zero, not missing) — a pool row whose chunk lacks text or
+        an embedding is DROPPED rather than exported with NULL "exact"
+        features (the registry twin's inner-join semantics).
+        ``k_pool`` is clamped through ``config.clamp_k`` like every
+        search k, so the pool collect stays bounded by
+        2*max_k*len(requests).  Returns (qid, id, r_kw, r_vec, bm25,
         n_hit_terms, dl, tf_sum, cos_sim, n_chars), ordered by
         (qid, id)."""
-        from pyspark.sql.window import Window
-
         from vector_database_api_spark.functions.vector import (
             cosine_similarity,
         )
@@ -1162,24 +1189,14 @@ class VectorEngine:
             raise ValueError(
                 "export_ltr_features needs a built bm25 or hybrid index"
             )
-        if not requests:
-            raise ValueError("requests must be non-empty")
-        for i, (t, e) in enumerate(requests):
-            if t is None and e is None:
-                raise ValueError(
-                    f"request {i}: query must have text or embedding"
-                )
-        k_pool = int(k_pool)
+        term_lists, qdf = self._batch_request_inputs(requests)
+        k_pool = self.config.clamp_k(k_pool)
         scoped = apply_metadata_filters(
             self.chunks(library_id), metadata_filters
         )
 
         postings, doclens, n_docs, avgdl = self._read_text_index(meta[1])
         cand = scoped.select("id") if metadata_filters else None
-        term_lists = [
-            bm25_mod.tokenize_query(t) if t is not None else []
-            for t, _ in requests
-        ]
         kw = bm25_mod.bm25_batch_search(
             postings, doclens, n_docs, avgdl, term_lists, k=k_pool,
             candidate_ids=cand,
@@ -1190,35 +1207,9 @@ class VectorEngine:
             F.col("rank").cast("long").alias("r_kw"),
         )
 
-        vecs = [
-            e
-            if e is not None
-            else [
-                float(x)
-                for x in text_to_vector(
-                    t if t is not None else "", self.config.embedding_dim
-                )
-            ]
-            for t, e in requests
-        ]
-        qdf = self.spark.createDataFrame(
-            [(qid, v) for qid, v in enumerate(vecs)],
-            "qid int, query_embedding array<float>",
-        )
-        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
         vr = (
-            scoped.filter(F.col("embedding").isNotNull())
-            .crossJoin(F.broadcast(qdf))
-            .select(
-                "qid",
-                "id",
-                cosine_similarity("embedding", "query_embedding").alias(
-                    "similarity"
-                ),
-            )
-            .withColumn("r_vec", F.row_number().over(wv).cast("long"))
-            .filter(F.col("r_vec") <= k_pool)
-            .select("qid", "id", "r_vec")
+            self._batch_dense_leg(scoped, qdf, k_pool)
+            .select("qid", "id", F.col("r_vec").cast("long").alias("r_vec"))
         )
 
         pool_rows = kw.join(vr, ["qid", "id"], "full_outer").collect()
@@ -1237,6 +1228,13 @@ class VectorEngine:
         feats = (
             self.chunks(library_id)
             .filter(F.col("id").isin(ids))
+            # exact-feature contract: a chunk without text or an
+            # embedding cannot carry exact dl/tf/cos features — drop it
+            # (the registry twin's inner-join semantics) instead of
+            # exporting NULLs documented as real zeros
+            .filter(
+                F.col("text").isNotNull() & F.col("embedding").isNotNull()
+            )
             .select(
                 "id",
                 F.expr("split(lower(text), ' ', -1)").alias("_toks"),

@@ -611,23 +611,23 @@ def near_dup_gate_batch_processor(
         # file (the fast-skip guard) is updated last, only after both
         # sinks are durable.
         adm_list = list(admitted)
-        check_not_compacting(admitted_dir, sig_dir)
-        (
-            batch.filter(F.col(id_col).isin(adm_list))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(admitted_dir)
-        )
-        (
-            sigs.filter(F.col("id").isin(adm_list))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(sig_dir)
-        )
+        with writer_guard(admitted_dir, sig_dir):
+            (
+                batch.filter(F.col(id_col).isin(adm_list))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(admitted_dir)
+            )
+            (
+                sigs.filter(F.col("id").isin(adm_list))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(sig_dir)
+            )
         sigs.unpersist()
         meta_path.write_text(
             _json.dumps(
@@ -756,15 +756,18 @@ def lm_gate_batch_processor(
         )
         n_adm = admitted.count()
         n_quar = quarantined.count()
-        check_not_compacting(admitted_dir, quarantine_dir)
-        for df, sink in ((admitted, admitted_dir), (quarantined, quarantine_dir)):
-            (
-                df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(sink)
-            )
+        with writer_guard(admitted_dir, quarantine_dir):
+            for df, sink in (
+                (admitted, admitted_dir),
+                (quarantined, quarantine_dir),
+            ):
+                (
+                    df.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(sink)
+                )
         judged.unpersist()
         meta_path.write_text(
             _json.dumps(
@@ -876,18 +879,18 @@ def bm25_stats_batch_processor(stats_dir: str, text_col: str = "text", id_col: s
             [(corpus_row["n_docs"], corpus_row["sum_dl"])],
             "n_docs bigint, sum_dl bigint",
         )
-        check_not_compacting(stats_dir + "/terms", stats_dir + "/corpus")
-        for df, sink in (
-            (term_partial, stats_dir + "/terms"),
-            (corpus_partial, stats_dir + "/corpus"),
-        ):
-            (
-                df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(sink)
-            )
+        with writer_guard(stats_dir + "/terms", stats_dir + "/corpus"):
+            for df, sink in (
+                (term_partial, stats_dir + "/terms"),
+                (corpus_partial, stats_dir + "/corpus"),
+            ):
+                (
+                    df.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(sink)
+                )
         if batch_id > meta["last_batch_id"]:
             meta_path.write_text(
                 _json.dumps(
@@ -972,14 +975,14 @@ def winnow_fp_batch_processor(store_dir: str, k: int = 12, w: int = 6):
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         fp = dedup_mod.winnow_fingerprints(batch, k=k, w=w).persist()
         occ = dedup_mod.winnow_occurrences(fp)
-        check_not_compacting(store_dir)
-        (
-            occ.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(store_dir)
-        )
+        with writer_guard(store_dir):
+            (
+                occ.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_dir)
+            )
         fp.unpersist()
 
     return process_batch
@@ -1126,14 +1129,14 @@ def topic_counts_batch_processor(
             .groupBy(class_col, "term")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        check_not_compacting(store_dir)
-        (
-            tc.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(store_dir)
-        )
+        with writer_guard(store_dir):
+            (
+                tc.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_dir)
+            )
 
     return process_batch
 
@@ -1196,14 +1199,153 @@ def _compaction_lock(store_dir: str) -> str:
     return store_dir.rstrip("/") + "._COMPACTING"
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+def _lock_live(lock: str) -> bool:
+    """Whether ``lock`` belongs to a live compactor.  The lock file
+    carries the owner's pid; an empty file (the microscopic window
+    between O_EXCL create and the pid write, or a kill inside it) is
+    treated as live while younger than 60 s, dead after."""
+    import os
+    import time
+
+    try:
+        txt = open(lock).read().strip()
+    except OSError:
+        return os.path.exists(lock)
+    if txt:
+        try:
+            return _pid_alive(int(txt))
+        except ValueError:
+            return True  # unparseable: never steal it
+    try:
+        return (time.time() - os.path.getmtime(lock)) < 60
+    except OSError:
+        return False
+
+
+def _writer_marker(store_dir: str) -> str:
+    import os
+    import uuid
+
+    return (
+        store_dir.rstrip("/")
+        + f"._WRITING.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _live_writer_markers(store_dir: str) -> list[str]:
+    """Writer markers for ``store_dir`` whose owning pid is still
+    alive; markers from crashed writers are removed on the way (the
+    same-host assumption every rename in this compactor already
+    makes)."""
+    import glob
+    import os
+
+    live = []
+    for m in glob.glob(store_dir.rstrip("/") + "._WRITING.*"):
+        try:
+            pid = int(m.rsplit("._WRITING.", 1)[1].split(".")[0])
+            os.kill(pid, 0)
+        except (ValueError, IndexError):
+            live.append(m)  # unparseable: treat as live, never delete
+        except OSError:
+            try:
+                os.remove(m)  # dead owner
+            except OSError:
+                pass
+        else:
+            live.append(m)
+    return live
+
+
+class writer_guard:
+    """Writer-side half of the compaction exclusion — a context manager
+    every ``foreachBatch`` processor wraps around its
+    ``_batch_id``-partitioned sink writes.
+
+    Two-flag protocol (the compactor holds the other flag): the writer
+    FIRST drops a per-writer marker file next to each store, THEN
+    checks the compactor's ``._COMPACTING`` lock — while the compactor
+    FIRST acquires its lock, THEN checks for live markers.  Whatever
+    the interleaving, at least one side sees the other's flag: a
+    micro-batch that fires while a compaction is in flight raises
+    :class:`CompactionInProgressError` before writing (the streaming
+    checkpoint replays it on the next drain), and a compactor that
+    starts while a micro-batch write is in flight refuses rather than
+    renaming the directory out from under it (the r8 review found the
+    original one-shot pre-write check only enforced the first
+    direction).  Markers are pid-stamped; a crashed writer's stale
+    marker is ignored/cleaned via pid-liveness."""
+
+    def __init__(self, *store_dirs: str):
+        self.store_dirs = store_dirs
+        self.markers: list[str] = []
+
+    def __enter__(self):
+        import os
+
+        for d in self.store_dirs:
+            m = _writer_marker(d)
+            parent = os.path.dirname(m)
+            if parent:
+                os.makedirs(parent, exist_ok=True)  # first-ever batch
+            open(m, "w").close()
+            self.markers.append(m)
+        for d in self.store_dirs:
+            lock = _compaction_lock(d)
+            if os.path.exists(lock):
+                if not _lock_live(lock) and os.path.exists(d):
+                    # a crashed compactor's stale lock must not block
+                    # ingest forever — but ONLY when the store dir is
+                    # whole; if the crash left the store mid-swap
+                    # (dir missing, data in .precompact), writing would
+                    # recreate a store holding just this batch and
+                    # strand the history, so stay excluded and let the
+                    # next compaction run heal first
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                    continue
+                self._cleanup()
+                raise CompactionInProgressError(
+                    f"store {d} is being compacted "
+                    f"(lock {lock}); micro-batch writes "
+                    "must wait for compaction to finish"
+                )
+        return self
+
+    def __exit__(self, *exc):
+        self._cleanup()
+        return False
+
+    def _cleanup(self) -> None:
+        import os
+
+        for m in self.markers:
+            try:
+                os.remove(m)
+            except OSError:
+                pass
+        self.markers = []
+
+
 def check_not_compacting(*store_dirs: str) -> None:
-    """Writer-side half of the compaction scheduling contract: every
-    ``foreachBatch`` processor that writes a ``_batch_id``-partitioned
-    store calls this BEFORE its first sink write, so a micro-batch that
-    fires while :func:`compact_batch_store` holds the lock fails fast
-    (and is replayed by the streaming checkpoint on the next drain)
-    instead of writing into a directory that is about to be renamed out
-    from under it.  Raises :class:`CompactionInProgressError`."""
+    """One-shot form of the writer check (kept for probes/tests): fails
+    fast if any store's compaction lock exists.  Writers must use
+    :class:`writer_guard` around the actual writes — this function
+    alone cannot exclude a compactor that starts mid-write."""
     import os
 
     for d in store_dirs:
@@ -1241,18 +1383,24 @@ def compact_batch_store(
     double-count a replay: the replayed write would re-create the
     partition next to a base that already contains its rows.
 
-    Scheduling contract — ENFORCED, not advisory (round 8): run between
-    ``availableNow`` drains (the maintenance pattern used by every
-    store here), never concurrently with an in-flight micro-batch.  The
-    compactor holds an exclusive ``._COMPACTING`` lock for the whole
-    fold+swap; every ``_batch_id``-store writer calls
-    :func:`check_not_compacting` before its first sink write and fails
-    fast with :class:`CompactionInProgressError` while the lock is held
-    (the streaming checkpoint replays the failed batch on the next
-    drain, and replay is idempotent by the dynamic-partition-overwrite
-    discipline).  The swap is two directory renames on a local/posix
-    filesystem; an object-store deployment would version the directory
-    and flip a manifest pointer instead — the fold itself is identical.
+    Scheduling contract — ENFORCED in BOTH directions (round 8): run
+    between ``availableNow`` drains (the maintenance pattern used by
+    every store here), never concurrently with an in-flight
+    micro-batch.  Two-flag exclusion: the compactor holds an exclusive
+    pid-stamped ``._COMPACTING`` lock for the whole fold+swap and,
+    after acquiring it, refuses if any LIVE ``._WRITING.*`` marker
+    exists; every ``_batch_id``-store writer wraps its sink writes in
+    :class:`writer_guard`, which drops its marker FIRST and checks the
+    lock SECOND — so whatever the interleaving, at least one side sees
+    the other's flag.  A blocked micro-batch fails fast with
+    :class:`CompactionInProgressError` (the streaming checkpoint
+    replays it on the next drain; replay is idempotent by the
+    dynamic-partition-overwrite discipline); a blocked compactor
+    raises the same typed error.  Stale flags from crashed processes
+    are pid-liveness-cleaned on either side.  The swap is two
+    directory renames on a local/posix filesystem; an object-store
+    deployment would version the directory and flip a manifest pointer
+    instead — the fold itself is identical.
 
     ``fold``: optional combiner applied to the union of folded
     partitions (``_batch_id`` already dropped) — the SAME combinable
@@ -1262,37 +1410,69 @@ def compact_batch_store(
 
     Crash-safe at every step (pinned by tests/test_compaction.py): a
     leftover ``.compacting`` temp dir from a previous failed build is
-    discarded and rebuilt; a crash in the swap window between the two
-    renames (store moved to ``.precompact``, temp not yet renamed in)
-    is healed AT ENTRY by restoring ``.precompact`` — the next
-    compaction run is the recovery procedure.  Concurrency-safe: the
-    ``._COMPACTING`` lock is acquired exclusively (O_EXCL) for the
-    whole fold+swap, writers fail fast on it via
-    :func:`check_not_compacting`, and a second concurrent compactor
-    raises :class:`CompactionInProgressError` instead of racing the
-    renames.
+    discarded and rebuilt; an EXCEPTION in the swap window between the
+    two renames is undone in-process (``.precompact`` renamed back
+    before the lock is released); a KILL in that window leaves the
+    pid-stamped lock in place — writers stay excluded (a write would
+    recreate a store holding only its own batch while the history sat
+    stranded) — and the next compaction run detects the dead owner,
+    clears the lock, and heals ``.precompact`` AT ENTRY, under the
+    fresh lock.  Concurrency-safe: the lock is acquired exclusively
+    (O_EXCL) BEFORE the heal, so two concurrent compactors can never
+    race the recovery rename — the loser gets
+    :class:`CompactionInProgressError`, and in-flight micro-batch
+    writes are excluded in both directions via the
+    :class:`writer_guard` two-flag protocol.
     """
     import os
     import shutil
 
     old = store_dir + ".precompact"
     lock = _compaction_lock(store_dir)
-    # crash recovery: a previous run died between its two renames,
-    # leaving all data stranded in .precompact and no store dir
-    if not os.path.exists(store_dir) and os.path.exists(old):
-        os.rename(old, store_dir)
-        if os.path.exists(lock):
-            os.remove(lock)  # the dead run's lock; store is whole again
-    try:
+
+    def _acquire() -> None:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
         os.close(fd)
-    except FileExistsError:
-        raise CompactionInProgressError(
-            f"store {store_dir} is already being compacted ({lock} exists); "
-            "if the previous compactor crashed mid-build, its temp dirs are "
-            "healed on the next run — remove the stale lock and re-run"
-        )
+
+    # pid-stamped exclusive lock with dead-owner recovery: a lock whose
+    # owning process no longer exists (a compactor killed mid-run) is
+    # cleared and re-acquired; a LIVE owner raises the typed error.
+    # Acquiring BEFORE the crash-heal below closes the r8 review's
+    # recovery race (two concurrent compactors both entering the heal
+    # branch and racing the rename — the loser now gets
+    # CompactionInProgressError, never a raw FileNotFoundError).
     try:
+        _acquire()
+    except FileExistsError:
+        if _lock_live(lock):
+            raise CompactionInProgressError(
+                f"store {store_dir} is already being compacted "
+                f"(live lock {lock})"
+            )
+        os.remove(lock)  # dead owner; its half-done state heals below
+        try:
+            _acquire()
+        except FileExistsError:
+            raise CompactionInProgressError(
+                f"store {store_dir}: lost the lock re-acquire race ({lock})"
+            )
+    try:
+        # crash recovery (under the lock): a previous run died between
+        # its two swap renames, leaving all data stranded in
+        # .precompact and no store dir — restore before folding
+        if not os.path.exists(store_dir) and os.path.exists(old):
+            os.rename(old, store_dir)
+        # refuse while any LIVE micro-batch writer is mid-write (the
+        # other half of the two-flag protocol — see writer_guard);
+        # markers from crashed writers are pid-cleaned
+        live = _live_writer_markers(store_dir)
+        if live:
+            raise CompactionInProgressError(
+                f"store {store_dir} has in-flight micro-batch writes "
+                f"({', '.join(os.path.basename(m) for m in live)}); "
+                "compaction must run between availableNow drains"
+            )
         ids = sorted(
             r["_batch_id"]
             for r in spark.read.parquet(store_dir)
@@ -1342,7 +1522,20 @@ def compact_batch_store(
             "kept_batch_id": newest,
         }
     finally:
-        os.remove(lock)
+        # undo a half-completed swap in-process (exception between the
+        # two renames): the store must exist again before the lock is
+        # released, else writers would recreate a store containing only
+        # their own batch while the history sat stranded in .precompact
+        # (the r8 review's silent-history-loss window)
+        if not os.path.exists(store_dir) and os.path.exists(old):
+            try:
+                os.rename(old, store_dir)
+            except OSError:
+                pass
+        if os.path.exists(store_dir):
+            os.remove(lock)
+        # else: leave the lock — writers stay excluded; the next
+        # compactor's dead-owner path clears it and heals at entry
 
 
 def compact_bm25_stats(spark: SparkSession, stats_dir: str) -> dict:
