@@ -202,6 +202,7 @@ HEADLINE = [
     "source_topic_keywords",
     "bm25_batch_topk",
     "ir_eval_metrics",
+    "ir_eval_hybrid_metrics",
     "query_difficulty_nqc",
     "hybrid_batch_rrf_topk",
     "term_autocomplete",

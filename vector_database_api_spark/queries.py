@@ -10959,8 +10959,7 @@ def _cached_dense_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SERVING_INDEXES[dkey]
 
 
-_BATCH_HYBRID_ORACLE = f"""
-WITH {_BATCH_CTES},
+_BATCH_HYBRID_CTES = f"""{_BATCH_CTES},
 kwr AS (
   SELECT qid, doc_id, CAST(rank AS BIGINT) AS r_kw
   FROM branked WHERE rank <= 20
@@ -10998,7 +10997,10 @@ franked AS (
          CAST(row_number() OVER (
            PARTITION BY qid ORDER BY rrf_raw DESC, doc_id) AS INT) AS rank
   FROM fused
-)
+)"""
+
+_BATCH_HYBRID_ORACLE = f"""
+WITH {_BATCH_HYBRID_CTES}
 SELECT qid, rank, doc_id, r_kw, r_vec, round(rrf_raw, 6) AS rrf
 FROM franked WHERE rank <= 10
 ORDER BY qid, rank
@@ -11054,6 +11056,90 @@ def hybrid_batch_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "rank", "doc_id", "r_kw", "r_vec",
             F.round("rrf_raw", 6).alias("rrf"),
         )
+    )
+
+
+_IR_EVAL_HYBRID_ORACLE = f"""
+WITH {_BATCH_HYBRID_CTES},
+grades AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM bscored GROUP BY qid
+),
+pivoted AS (
+  SELECT f.qid,
+         {", ".join(f"max(CASE WHEN f.rank = {r} THEN COALESCE(s.rel, 0) END) AS rel_{r}" for r in range(1, 11))}
+  FROM franked f
+  LEFT JOIN bscored s ON s.qid = f.qid AND s.doc_id = f.doc_id
+  WHERE f.rank <= 10 GROUP BY f.qid
+),
+j AS (SELECT * FROM pivoted JOIN grades USING (qid))
+SELECT qid, n_rel,
+       {", ".join(f"round({expr}, 6) AS {name}" for name, expr in _IR_METRICS.items())}
+FROM j
+ORDER BY qid
+"""
+
+
+@register("ir_eval_hybrid_metrics", _IR_EVAL_HYBRID_ORACLE)
+def ir_eval_hybrid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation of the FUSED hybrid system — `ir_eval_metrics`
+    for the RRF output instead of the keyword run, closing the
+    retrieval -> fusion -> evaluation artifact chain: the question a
+    ranking team actually asks is whether fusing the dense leg in
+    helps, and that needs the fused top-10 scored against the SAME
+    deterministic qrels as the keyword baseline (rel = #query terms
+    present; binary at rel >= 2).  Comparing this frame with
+    `ir_eval_metrics` per qid IS the A/B readout.
+
+    Scale shape: the fused top-10 comes from the same data-parallel
+    batch-fusion plan as `hybrid_batch_rrf_topk` (both legs persisted
+    run artifacts); relevance joins from the keyword RUN (`rel` is
+    exact there for every term-hitting doc, and a fused doc absent
+    from the run has zero hit terms, so COALESCE(rel, 0) is exact —
+    never a corpus re-tokenize); grade totals reuse the run's one
+    combinable groupBy.  Everything after the runs is k*Q-row work."""
+    run = _cached_batch_run(spark, sf_dir)
+    fused = hybrid_batch_rrf_topk(spark, sf_dir)
+    top = fused.join(
+        run.select("qid", "doc_id", "rel"), ["qid", "doc_id"], "left"
+    ).select(
+        "qid", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    pivoted = top.groupBy("qid").agg(
+        *[
+            F.max(F.when(F.col("rank") == r, F.col("rel"))).alias(f"rel_{r}")
+            for r in range(1, 11)
+        ]
+    )
+    grades = run.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n3"),
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+    )
+    return (
+        pivoted.join(grades, "qid")
+        .select(
+            "qid",
+            "n_rel",
+            *[
+                F.round(F.expr(expr), 6).alias(name)
+                for name, expr in _IR_METRICS.items()
+            ],
+        )
+        .orderBy("qid")
     )
 
 
