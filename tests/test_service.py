@@ -1267,3 +1267,89 @@ def test_export_ltr_features_batch(engine):
         engine.export_ltr_features("libA", [])
     with pytest.raises(ValueError, match="bm25 or hybrid"):
         engine.export_ltr_features("libB", reqs)
+
+
+def test_evaluate_search_matches_python_recompute(engine):
+    """evaluate_search (served twin of the ir_eval registry pair, qrels
+    as caller input): metrics over the engine's own fused top-10 must
+    agree with an independent pure-Python trec_eval-style recompute;
+    unjudged retrieved docs count rel 0; a request with no judged docs
+    reports an all-zero row; rel grades are validated."""
+    import math
+
+    engine.index_library("libA", "hybrid")
+    reqs = [
+        ("python document number 0 about python", None),
+        ("ml document number 1 about ml", None),
+    ]
+    qrels = [
+        (0, "c00", 3),
+        (0, "c03", 2),
+        (0, "c06", 1),
+        (0, "c99", 2),  # judged relevant but never retrievable
+        (1, "c01", 3),
+        (1, "c04", 2),
+    ]
+    got = {
+        r["qid"]: r
+        for r in engine.evaluate_search("libA", reqs, qrels).collect()
+    }
+    by_qid: dict[int, list[str]] = {}
+    for r in sorted(
+        engine.search_hybrid_batch("libA", reqs, k=10).collect(),
+        key=lambda r: (r["qid"], r["rank"]),
+    ):
+        by_qid.setdefault(r["qid"], []).append(r["id"])
+    qrels_map: dict[int, dict[str, int]] = {}
+    for q_, i, rel in qrels:
+        qrels_map.setdefault(q_, {})[i] = rel
+    for qid in (0, 1):
+        rel = qrels_map[qid]
+        ranked = [rel.get(d, 0) for d in by_qid[qid]]
+        graded = sorted((g for g in rel.values() if g > 0), reverse=True)
+        n_rel = sum(1 for g in rel.values() if g >= 2)
+        dcg = sum(
+            (2.0**g - 1.0) / math.log(i + 2) for i, g in enumerate(ranked)
+        )
+        idcg = sum(
+            (2.0**g - 1.0) / math.log(i + 2)
+            for i, g in enumerate(graded[:10])
+        )
+        hits = [1 if g >= 2 else 0 for g in ranked]
+        mrr = next((1.0 / (i + 1) for i, h in enumerate(hits) if h), 0.0)
+        ap = (
+            sum(
+                sum(hits[: i + 1]) / (i + 1.0)
+                for i, h in enumerate(hits)
+                if h
+            )
+            / min(n_rel, 10)
+            if n_rel
+            else 0.0
+        )
+        m = got[qid]
+        assert m["n_rel"] == n_rel
+        assert m["ndcg10"] == pytest.approx(
+            dcg / idcg if idcg else 0.0, abs=2e-6
+        )
+        assert m["mrr10"] == pytest.approx(mrr, abs=2e-6)
+        assert m["map10"] == pytest.approx(ap, abs=2e-6)
+        assert m["p10"] == pytest.approx(sum(hits) / 10.0, abs=2e-6)
+        assert m["recall10"] == pytest.approx(
+            sum(hits) / n_rel if n_rel else 0.0, abs=2e-6
+        )
+
+    # request with zero judged docs: an all-zero row, never NULL-poisoned
+    only_q0 = engine.evaluate_search("libA", reqs, [(0, "c00", 3)]).collect()
+    z = next(r for r in only_q0 if r["qid"] == 1)
+    assert (z["n_rel"], z["ndcg10"], z["mrr10"], z["recall10"]) == (
+        0,
+        0.0,
+        0.0,
+        0.0,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.evaluate_search("libA", reqs, [])
+    with pytest.raises(ValueError, match="rel must be 0-3"):
+        engine.evaluate_search("libA", reqs, [(0, "c00", 7)])

@@ -1271,6 +1271,91 @@ class VectorEngine:
             "n_chars",
         ).orderBy("qid", "id")
 
+    def evaluate_search(
+        self,
+        library_id: str,
+        requests: list[tuple[str | None, list[float] | None]],
+        qrels: list[tuple[int, str, int]],
+        metadata_filters: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Offline evaluation of the engine's OWN batched hybrid
+        retrieval against caller-supplied relevance judgments — the
+        serving twin of the oracle-checked registry pair
+        `ir_eval_metrics` / `ir_eval_hybrid_metrics`, with the qrels as
+        an input instead of corpus-derived: the relevance dashboard a
+        team runs over its click/label logs after every index or
+        fusion change.
+
+        ``qrels``: (qid, chunk_id, rel) with rel graded 0-3 (0-rows may
+        be omitted — an unjudged retrieved doc counts as rel 0, the
+        trec_eval convention).  ``requests`` as in
+        :meth:`search_hybrid_batch`; the run is that method's fused
+        top-10.  Metrics per qid: nDCG@10 (graded 2^rel-1 gains),
+        MRR@10, MAP@10 (cutoff-normalized by min(R, 10)), P@10,
+        recall@10 — the exact fixed-order scalar expressions the
+        registry suite hash-proves against DuckDB, evaluated over the
+        <=10-row-per-qid run joined to the broadcast qrels.  Everything
+        downstream of retrieval is k*Q-row work."""
+        from vector_database_api_spark.queries import _IR_METRICS
+
+        if not qrels:
+            raise ValueError("qrels must be non-empty")
+        for qid, _, rel in qrels:
+            if not 0 <= int(rel) <= 3:
+                raise ValueError(f"qrels rel must be 0-3, got {rel} (qid {qid})")
+        run = self.search_hybrid_batch(
+            library_id, requests, k=10, metadata_filters=metadata_filters
+        )
+        qdf = self.spark.createDataFrame(
+            [(int(q), i, int(r)) for q, i, r in qrels],
+            "qid int, id string, rel int",
+        )
+        top = run.join(F.broadcast(qdf), ["qid", "id"], "left").select(
+            "qid", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+        )
+        pivoted = top.groupBy("qid").agg(
+            *[
+                F.max(F.when(F.col("rank") == r, F.col("rel"))).alias(
+                    f"rel_{r}"
+                )
+                for r in range(1, 11)
+            ]
+        )
+        grades = qdf.groupBy("qid").agg(
+            F.sum(F.when(F.col("rel") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n3"),
+            F.sum(F.when(F.col("rel") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel"),
+        )
+        # left join on grades: a request with no judged docs at all
+        # still reports a row (all-zero metrics), matching trec_eval —
+        # grade columns are zero-filled BEFORE the metric expressions
+        # read them (a NULL n3 would NULL-poison nDCG's ideal gain)
+        j = pivoted.join(grades, "qid", "left").select(
+            "qid",
+            *[f"rel_{r}" for r in range(1, 11)],
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+                for c in ("n3", "n2", "n1", "n_rel")
+            ],
+        )
+        return j.select(
+            "qid",
+            "n_rel",
+            *[
+                F.round(F.expr(expr), 6).alias(name)
+                for name, expr in _IR_METRICS.items()
+            ],
+        ).orderBy("qid")
+
     def search_diversified(
         self,
         library_id: str,
