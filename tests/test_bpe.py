@@ -109,8 +109,9 @@ def test_plan_and_job_growth_linear_in_rounds(spark):
         per_round_a = (jobs[4] - jobs[2]) / 2
         per_round_b = (jobs[6] - jobs[4]) / 2
         assert per_round_a == per_round_b > 0, jobs
-        # argmax collect (Spark's incremental limit = up to 2 jobs) +
-        # checkpoint — a CONSTANT, never lineage replay
+        # argmax collect (TakeOrdered, up to 2 incremental-limit jobs —
+        # an agg(min(struct)) form measured WORSE: 4 jobs/round under
+        # AQE) + checkpoint — a CONSTANT, never lineage replay
         assert per_round_a <= 3, jobs
 
         # terminal rep plan is checkpoint-rooted: constant size/shuffles

@@ -92,9 +92,18 @@ def _pair_stats(reps: DataFrame) -> DataFrame:
     )
 
 
-def _best_pair(stats: DataFrame) -> DataFrame:
-    """Deterministic argmax merge: 1 row (a, b, c) by (c desc, a, b)."""
-    return stats.orderBy(F.desc("c"), "a", "b").limit(1)
+def _best_pair(stats: DataFrame):
+    """Deterministic argmax merge by (c desc, a, b), collected as
+    ``(a, b, c)`` or ``None`` when no pairs remain.  Kept as
+    TakeOrdered (orderBy + limit(1)) deliberately: an
+    ``agg(min(struct(-c, a, b)))`` single-row form was measured at 4
+    jobs/round under AQE (every shuffle stage runs as its own job)
+    vs 3/round for this one — tests/test_bpe.py pins the per-round
+    job count, which is the clock at thousands of merge rounds."""
+    rows = stats.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+    if not rows:
+        return None
+    return rows[0]["a"], rows[0]["b"], rows[0]["c"]
 
 
 def _merge_fold_literal(a: str, b: str) -> F.Column:
@@ -145,12 +154,12 @@ def bpe_merge_rounds(
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
     results: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        best = _best_pair(_pair_stats(reps)).collect()
-        if not best:
+        best = _best_pair(_pair_stats(reps))
+        if best is None:
             # no adjacent pairs left: the unrolled form's empty cross
             # join annihilated reps and produced no further merge rows
             break
-        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        a, b, c = best
         results.append((r, a, b, c))
         reps = reps.select(
             "word", "cnt", _merge_fold_literal(a, b).alias("rep")
@@ -247,12 +256,12 @@ def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
     final checkpointed rep table."""
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
     for r in range(rounds):
-        best = _best_pair(_pair_stats(reps)).collect()
-        if not best:
+        best = _best_pair(_pair_stats(reps))
+        if best is None:
             # unrolled-form parity: an empty argmax cross-join
             # annihilated the rep table
             return reps.where(F.lit(False))
-        a, b = best[0]["a"], best[0]["b"]
+        a, b = best[0], best[1]
         reps = reps.select(
             "word", "cnt", _merge_fold_literal(a, b).alias("rep")
         )
