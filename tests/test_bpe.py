@@ -122,3 +122,40 @@ def test_plan_and_job_growth_linear_in_rounds(spark):
         assert len(set(shuffles.values())) == 1, shuffles
     finally:
         wf.unpersist()
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """reliable_checkpoint=True writes round checkpoints through the
+    configured Spark checkpoint dir (replicated storage in a cluster —
+    survives executor loss, unlike localCheckpoint's executor blocks);
+    results are identical to the default mode, and the mode fails
+    early when no checkpoint dir is configured."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower"), (1, "newest newest widest")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    if prev is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            B.bpe_merge_rounds(docs, rounds=3, reliable_checkpoint=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = [
+            tuple(r)
+            for r in B.bpe_merge_rounds(
+                docs, rounds=3, reliable_checkpoint=True
+            )
+            .orderBy("round")
+            .collect()
+        ]
+        assert got == [
+            (1, "l", "o", 5),
+            (2, "lo", "w", 5),
+            (3, "e", "s", 3),
+        ]
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)

@@ -358,3 +358,49 @@ def test_writer_blocked_while_store_mid_swap(spark, sf_dir, tmp_path):
     proc(batches[2], 2)  # dead lock over a whole store: write proceeds
     assert not os.path.exists(M._compaction_lock(store))
     assert 2 in _partition_ids(spark, store)
+
+
+def test_pid_alive_eperm_means_alive(monkeypatch):
+    """kill(pid,0) EPERM = the pid exists under another uid (r8 ADVICE):
+    a live foreign-uid compactor's lock must never be stolen, a live
+    foreign-uid writer's marker must never be deleted."""
+
+    def eperm(pid, sig):
+        raise PermissionError(1, "Operation not permitted")
+
+    monkeypatch.setattr(os, "kill", eperm)
+    assert M._pid_alive(12345) is True
+
+    def esrch(pid, sig):
+        raise ProcessLookupError(3, "No such process")
+
+    monkeypatch.setattr(os, "kill", esrch)
+    assert M._pid_alive(12345) is False
+
+
+def test_live_writer_marker_survives_eperm(spark, tmp_path, monkeypatch):
+    store = str(tmp_path / "store")
+    marker = store + "._WRITING.999999.deadbeef"
+    open(marker, "w").close()
+
+    def eperm(pid, sig):
+        raise PermissionError(1, "Operation not permitted")
+
+    monkeypatch.setattr(os, "kill", eperm)
+    live = M._live_writer_markers(store)
+    assert live == [marker]
+    assert os.path.exists(marker)  # never deleted while possibly live
+
+
+def test_compactor_on_missing_store_releases_lock(spark, tmp_path):
+    """Neither the store nor .precompact exists (never created, or
+    externally deleted): the read fails, but the fresh lock must NOT
+    persist — a kept lock would wedge every future writer_guard forever
+    because later compactions hit the same read failure (r8 ADVICE)."""
+    store = str(tmp_path / "never_created")
+    with pytest.raises(Exception):
+        M.compact_batch_store(spark, store, None)
+    assert not os.path.exists(M._compaction_lock(store))
+    # and a writer can proceed afterwards
+    with M.writer_guard(store):
+        pass

@@ -1353,3 +1353,18 @@ def test_evaluate_search_matches_python_recompute(engine):
         engine.evaluate_search("libA", reqs, [])
     with pytest.raises(ValueError, match="rel must be 0-3"):
         engine.evaluate_search("libA", reqs, [(0, "c00", 7)])
+
+    # duplicate judgments collapse to the max grade per (qid, id) —
+    # repeated identical rows are a no-op and conflicting grades take
+    # the max, so denominators (n_rel/n1/n2/n3) never inflate and the
+    # run join never fans out (r8 ADVICE)
+    dup_qrels = qrels + [(0, "c00", 3), (0, "c00", 1), (1, "c04", 2)]
+    base = sorted(
+        engine.evaluate_search("libA", reqs, qrels).collect(),
+        key=lambda r: r["qid"],
+    )
+    dup = sorted(
+        engine.evaluate_search("libA", reqs, dup_qrels).collect(),
+        key=lambda r: r["qid"],
+    )
+    assert [r.asDict() for r in base] == [r.asDict() for r in dup]

@@ -125,6 +125,7 @@ def bpe_merge_rounds(
     text_col: str = "text",
     rounds: int = 3,
     wf: DataFrame | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges of the corpus.
 
@@ -145,12 +146,30 @@ def bpe_merge_rounds(
     it in (round 1 reads it once; an unpersisted wf costs one extra
     corpus scan).  Intermediate rep checkpoints are transient executor
     blocks, released by Spark's context cleaner.
+
+    Durability trade-off (r8 ADVICE): ``localCheckpoint`` truncates
+    lineage into NON-REPLICATED executor blocks, so losing any executor
+    mid-training (node failure, dynamic-allocation decommission) makes
+    earlier rounds' rep data unrecoverable and fails the whole
+    multi-round job — acceptable for short interactive round counts,
+    not for a thousands-of-rounds production train on preemptible
+    nodes.  For those, pass ``reliable_checkpoint=True``: each round's
+    rep table is then written through the configured Spark checkpoint
+    directory (``sparkContext.setCheckpointDir`` — HDFS/S3 in a
+    cluster), making every round restartable at the cost of one
+    vocabulary-sized (NOT corpus-sized) write per round.  Raises
+    early if no checkpoint dir is configured.
     """
     if wf is None:
         if df is None:
             raise ValueError("bpe_merge_rounds needs df or wf")
         wf = word_frequencies(df, text_col)
     spark = wf.sparkSession
+    if reliable_checkpoint and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "bpe_merge_rounds(reliable_checkpoint=True) needs "
+            "sparkContext.setCheckpointDir(...) configured first"
+        )
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
     results: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
@@ -165,7 +184,11 @@ def bpe_merge_rounds(
             "word", "cnt", _merge_fold_literal(a, b).alias("rep")
         )
         if r < rounds:
-            reps = reps.localCheckpoint(eager=True)
+            reps = (
+                reps.checkpoint(eager=True)
+                if reliable_checkpoint
+                else reps.localCheckpoint(eager=True)
+            )
     return spark.createDataFrame(
         results,
         "round int, merge_left string, merge_right string, pair_count bigint",

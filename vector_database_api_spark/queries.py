@@ -1967,8 +1967,17 @@ def knn_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N x M brute-force similarity JOIN (the batch form of reference
     search_service.py:112-153, one row per (query, neighbor)): broadcast
     the M query vectors against the corpus, score JVM-side, per-query
-    top-k via ranking window partitioned by query — the scalable shape
-    (corpus never shuffles; window state is k rows per query)."""
+    top-k via the skew-safe sharded reduce (`operators/skew.py::
+    grouped_topk`) — the corpus never shuffles into per-query
+    partitions.  The plain `row_number().over(partitionBy(query_id))`
+    form this replaced (r8 verdict) was correct but funneled the WHOLE
+    scored corpus into Q window partitions — <=Q tasks each sorting N
+    rows at 100 TB; grouped_topk shards that sort Q*shards ways and
+    reduces <=k survivors per shard with a combinable aggregate,
+    row-for-row identical output (hash-pinned by the unchanged
+    oracle)."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
     embs = load_table(spark, sf_dir, "embeddings")
     qs = embs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1982,13 +1991,8 @@ def knn_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity("embedding", "qv").alias("similarity"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("similarity"), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "vec_id", "similarity")
+    return grouped_topk(scored, "query_id", "similarity", "vec_id", 3).select(
+        "query_id", "vec_id", "similarity"
     )
 
 
@@ -6114,10 +6118,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mining step behind every dense-retriever training pipeline.
     Shape: broadcast the small anchor set against the corpus scan
     (no corpus shuffle), bit-exact HOF cosine, per-anchor top-k via
-    window.  At scale the anchor side is a sampled minibatch (always
+    the skew-safe sharded reduce (`grouped_topk` — the plain
+    per-anchor window it replaced funneled the whole scored corpus
+    into <=20 single-task sorts, the r8 verdict's scale-killer class;
+    outputs are row-identical, hash-pinned by the unchanged oracle).
+    At scale the anchor side is a sampled minibatch (always
     small relative to the corpus), so broadcast is the right plan at
     any corpus size; the label inequality rides the join condition so
     same-label pairs are never materialized."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
     embs = load_table(spark, sf_dir, "embeddings")
     # stage each side's squared norm ONCE per vector (anchor norms live
     # on the broadcast side, corpus norms in the scan projection) so the
@@ -6145,11 +6155,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_product("qv", "nv") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("nn2")))
     )
     scored = pairs.select("qid", "nid", cosine.alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select("qid", "nid", "cosine", "rank")
+    return grouped_topk(scored, "qid", "cosine", "nid", 3).select(
+        "qid", "nid", "cosine", F.col("rank").cast("int").alias("rank")
     )
 
 
@@ -10931,7 +10938,15 @@ def _cached_dense_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector twin of `_cached_batch_run`, shared by the batch hybrid
     fusion and the batch LTR export (score once, fuse/export many).
     Live, the rescore is one broadcast of the Q query vectors against
-    the embedding store — nothing per-query."""
+    the embedding store — nothing per-query; the per-qid top-20 cut is
+    the skew-safe sharded reduce (`grouped_topk`), not a per-qid
+    ranking window: the window form this replaced (r8 verdict)
+    funneled the WHOLE scored corpus into Q=6 window partitions —
+    <=Q tasks each sorting the corpus at 100 TB.  grouped_topk is
+    row-identical to the window (tests/test_skew.py), so the DuckDB
+    oracle's windowed form still hash-matches."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
     dkey = ("dense-batch-run", sf_dir)
     if dkey not in _SERVING_INDEXES:
         # build from the shared doc-scoped vector-store artifact
@@ -10947,11 +10962,11 @@ def _cached_dense_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             cosine_similarity("embedding", "qv").alias("sim"),
         )
-        wv = Window.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
         dr = (
-            vs.withColumn("r_vec", F.row_number().over(wv).cast("long"))
-            .filter(F.col("r_vec") <= 20)
-            .select("qid", "doc_id", "r_vec")
+            grouped_topk(vs, "qid", "sim", "doc_id", 20)
+            .select(
+                "qid", "doc_id", F.col("rank").cast("long").alias("r_vec")
+            )
             .persist()
         )
         dr.count()
@@ -11209,10 +11224,15 @@ def ltr_feature_matrix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted run artifacts (`_cached_batch_run`,
     `_cached_dense_batch_run` — score once, export many; the same
     runs the hybrid fusion and IR evaluation read), so the steady-
-    state export touches two <=20-row-per-qid rank frames, collects
-    their full-outer pool ONCE (<= 40*Q rows — k*N-bounded driver
-    data), and probes documents + embeddings with pushed-down id IN
-    filters.  Features per (qid, doc): both leg ranks, bm25 and
+    state export touches two <=20-row-per-qid rank frames, full-outer
+    joins them into the <=40-row-per-qid pool, and probes documents +
+    embeddings with a BROADCAST SEMI-JOIN on the pool's distinct doc
+    ids — never a collected-ids `isin()` literal (r8 verdict: at the
+    10k-query nightly log this docstring claims, that literal is a
+    400k-term IN expression compiled into the plan; the semi-join
+    form stays one tiny broadcast whatever Q is, and nothing about
+    the pool ever visits the driver).  Features per (qid, doc): both
+    leg ranks, bm25 and
     n_hit_terms from the run (NULL for dense-only no-hit docs — the
     missing-evidence-stays-NULL convention LTR toolkits expect),
     per-query tf_sum via a qid-dispatched CASE over the batch's
@@ -11225,21 +11245,17 @@ def ltr_feature_matrix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "doc_id", F.col("rank").cast("long").alias("r_kw")
     )
     vr = _cached_dense_batch_run(spark, sf_dir)
-    pool_rows = kw.join(vr, ["qid", "doc_id"], "full_outer").collect()
-    ids = sorted({r["doc_id"] for r in pool_rows})
-    pool = spark.createDataFrame(
-        [(r["qid"], r["doc_id"], r["r_kw"], r["r_vec"]) for r in pool_rows],
-        "qid int, doc_id bigint, r_kw bigint, r_vec bigint",
-    )
+    pool = kw.join(vr, ["qid", "doc_id"], "full_outer")
+    pool_ids = pool.select("doc_id").distinct()
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isin(ids))
+        .join(F.broadcast(pool_ids), "doc_id", "left_semi")
         .filter(F.col("text").isNotNull())
     )
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id").isin(ids))
         .withColumnRenamed("vec_id", "doc_id")
+        .join(F.broadcast(pool_ids), "doc_id", "left_semi")
     )
     doc_feats = (
         docs.join(F.broadcast(emb), "doc_id")

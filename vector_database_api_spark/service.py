@@ -1008,13 +1008,18 @@ class VectorEngine:
         """(qid, id, similarity, r_vec <= k): every query vector on the
         ONE broadcast side against the scoped chunk embeddings — the
         same staged-norm cosine as knn_brute_force (bit-identical
-        similarity), ranked per qid (k rows of state per request)."""
-        from pyspark.sql.window import Window
-
+        similarity).  The per-qid top-k cut is the skew-safe sharded
+        reduce (`operators/skew.py::grouped_topk`), not a per-qid
+        ranking window: the window form this replaced (r8 verdict)
+        shuffled the WHOLE scored store into Q partitions and sorted
+        each on one task; grouped_topk is row-identical (pinned by
+        tests/test_skew.py and the per-request equality pins in
+        tests/test_service.py)."""
         from vector_database_api_spark.functions.vector import (
             dot_product,
             norm2,
         )
+        from vector_database_api_spark.operators.skew import grouped_topk
 
         staged = (
             scoped.filter(F.col("embedding").isNotNull())
@@ -1037,12 +1042,9 @@ class VectorEngine:
             )
             .alias("similarity")
         )
-        wv = Window.partitionBy("qid").orderBy(F.desc("similarity"), "id")
-        return (
-            staged.select("qid", "id", sim)
-            .withColumn("r_vec", F.row_number().over(wv))
-            .filter(F.col("r_vec") <= int(k))
-        )
+        return grouped_topk(
+            staged.select("qid", "id", sim), "qid", "similarity", "id", int(k)
+        ).select("qid", "id", "similarity", F.col("rank").alias("r_vec"))
 
     def search_hybrid_batch(
         self,
@@ -1156,9 +1158,12 @@ class VectorEngine:
         the keyword legs are ONE `bm25_batch_search` plan over the
         stored postings; the dense legs are ONE broadcast of all query
         vectors against the scoped chunk embeddings; the full-outer
-        pool is collected ONCE (<= 2*k_pool*N rows — bounded driver
-        data) and the chunk store is probed with a pushed-down id IN
-        filter for the text/embedding features.  Per-query term
+        pool (<= 2*k_pool per request) stays a DataFrame end-to-end —
+        no collect anywhere — and the chunk store is probed with a
+        broadcast semi-join on the pool's distinct ids for the
+        text/embedding features (r8 verdict: the collected-ids
+        ``isin()`` literal this replaced would compile a 400k-term IN
+        expression at a 10k-query log).  Per-query term
         features are computed with the terms bound as LITERAL ARRAYS
         (the snippet-highlighting injection discipline — no query text
         is ever spliced into an expression string).
@@ -1173,7 +1178,7 @@ class VectorEngine:
         an embedding is DROPPED rather than exported with NULL "exact"
         features (the registry twin's inner-join semantics).
         ``k_pool`` is clamped through ``config.clamp_k`` like every
-        search k, so the pool collect stays bounded by
+        search k, so the pool stays bounded by
         2*max_k*len(requests).  Returns (qid, id, r_kw, r_vec, bm25,
         n_hit_terms, dl, tf_sum, cos_sim, n_chars), ordered by
         (qid, id)."""
@@ -1212,22 +1217,21 @@ class VectorEngine:
             .select("qid", "id", F.col("r_vec").cast("long").alias("r_vec"))
         )
 
-        pool_rows = kw.join(vr, ["qid", "id"], "full_outer").collect()
-        ids = sorted({r["id"] for r in pool_rows})
-        pool = self.spark.createDataFrame(
-            [
-                (r["qid"], r["id"], r["r_kw"], r["r_vec"], r["bm25"])
-                for r in pool_rows
-            ],
-            "qid int, id string, r_kw bigint, r_vec bigint, bm25 double",
-        )
+        # the pool never visits the driver: the two <=k_pool-per-qid rank
+        # frames full-outer join in-plan, and the chunk store is probed
+        # with a broadcast semi-join on the pool's distinct ids — not a
+        # collected-ids isin() literal (r8 verdict: at a 10k-query log
+        # that literal is a 400k-term IN expression; the semi-join stays
+        # one tiny broadcast whatever the request count)
+        pool = kw.join(vr, ["qid", "id"], "full_outer")
+        pool_ids = pool.select("id").distinct()
         qterms = self.spark.createDataFrame(
             [(qid, ts) for qid, ts in enumerate(term_lists)],
             "qid int, terms array<string>",
         )
         feats = (
             self.chunks(library_id)
-            .filter(F.col("id").isin(ids))
+            .join(F.broadcast(pool_ids), "id", "left_semi")
             # exact-feature contract: a chunk without text or an
             # embedding cannot carry exact dl/tf/cos features — drop it
             # (the registry twin's inner-join semantics) instead of
@@ -1310,6 +1314,12 @@ class VectorEngine:
             [(int(q), i, int(r)) for q, i, r in qrels],
             "qid int, id string, rel int",
         )
+        # deduplicate to max grade per (qid, id) — duplicate judgment
+        # rows would inflate the n_rel/n1/n2/n3 denominators (wrong
+        # recall/MAP) and fan out the run join (r8 ADVICE); taking the
+        # max grade is the lenient half of trec_eval's behavior (it
+        # errors) and keeps repeated identical rows a no-op
+        qdf = qdf.groupBy("qid", "id").agg(F.max("rel").alias("rel"))
         top = run.join(F.broadcast(qdf), ["qid", "id"], "left").select(
             "qid", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
         )

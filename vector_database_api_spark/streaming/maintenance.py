@@ -1200,6 +1200,11 @@ def _compaction_lock(store_dir: str) -> str:
 
 
 def _pid_alive(pid: int) -> bool:
+    """Liveness probe via ``kill(pid, 0)``.  Only ESRCH (no such
+    process) means dead: EPERM means the pid IS alive under another
+    uid (r8 ADVICE — treating any OSError as dead let a same-host
+    multi-user deployment steal a live compactor's lock and delete a
+    live writer's marker, silently breaking the mutual exclusion)."""
     import os
 
     if pid <= 0:
@@ -1207,8 +1212,12 @@ def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
         return True
-    except OSError:
+    except ProcessLookupError:
         return False
+    except PermissionError:
+        return True  # alive, owned by another uid
+    except OSError:
+        return True  # unknown failure: never assume dead
 
 
 def _lock_live(lock: str) -> bool:
@@ -1256,16 +1265,19 @@ def _live_writer_markers(store_dir: str) -> list[str]:
     for m in glob.glob(store_dir.rstrip("/") + "._WRITING.*"):
         try:
             pid = int(m.rsplit("._WRITING.", 1)[1].split(".")[0])
-            os.kill(pid, 0)
         except (ValueError, IndexError):
             live.append(m)  # unparseable: treat as live, never delete
-        except OSError:
+            continue
+        # _pid_alive's ESRCH-only death test (r8 ADVICE: EPERM means a
+        # live writer under another uid — deleting its marker would
+        # break the exclusion exactly when it matters)
+        if _pid_alive(pid):
+            live.append(m)
+        else:
             try:
                 os.remove(m)  # dead owner
             except OSError:
                 pass
-        else:
-            live.append(m)
     return live
 
 
@@ -1424,6 +1436,7 @@ def compact_batch_store(
     writes are excluded in both directions via the
     :class:`writer_guard` two-flag protocol.
     """
+    import contextlib
     import os
     import shutil
 
@@ -1532,10 +1545,20 @@ def compact_batch_store(
                 os.rename(old, store_dir)
             except OSError:
                 pass
-        if os.path.exists(store_dir):
-            os.remove(lock)
-        # else: leave the lock — writers stay excluded; the next
-        # compactor's dead-owner path clears it and heals at entry
+        # release when the store is healthy — or when NEITHER the store
+        # nor .precompact exists (a compactor run against a never-created
+        # or externally-deleted store: there is nothing to protect, and
+        # keeping the lock would wedge every future writer_guard behind
+        # a lock no later compaction can clear, r8 ADVICE).  The removal
+        # itself is suppressed-on-OSError: a concurrently-cleaned lock
+        # (the writer-side dead-owner TOCTOU window) must not raise from
+        # finally and mask the real return value or original exception.
+        if os.path.exists(store_dir) or not os.path.exists(old):
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+        # else: store missing but .precompact holds the data — leave the
+        # lock so writers stay excluded; the next compactor's dead-owner
+        # path clears it and heals at entry
 
 
 def compact_bm25_stats(spark: SparkSession, stats_dir: str) -> dict:
