@@ -450,3 +450,52 @@ def test_collapsed_topk_plan_build_is_hint_clean(spark, sf_dir):
         plan = explain_str(df)
     assert errs == [], errs
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_gate_requires_declared_bound_for_qid(spark):
+    """The boundedness-aware window gate (r8 verdict): qid/query_id/
+    cluster_id windows are NOT blessed by key name — the r8 scale-killer
+    class shipped exactly because they were.  An audit target whose plan
+    windows over one of these keys passes only with a declared input
+    bound in queries.WINDOW_BOUNDS; an unbounded plant is rejected."""
+    import tools.plan_report as PR
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # plant: a corpus-sized per-qid ranking window, no declaration
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("qid"), F.col("id").alias("score")
+    )
+    planted = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score"))
+        ),
+    )
+    wkeys = audit_plan(planted)["window_partition_keys"]
+    assert wkeys == {"qid"}
+    assert PR.window_key_violations("planted_query", wkeys) == [
+        "window-over-undeclared-bound:qid"
+    ]
+    # the same keys pass WITH a declared bound...
+    assert PR.window_key_violations("bm25_batch_topk", {"qid"}) == []
+    # ...but a declaration for one key does not bless others
+    assert PR.window_key_violations("bm25_batch_topk", {"cluster_id"}) == [
+        "window-over-undeclared-bound:cluster_id"
+    ]
+    # structurally-bounded keys and the grouped_topk shard marker still
+    # pass by name; content keys still fail outright
+    assert PR.window_key_violations("anything", {"user_id", "_salt"}) == []
+    assert PR.window_key_violations("anything", {"fingerprint"}) == [
+        "window-over-unbounded-key:fingerprint"
+    ]
+    # every declared bound refers to a real registry query / audit leg,
+    # and declares only keys the gate actually defers on
+    registry = set(q.spark_queries()) | set(q.demo_queries())
+    for name, bounds in q.WINDOW_BOUNDS.items():
+        base = name.split(":")[0]
+        assert base in registry, name
+        if ":" in name:
+            assert name.split(":", 1)[1] in q.AUDIT_SUBPLANS.get(base, {}), name
+        assert set(bounds) <= PR.DECLARED_BOUND_KEYS, name
+        assert all(v.strip() for v in bounds.values()), name

@@ -40,20 +40,21 @@ ALLOWED_PYTHON = {
 # As of round 4 every allowlisted seam is Arrow-batched (pandas_udf /
 # mapInPandas) — no row-at-a-time BatchEvalPython remains in any plan.
 
-# Window.partitionBy keys with BOUNDED per-key cardinality: per-key row
-# counts do not grow with corpus size (a query id partitions k scored
-# rows, a user id partitions one user's events, a dim attribute is
-# enumerable).  A window over any key NOT listed here is a regression:
-# window partitions run on a single task and AQE never skew-splits them
-# (round-4 verdict: the span doc-frequency window serialized viral spans
-# — rewritten to groupBy+join in round 5).  ``<global>`` (no partition
-# spec) is never allowed on the bench surface.
+# Window.partitionBy keys with BOUNDED per-key cardinality BY
+# CONSTRUCTION: per-key row counts do not grow with corpus size because
+# the key is a unique-entity id (one user's events, one document's
+# terms, one order's lines) or an enumerable dim attribute.  A window
+# over any key NOT listed here (and not covered by a declared bound,
+# below) is a regression: window partitions run on a single task and
+# AQE never skew-splits them (round-4 verdict: the span doc-frequency
+# window serialized viral spans — rewritten to groupBy+join in round
+# 5).  ``<global>`` (no partition spec) is never allowed on the bench
+# surface.
 BOUNDED_WINDOW_KEYS = {
-    "qid", "query_id", "id",            # per-query top-k: k rows per key
+    "id",                               # unique chunk id: one chunk's rows
     "user_id",                          # one user's events
     "doc_id",                           # one document's terms/chunks
     "vec_id",                           # one vector's probe rows
-    "cluster_id",                       # centroid count is a config knob
     "source", "lang", "split",          # enumerable corpus facets
     "o_orderpriority", "c_mktsegment",  # TPC-H enumerable dims
     "s_nationkey", "n_name", "o_custkey",  # per-nation / per-customer
@@ -65,6 +66,35 @@ BOUNDED_WINDOW_KEYS = {
     # construction, whatever the co-partition keys' cardinality
     "_salt",
 }
+
+# Keys whose per-key input is NOT structurally bounded — a qid window
+# partitions whatever the plan feeds it, which can be the whole scored
+# corpus.  The r8 verdict found exactly that class shipped FOUR times
+# because this gate blessed `qid` by name ("per-query top-k: k rows per
+# key" — true of the window's OUTPUT, not its input).  These keys now
+# require the audit target to declare WHAT bounds the window's input in
+# queries.WINDOW_BOUNDS; the declaration is rendered into
+# PLANS_AUDIT.md so the claim is reviewable.  An undeclared qid window
+# fails the gate (tests/test_plans.py pins this).
+DECLARED_BOUND_KEYS = {"qid", "query_id", "cluster_id"}
+
+
+def window_key_violations(name: str, wkeys) -> list[str]:
+    """Violation strings for ``name``'s window partition keys: empty iff
+    every key is structurally bounded (BOUNDED_WINDOW_KEYS), sharded
+    (`_salt`), or carries a declared input bound (queries.WINDOW_BOUNDS
+    entry for this audit target)."""
+    declared = q.WINDOW_BOUNDS.get(name, {})
+    bad = []
+    for key in sorted(wkeys):
+        if key in BOUNDED_WINDOW_KEYS:
+            continue
+        if key in DECLARED_BOUND_KEYS:
+            if not declared.get(key):
+                bad.append(f"window-over-undeclared-bound:{key}")
+            continue
+        bad.append(f"window-over-unbounded-key:{key}")
+    return bad
 
 
 def main() -> None:
@@ -97,11 +127,9 @@ def main() -> None:
         if unexpected:
             violations.append((name, unexpected))
         wkeys = sorted(a["window_partition_keys"])
-        bad_wkeys = [k for k in wkeys if k not in BOUNDED_WINDOW_KEYS]
+        bad_wkeys = window_key_violations(name, wkeys)
         if bad_wkeys:
-            violations.append(
-                (name, [f"window-over-unbounded-key:{k}" for k in bad_wkeys])
-            )
+            violations.append((name, bad_wkeys))
         # Arrow grouped-map seams, rendered alongside the EvalPython names
         # (short tags: FlatMapCoGroupsInPandas -> cogroup, etc.)
         tags = {
@@ -132,16 +160,36 @@ def main() -> None:
             "shape, broadcast vs sort-merge join counts, shuffle count, "
             "parquet filter pushdown, Python eval nodes (allowed set in "
             "tools/plan_report.py — everything else is a regression), and "
-            "Window partition keys (must all be bounded-cardinality keys "
-            "from BOUNDED_WINDOW_KEYS — window partitions run on one task "
-            "and AQE never skew-splits them, so a window over a content "
-            "key is a scale regression).\n\n"
+            "Window partition keys (each must be structurally bounded "
+            "(BOUNDED_WINDOW_KEYS), grouped_topk-sharded (`_salt`), or "
+            "carry a declared input bound (queries.WINDOW_BOUNDS, "
+            "rendered below the table) — window partitions run on one "
+            "task and AQE never skew-splits them, so a window over an "
+            "unbounded key is a scale regression).\n\n"
             "| query | top-k | bcast | smj | shuffles | pushdown | python "
             "| windowkeys |\n"
             "|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        used_bounds = [
+            (name, key, q.WINDOW_BOUNDS[name][key])
+            for (name, *_, wk) in rows
+            if name in q.WINDOW_BOUNDS
+            for key in sorted(set(wk.split(",")) & DECLARED_BOUND_KEYS)
+            if key in q.WINDOW_BOUNDS[name]
+        ]
+        if used_bounds:
+            f.write(
+                "\n## Declared window-input bounds\n\n"
+                "Window keys in DECLARED_BOUND_KEYS (qid/query_id/"
+                "cluster_id) are NOT structurally bounded — the gate "
+                "fails them unless the query declares what bounds the "
+                "window's INPUT (queries.WINDOW_BOUNDS).  The "
+                "declarations behind the rows above:\n\n"
+            )
+            for name, key, bound in used_bounds:
+                f.write(f"- **{name}** `{key}`: {bound}\n")
         if violations:
             f.write(
                 "\n**VIOLATIONS (unexpected Python / unbounded window "

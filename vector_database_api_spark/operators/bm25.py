@@ -190,8 +190,16 @@ def bm25_batch_search(
     requests (a query log, an evaluation run, the keyword legs of N
     hybrid requests) should be one Spark job, not N: the (qid, term)
     table is broadcast against the postings once, scoring groups by
-    (qid, id), and the top-k cut is a per-qid ranking window — bounded
-    by construction, k rows of state per query.  Statistics semantics
+    (qid, id), and the top-k cut is the skew-safe sharded reduce
+    (``operators/skew.py::grouped_topk``).  A plain per-qid ranking
+    window here would be postings-bounded — rows/qid = |union of the
+    query terms' posting lists| — which is fine for content terms but
+    degenerates to a corpus-sized single-task sort when an ARBITRARY
+    user query contains a stop-word-frequent term (df ~ N); this is
+    the served path, so the terms are user-controlled and the sharded
+    form is the only shape that holds unconditionally (r8 verdict's
+    boundedness audit).  Output is row-identical to the window form
+    (tests/test_skew.py).  Statistics semantics
     match the single-request path exactly: per-term df comes from the
     term-filtered postings BEFORE any candidate restriction
     (corpus-level statistics), and ``candidate_ids`` restricts which
@@ -239,11 +247,10 @@ def bm25_batch_search(
         .groupBy("qid", "id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("qid", "id", "score", "rank")
+    from vector_database_api_spark.operators.skew import grouped_topk
+
+    return grouped_topk(scored, "qid", "score", "id", int(k)).select(
+        "qid", "id", "score", F.col("rank").cast("int").alias("rank")
     )
 
 
