@@ -1588,24 +1588,22 @@ def main() -> None:
             .select("qid", "doc_id", "r_kw")
         )
         req_ids = [qid for qid, _ in requests]
-        vec = (
+        # dense leg mirrors the POST-FIX product plan (r9): the per-qid
+        # top-k is grouped_topk's sharded reduce, never a qid window
+        # over the corpus-sized scored frame
+        vec = grouped_topk(
             embs.crossJoin(
                 F.broadcast(qvecs.filter(F.col("qid").isin(req_ids)))
-            )
-            .select(
+            ).select(
                 "qid",
                 F.col("vec_id").alias("doc_id"),
                 cosine_similarity("embedding", "qvec").alias("sim"),
-            )
-            .withColumn(
-                "r_vec",
-                F.row_number().over(
-                    _W8.partitionBy("qid").orderBy(F.desc("sim"), "doc_id")
-                ),
-            )
-            .filter(F.col("r_vec") <= 10)
-            .select("qid", "doc_id", "r_vec")
-        )
+            ),
+            "qid",
+            "sim",
+            "doc_id",
+            10,
+        ).select("qid", "doc_id", F.col("rank").alias("r_vec"))
         fused = kw.join(vec, ["qid", "doc_id"], "full_outer").select(
             "qid",
             "doc_id",
@@ -1650,7 +1648,9 @@ def main() -> None:
     def ltr_export():
         """ltr_feature_matrix's shape at 500k docs: two top-20 legs
         (postings-served keyword + dense) collected once, then ONE
-        bounded pool probe with pushed-down id IN filters."""
+        bounded pool probe via broadcast semi-join on the pool ids
+        (the r9 production shape — a collected-ids isin() literal
+        compiles a 400k-term IN expression at a 10k-query log)."""
         terms = [t for _, ts in _BATCH_QUERIES[:1] for t in ts]
         kw_scored = (
             postings8.filter(F.col("term").isin(terms))
@@ -1674,12 +1674,15 @@ def main() -> None:
         ids = sorted(
             {r["doc_id"] for r in kw_ids} | {r["doc_id"] for r in cos_ids}
         )
+        pool_ids = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id bigint"
+        )
         pool = (
-            docs.filter(F.col("doc_id").isin(ids))
+            docs.join(F.broadcast(pool_ids), "doc_id", "left_semi")
             .join(
                 F.broadcast(
-                    embs.filter(F.col("vec_id").isin(ids)).withColumnRenamed(
-                        "vec_id", "doc_id"
+                    embs.withColumnRenamed("vec_id", "doc_id").join(
+                        F.broadcast(pool_ids), "doc_id", "left_semi"
                     )
                 ),
                 "doc_id",
@@ -1759,6 +1762,90 @@ def main() -> None:
         return len(merges)
 
     results["bpe_rounds8_sec"], _ = timed(bpe_rounds8)
+
+    # ------------------------------------------------------------------
+    # r9: the rewired dense batch top-k at 1M vectors x 32 queries —
+    # the r8 verdict's scale-killer class, post-fix.  Three checks:
+    # (a) the product operator (grouped_topk) returns exactly Q*k rows
+    #     at this scale and its ONLY window is the _salt-sharded one;
+    # (b) the corpus-carrying top-k exchange spreads rows over ALL
+    #     defaultParallelism tasks with bounded skew — measured with
+    #     the same HashPartitioning the window/grouped_topk exchanges
+    #     use (repartition by the identical key set);
+    # (c) the PRE-fix layout is reproduced for contrast: a qid window
+    #     at the driver batch's Q=6 lands the whole scored corpus in
+    #     <=6 of 32 tasks (26 idle, wall-clock = one task sorting N/6).
+    # ------------------------------------------------------------------
+    from vector_database_api_spark.plans.audit import audit_plan
+
+    par9 = spark.sparkContext.defaultParallelism
+    q32 = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select(
+            F.col("vec_id").cast("int").alias("qid"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    scored9 = embs.crossJoin(F.broadcast(q32)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity("embedding", "qv").alias("sim"),
+    )
+
+    def dense_batch_1m_x32():
+        out = grouped_topk(scored9, "qid", "sim", "doc_id", 20)
+        a = audit_plan(out)
+        assert a["window_partition_keys"] == {"_salt"}, a[
+            "window_partition_keys"
+        ]
+        n = out.count()
+        assert n == 32 * 20, n
+        return n
+
+    results["dense_batch_topk_1m_x32_sec"], _ = timed(dense_batch_1m_x32)
+
+    # (b) post-fix exchange layout: keys = (qid, _salt) exactly as
+    # grouped_topk phase 1 assigns them (operators/skew.py::_row_salt —
+    # the first run of this very assertion caught the unhashed
+    # `mono % shards` form collapsing to one shard per qid on this
+    # crossJoin-ordered input: 22/32 tasks, hot ones corpus-sized).
+    # Rows are skinny (ids only) — the layout is a property of the
+    # partitioning keys, not the payload.
+    from vector_database_api_spark.operators.skew import _row_salt
+
+    pairs9 = embs.select(F.col("vec_id").alias("doc_id")).crossJoin(
+        F.broadcast(q32.select("qid"))
+    )
+    salted_counts = [
+        r["n"]
+        for r in pairs9.withColumn("_salt", _row_salt(16))
+        .repartition(par9, "qid", "_salt")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    results["dense_topk_exchange_tasks_nonempty"] = len(salted_counts)
+    results["dense_topk_exchange_max_over_mean"] = round(
+        max(salted_counts) * len(salted_counts) / sum(salted_counts), 2
+    )
+    assert len(salted_counts) == par9, (
+        f"post-fix top-k exchange uses {len(salted_counts)}/{par9} tasks"
+    )
+    assert max(salted_counts) <= 2.0 * (sum(salted_counts) / len(salted_counts))
+
+    # (c) pre-fix contrast at the driver batch's Q=6: corpus into <=Q
+    # tasks, whatever the cluster size
+    window_counts = [
+        r["n"]
+        for r in pairs9.filter(F.col("qid") < 6)
+        .repartition(par9, "qid")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    results["prefix_qid_window_tasks_nonempty_q6"] = len(window_counts)
+    assert len(window_counts) <= 6, window_counts
 
     print(
         json.dumps(

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Lucene-flavored BM25, identical constants and idf form to the
 # oracle-checked queries.py family (_bm25_contrib_sql)

@@ -18,6 +18,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _row_salt(shards: int) -> F.Column:
+    """Deterministic per-row shard id in [0, shards): murmur3 of the
+    row's monotonically_increasing_id.
+
+    Why the HASH and not ``mono_id % shards`` (the r9 scale smoke's
+    empirical layout assertion caught this): mono ids are consecutive
+    within a partition, so ``% shards`` cycles 0..shards-1 in row
+    order — and when the GROUP key is itself periodic in row order
+    (every ``crossJoin(broadcast(Q queries))`` emits the Q qids
+    cyclically), salt and group correlate instead of crossing.  At
+    Q=32 queries with shards=16, salt = row%16 and qid = row%32 meant
+    every qid landed in exactly ONE salt — grouped_topk silently
+    degenerated to the unsharded per-group sort it exists to replace
+    (the plan still showed the `_salt` key; only the measured
+    partition occupancy exposed it: 22/32 tasks, hot ones
+    corpus-sized).  Hashing the id keeps retry-determinism (mono ids
+    are stable given the partition layout) while decorrelating any
+    periodic structure; content is deliberately NOT hashed — value-
+    identical rows (the giant duplicate groups salting exists for)
+    must spread, not re-concentrate."""
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(shards)).cast(
+        "int"
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -36,9 +61,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type for salted_join: {how}")
-    salted_big = big.withColumn(
-        "_salt", (F.monotonically_increasing_id() % salt).cast("int")
-    )
+    salted_big = big.withColumn("_salt", _row_salt(salt))
     salted_small = small.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")),
@@ -88,11 +111,14 @@ def grouped_topk(
     the plain window).  Rather than diverge silently, a float/double
     ``order_col`` is NaN-checked in the phase-1 projection and the job
     FAILS on the first NaN row (the check rides the existing scan — no
-    extra pass; exact-total-order inputs pay one isnan per row).  Shard assignment reuses ``salted_join``'s
-    monotonically_increasing_id discipline — deterministic under
-    retries and immune to value-identical rows landing in one shard
+    extra pass; exact-total-order inputs pay one isnan per row).  Shard assignment is :func:`_row_salt`
+    (hashed monotonically_increasing_id) — deterministic under
+    retries, immune to value-identical rows landing in one shard
     (hashing row CONTENT would re-concentrate exactly the giant
-    duplicate groups this exists for).  Output: group columns,
+    duplicate groups this exists for), and immune to group keys that
+    are PERIODIC in row order (see _row_salt: the unhashed ``mono %
+    shards`` form degenerated to one shard per group on crossJoin-
+    broadcast inputs).  Output: group columns,
     ``rank`` (1-based), and every non-group input column."""
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     payload = [c for c in df.columns if c not in gcols]
@@ -109,9 +135,7 @@ def grouped_topk(
                 ),
             ).otherwise(F.col(order_col)),
         )
-    salted = df.withColumn(
-        "_salt", (F.monotonically_increasing_id() % shards).cast("int")
-    )
+    salted = df.withColumn("_salt", _row_salt(shards))
     shard_w = Window.partitionBy(*gcols, "_salt").orderBy(
         F.desc(order_col), F.asc(tie_col)
     )

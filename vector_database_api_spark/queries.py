@@ -6202,7 +6202,12 @@ def knn_join_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  This is the scale shape for embedding-graph construction
     (kNN graphs for clustering/label propagation): pair count is
     sum(|cluster|^2), never N^2, and each cluster's pairs stay inside
-    one shuffle partition.  Approximation surface (recall vs nprobe=1
+    one shuffle partition.  The per-query ranking window's input is
+    one probed cell (~N/nlist rows/qid — bound declared in
+    WINDOW_BOUNDS), which carries the standard IVF sizing obligation:
+    nlist must scale ~sqrt(N) so cells stay ~sqrt(N) — at fixed nlist
+    both the cell windows and the pair expansion grow linearly.
+    Approximation surface (recall vs nprobe=1
     blocking) is measured in tools/ann_quality.py for the same layout;
     centroids are frozen here for hash-checkability, trained via
     seeded MLlib KMeans in the service path."""
@@ -9513,8 +9518,10 @@ def _register_late_subplans() -> None:
     """Queries defined BELOW the AUDIT_SUBPLANS literal register their
     coordinator-collected legs here (called at import end)."""
     AUDIT_SUBPLANS["collapsed_topk_by_near_dup"] = {"top50": _collapse_top50}
-    # the batch export's coordinator-collected pool = full outer of the
-    # two persisted batch runs; audit the run-building plans
+    # the batch export's pool is in-plan since r9 (no collect), but the
+    # run-building plans stay audited as explicit legs: once a run is
+    # persisted, later audits of readers see InMemoryTableScan lineage,
+    # and these rows pin the BUILD shape regardless of cache state
     AUDIT_SUBPLANS["ltr_feature_matrix_batch"] = {
         "kw_run": lambda spark, sf_dir: _bm25_batch_frames(spark, sf_dir)[1],
         "dense_run": _cached_dense_batch_run,
