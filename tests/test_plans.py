@@ -387,20 +387,25 @@ def test_dedup_keep_first_plans_are_window_free(spark, sf_dir):
 def test_fusion_leg_plans_are_topk_and_python_free(spark, sf_dir):
     """The collected legs of coordinator-fusion queries (AUDIT_SUBPLANS)
     are the queries' only data-sized plans; each must be a distributed
-    top-k — a global TakeOrderedAndProject OR a per-qid ranking window
-    (the batch-run shape: k rows of state per query) — with no row-wise
-    Python, checked on live plans, not just the committed
-    PLANS_AUDIT.md snapshot."""
+    top-k — a global TakeOrderedAndProject, a per-qid ranking window
+    over a DECLARED-bounded input (the batch-run shape, bound in
+    queries.WINDOW_BOUNDS), or grouped_topk's _salt-sharded reduce
+    (the r9 dense-run shape) — with no row-wise Python, checked on
+    live plans, not just the committed PLANS_AUDIT.md snapshot."""
     for name, legs in q.AUDIT_SUBPLANS.items():
         for leg, fn in legs.items():
             a = audit_plan(fn(spark, sf_dir))
-            per_qid_topk = a["window_partition_keys"] == {"qid"}
-            assert a["take_ordered_topk"] or per_qid_topk, (name, leg)
-            assert a["row_python_udfs"] == 0, (name, leg)
-            assert a["window_partition_keys"] in (set(), {"qid"}), (
-                name,
-                leg,
+            per_group_topk = a["window_partition_keys"] in (
+                {"qid"},
+                {"_salt"},
             )
+            assert a["take_ordered_topk"] or per_group_topk, (name, leg)
+            assert a["row_python_udfs"] == 0, (name, leg)
+            assert a["window_partition_keys"] in (
+                set(),
+                {"qid"},
+                {"_salt"},
+            ), (name, leg)
 
 
 def test_hint_gate_catches_dropped_broadcast(spark):
