@@ -124,12 +124,19 @@ def test_plan_and_job_growth_linear_in_rounds(spark):
         wf.unpersist()
 
 
-def test_reliable_checkpoint_mode(spark, tmp_path):
+def test_reliable_checkpoint_mode(spark):
     """reliable_checkpoint=True writes round checkpoints through the
     configured Spark checkpoint dir (replicated storage in a cluster —
     survives executor loss, unlike localCheckpoint's executor blocks);
-    results are identical to the default mode, and the mode fails
-    early when no checkpoint dir is configured."""
+    results are identical to the default mode (both learn AND apply
+    paths), and the mode fails early when no checkpoint dir is
+    configured.  The checkpoint dir is a session-lifetime tempdir, NOT
+    pytest tmp_path: a checkpoint dir cannot be unset on a
+    SparkContext, and tmp_path is deleted after the test — later
+    checkpoint() calls in the shared session would hit a vanished
+    directory (r9 review)."""
+    import tempfile
+
     import pytest
 
     docs = spark.createDataFrame(
@@ -137,25 +144,28 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
         "doc_id long, text string",
     )
     sc = spark.sparkContext
-    prev = sc.getCheckpointDir()
-    if prev is None:
+    if sc.getCheckpointDir() is None:
         with pytest.raises(ValueError, match="setCheckpointDir"):
             B.bpe_merge_rounds(docs, rounds=3, reliable_checkpoint=True)
-    sc.setCheckpointDir(str(tmp_path / "ckpt"))
-    try:
-        got = [
-            tuple(r)
-            for r in B.bpe_merge_rounds(
-                docs, rounds=3, reliable_checkpoint=True
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            B.bpe_final_reps(
+                B.word_frequencies(docs), rounds=2, reliable_checkpoint=True
             )
-            .orderBy("round")
-            .collect()
-        ]
-        assert got == [
-            (1, "l", "o", 5),
-            (2, "lo", "w", 5),
-            (3, "e", "s", 3),
-        ]
-    finally:
-        if prev is not None:
-            sc.setCheckpointDir(prev)
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="bpe-ckpt-"))
+    got = [
+        tuple(r)
+        for r in B.bpe_merge_rounds(docs, rounds=3, reliable_checkpoint=True)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "s", 3),
+    ]
+    wf = B.word_frequencies(docs)
+    reliable = sorted(
+        map(tuple, B.bpe_final_reps(wf, 3, reliable_checkpoint=True).collect())
+    )
+    local = sorted(map(tuple, B.bpe_final_reps(wf, 3).collect()))
+    assert reliable == local and reliable

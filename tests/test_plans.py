@@ -389,23 +389,25 @@ def test_fusion_leg_plans_are_topk_and_python_free(spark, sf_dir):
     are the queries' only data-sized plans; each must be a distributed
     top-k — a global TakeOrderedAndProject, a per-qid ranking window
     over a DECLARED-bounded input (the batch-run shape, bound in
-    queries.WINDOW_BOUNDS), or grouped_topk's _salt-sharded reduce
-    (the r9 dense-run shape) — with no row-wise Python, checked on
-    live plans, not just the committed PLANS_AUDIT.md snapshot."""
+    queries.WINDOW_BOUNDS — enforced through the same
+    window_key_violations gate plan_report runs, so a qid window with
+    no declaration fails HERE too, not only in the manually-run tool;
+    r9 review), or grouped_topk's _salt-sharded reduce (the r9
+    dense-run shape) — with no row-wise Python, checked on live
+    plans, not just the committed PLANS_AUDIT.md snapshot."""
+    import tools.plan_report as PR
+
     for name, legs in q.AUDIT_SUBPLANS.items():
         for leg, fn in legs.items():
             a = audit_plan(fn(spark, sf_dir))
-            per_group_topk = a["window_partition_keys"] in (
-                {"qid"},
-                {"_salt"},
-            )
+            wkeys = a["window_partition_keys"]
+            per_group_topk = wkeys in ({"qid"}, {"_salt"})
             assert a["take_ordered_topk"] or per_group_topk, (name, leg)
             assert a["row_python_udfs"] == 0, (name, leg)
-            assert a["window_partition_keys"] in (
-                set(),
-                {"qid"},
-                {"_salt"},
-            ), (name, leg)
+            assert wkeys in (set(), {"qid"}, {"_salt"}), (name, leg)
+            assert (
+                PR.window_key_violations(f"{name}:{leg}", wkeys) == []
+            ), (name, leg, wkeys)
 
 
 def test_hint_gate_catches_dropped_broadcast(spark):

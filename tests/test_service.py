@@ -1368,3 +1368,29 @@ def test_evaluate_search_matches_python_recompute(engine):
         key=lambda r: r["qid"],
     )
     assert [r.asDict() for r in base] == [r.asDict() for r in dup]
+
+
+def test_batch_requests_reject_nonfinite_embeddings(engine):
+    """r9 review: the batched dense legs run through grouped_topk,
+    whose NaN fail-fast would abort the WHOLE batch job mid-flight on
+    one bad vector.  Intake validation must therefore reject a
+    non-finite caller-supplied embedding per request, naming the qid,
+    before any job is launched — every batched entry point shares
+    _batch_request_inputs."""
+    import pytest
+
+    engine.index_library("libA", "hybrid")
+    dim = engine.config.embedding_dim
+    good = [0.1] * dim
+    for bad_val in (float("nan"), float("inf"), float("-inf")):
+        bad = [0.1] * dim
+        bad[3] = bad_val
+        with pytest.raises(ValueError, match="request 1: .*non-finite"):
+            engine.search_hybrid_batch(
+                "libA", [(None, good), (None, bad)], k=5
+            )
+    # finite requests still flow
+    out = engine.search_hybrid_batch(
+        "libA", [(None, good), ("python", None)], k=3
+    ).collect()
+    assert {r["qid"] for r in out} == {0, 1}

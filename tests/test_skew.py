@@ -91,7 +91,7 @@ def test_grouped_topk_rejects_nan_order(spark):
 
     rows = [("g", 1, 1.0), ("g", 2, float("nan")), ("g", 3, 2.0)]
     df = spark.createDataFrame(rows, "g string, id long, score double")
-    with pytest.raises(Exception, match="NaN in order column"):
+    with pytest.raises(Exception, match="NaN/NULL in order column"):
         grouped_topk(df, "g", "score", "id", 2, shards=4).collect()
     # NaN-free floats are unaffected
     clean = spark.createDataFrame(
@@ -102,3 +102,31 @@ def test_grouped_topk_rejects_nan_order(spark):
         (1, 2),
         (2, 1),
     ]
+
+
+def test_grouped_topk_rejects_null_order(spark):
+    """r9 review: NULL ranks LAST in the phase-1 desc window but a NULL
+    -order struct field sorts FIRST in phase 2's ascending sort_array —
+    a NULL-scored row would jump from last place to rank 1.  The
+    operator must fail loudly instead; callers with legitimately
+    NULL-able scores (un-computable evidence) filter or coalesce first
+    and own the semantics."""
+    import pytest
+
+    rows = [("g", 1, 1.0), ("g", 2, None), ("g", 3, 2.0)]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    with pytest.raises(Exception, match="in order column"):
+        grouped_topk(df, "g", "score", "id", 2, shards=4).collect()
+    # non-float order types are NULL-checked too
+    irows = [("g", 1, 10), ("g", 2, None)]
+    idf = spark.createDataFrame(irows, "g string, id long, score long")
+    with pytest.raises(Exception, match="NULL in order column"):
+        grouped_topk(idf, "g", "score", "id", 2, shards=4).collect()
+    # and NULL-free integer orders still work
+    iclean = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 30)], "g string, id long, score long"
+    )
+    got = grouped_topk(iclean, "g", "score", "id", 2, shards=4).collect()
+    assert [
+        (r["rank"], r["id"]) for r in sorted(got, key=lambda r: r["rank"])
+    ] == [(1, 2), (2, 1)]

@@ -1829,10 +1829,19 @@ def main() -> None:
     results["dense_topk_exchange_max_over_mean"] = round(
         max(salted_counts) * len(salted_counts) / sum(salted_counts), 2
     )
-    assert len(salted_counts) == par9, (
-        f"post-fix top-k exchange uses {len(salted_counts)}/{par9} tasks"
+    # occupancy bar: >=90% of the balls-into-bins expectation for 512
+    # keys over par9 partitions (== par9 on this 32-core box; on a
+    # 128-core host a couple of hash-empty partitions are expected and
+    # not a sharding failure — r9 review).  The pre-fix failure this
+    # assertion caught read 22/32 with corpus-sized hot tasks
+    # (max/mean would be ~Q-fold); 2.5x mean is far below that and
+    # comfortably above murmur3's measured 1.69 here.
+    expected_occ = par9 * (1.0 - (1.0 - 1.0 / par9) ** (32 * 16))
+    assert len(salted_counts) >= 0.9 * expected_occ, (
+        f"post-fix top-k exchange uses {len(salted_counts)}/{par9} tasks "
+        f"(expected ~{expected_occ:.1f})"
     )
-    assert max(salted_counts) <= 2.0 * (sum(salted_counts) / len(salted_counts))
+    assert max(salted_counts) <= 2.5 * (sum(salted_counts) / len(salted_counts))
 
     # (c) pre-fix contrast at the driver batch's Q=6: corpus into <=Q
     # tasks, whatever the cluster size

@@ -158,7 +158,13 @@ def bpe_merge_rounds(
     directory (``sparkContext.setCheckpointDir`` — HDFS/S3 in a
     cluster), making every round restartable at the cost of one
     vocabulary-sized (NOT corpus-sized) write per round.  Raises
-    early if no checkpoint dir is configured.
+    early if no checkpoint dir is configured.  Storage obligation:
+    Spark deletes reliable checkpoints only with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    startup conf) and only on GC of the RDD reference — otherwise each
+    round's vocabulary-sized checkpoint stays on the cluster store
+    after the job; set that conf or prune the checkpoint dir in the
+    pipeline's cleanup step (r9 review).
     """
     if wf is None:
         if df is None:
@@ -265,7 +271,9 @@ def duck_bpe_merge_sql(
     return _duck_learn_cte_chain(table, text_col, rounds) + "\n    " + finals
 
 
-def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
+def bpe_final_reps(
+    wf: DataFrame, rounds: int = 3, reliable_checkpoint: bool = False
+) -> DataFrame:
     """APPLY side of the tokenizer lifecycle: the vocabulary's final
     symbol representation after learning + applying ``rounds`` merges —
     (word, cnt, rep).  Same unrolled DAG as :func:`bpe_merge_rounds`
@@ -275,8 +283,17 @@ def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
     serving pipeline persists and joins against incoming text.  Same
     round-materialized, linear-plan discipline as
     :func:`bpe_merge_rounds` (collect the 1-row argmax, inline as
-    literals, checkpoint the rep lineage); the returned frame is the
-    final checkpointed rep table."""
+    literals, checkpoint the rep lineage) AND the same durability
+    trade-off/knob: ``reliable_checkpoint=True`` for
+    executor-loss-survivable rounds — this is the long-running
+    production path, so it carries the same option (r9 review); the
+    returned frame is the final checkpointed rep table."""
+    spark = wf.sparkSession
+    if reliable_checkpoint and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "bpe_final_reps(reliable_checkpoint=True) needs "
+            "sparkContext.setCheckpointDir(...) configured first"
+        )
     reps = wf.select("word", "cnt", _initial_rep().alias("rep"))
     for r in range(rounds):
         best = _best_pair(_pair_stats(reps))
@@ -289,7 +306,11 @@ def bpe_final_reps(wf: DataFrame, rounds: int = 3) -> DataFrame:
             "word", "cnt", _merge_fold_literal(a, b).alias("rep")
         )
         if r < rounds - 1:
-            reps = reps.localCheckpoint(eager=True)
+            reps = (
+                reps.checkpoint(eager=True)
+                if reliable_checkpoint
+                else reps.localCheckpoint(eager=True)
+            )
     return reps
 
 

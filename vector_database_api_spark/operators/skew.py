@@ -108,10 +108,17 @@ def grouped_topk(
     Spark's desc window ranks NaN GREATEST, so phase 1 keeps it first,
     but -NaN is still NaN and sorts LAST in phase 2's ascending
     sort_array, silently mis-ranking or dropping NaN rows relative to
-    the plain window).  Rather than diverge silently, a float/double
-    ``order_col`` is NaN-checked in the phase-1 projection and the job
-    FAILS on the first NaN row (the check rides the existing scan — no
-    extra pass; exact-total-order inputs pay one isnan per row).  Shard assignment is :func:`_row_salt`
+    the plain window).  NULL breaks it the same way in the OPPOSITE
+    direction (r9 review: the desc window ranks NULLS LAST, but a NULL
+    ``-order`` struct field sorts FIRST in phase 2's ascending
+    sort_array — a NULL-scored row would jump from last to rank 1).
+    Rather than diverge silently, a float/double ``order_col`` is
+    NaN-checked and every ``order_col`` is NULL-checked in the phase-1
+    projection, and the job FAILS on the first offending row (the
+    check rides the existing scan — no extra pass; exact-total-order
+    inputs pay one isnan/isnull per row).  Callers whose score can
+    legitimately be NULL (un-computable evidence) must filter or
+    coalesce it first and decide the semantics themselves.  Shard assignment is :func:`_row_salt`
     (hashed monotonically_increasing_id) — deterministic under
     retries, immune to value-identical rows landing in one shard
     (hashing row CONTENT would re-concentrate exactly the giant
@@ -122,19 +129,26 @@ def grouped_topk(
     ``rank`` (1-based), and every non-group input column."""
     gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     payload = [c for c in df.columns if c not in gcols]
+    # total-order contract, enforced: raise_error fires on the first
+    # NaN/NULL row instead of letting phases 1 and 2 disagree on it
+    # (desc window: NaN first, NULL last; phase-2 ascending sort_array
+    # of struct(-order, ...): NaN last, NULL first — both diverge)
+    bad = F.isnull(F.col(order_col))
+    what = "NULL"
     if dict(df.dtypes).get(order_col) in ("float", "double"):
-        # NaN-free contract, enforced: raise_error fires on the first
-        # NaN row instead of letting phases 1 and 2 disagree on it
-        df = df.withColumn(
-            order_col,
-            F.when(
-                F.isnan(F.col(order_col)),
-                F.raise_error(
-                    f"grouped_topk: NaN in order column '{order_col}' — "
-                    "NaN has no consistent rank across the two phases"
-                ),
-            ).otherwise(F.col(order_col)),
-        )
+        bad = bad | F.isnan(F.col(order_col))
+        what = "NaN/NULL"
+    df = df.withColumn(
+        order_col,
+        F.when(
+            bad,
+            F.raise_error(
+                f"grouped_topk: {what} in order column '{order_col}' — "
+                "no consistent rank across the two phases; filter or "
+                "coalesce un-computable scores before the top-k"
+            ),
+        ).otherwise(F.col(order_col)),
+    )
     salted = df.withColumn("_salt", _row_salt(shards))
     shard_w = Window.partitionBy(*gcols, "_salt").orderBy(
         F.desc(order_col), F.asc(tie_col)

@@ -994,6 +994,21 @@ class VectorEngine:
             ]
             for t, e in requests
         ]
+        # reject non-finite embedding values AT INTAKE, per request:
+        # since the dense legs batch through grouped_topk (r9), a NaN
+        # similarity would fail the whole batch job mid-flight with an
+        # opaque executor error — validate here so the caller learns
+        # WHICH request is bad and no other request is affected by the
+        # error path (the deterministic embedder is finite by
+        # construction; this guards caller-supplied vectors)
+        import math
+
+        for qid, v in enumerate(vecs):
+            if any(not math.isfinite(float(x)) for x in v):
+                raise ValueError(
+                    f"request {qid}: query embedding contains a "
+                    "non-finite value (NaN/Inf)"
+                )
         qdf = self.spark.createDataFrame(
             [(qid, v) for qid, v in enumerate(vecs)],
             "qid int, query_embedding array<float>",
@@ -1042,8 +1057,21 @@ class VectorEngine:
             )
             .alias("similarity")
         )
+        scored = staged.select("qid", "id", sim)
+        # a chunk whose stored embedding has a NULL ELEMENT yields NULL
+        # dot/norm and hence NULL similarity (the isNotNull filter above
+        # only screens whole-array NULLs).  NULL similarity is
+        # un-computable evidence, not a result: drop it BEFORE the
+        # top-k (grouped_topk fails fast on NULL scores by contract —
+        # and the old window form quietly ranked such chunks LAST,
+        # surfacing them only when a library had fewer than k healthy
+        # chunks, which was accident, not semantics)
         return grouped_topk(
-            staged.select("qid", "id", sim), "qid", "similarity", "id", int(k)
+            scored.filter(F.col("similarity").isNotNull()),
+            "qid",
+            "similarity",
+            "id",
+            int(k),
         ).select("qid", "id", "similarity", F.col("rank").alias("r_vec"))
 
     def search_hybrid_batch(
@@ -1158,12 +1186,15 @@ class VectorEngine:
         the keyword legs are ONE `bm25_batch_search` plan over the
         stored postings; the dense legs are ONE broadcast of all query
         vectors against the scoped chunk embeddings; the full-outer
-        pool (<= 2*k_pool per request) stays a DataFrame end-to-end —
-        no collect anywhere — and the chunk store is probed with a
-        broadcast semi-join on the pool's distinct ids for the
-        text/embedding features (r8 verdict: the collected-ids
-        ``isin()`` literal this replaced would compile a 400k-term IN
-        expression at a 10k-query log).  Per-query term
+        pool (<= 2*k_pool per request) is collected ONCE — bounded
+        driver data, and the only materialization of the two live leg
+        plans — and the chunk store is probed with a broadcast
+        semi-join on the pool's distinct ids for the text/embedding
+        features (r8 verdict: the collected-ids ``isin()`` literal
+        this replaced would compile a 400k-term IN expression at a
+        10k-query log; the r9 registry twin goes further — fully
+        in-plan — because ITS legs are persisted run artifacts that
+        are cheap to reference twice).  Per-query term
         features are computed with the terms bound as LITERAL ARRAYS
         (the snippet-highlighting injection discipline — no query text
         is ever spliced into an expression string).
@@ -1217,14 +1248,27 @@ class VectorEngine:
             .select("qid", "id", F.col("r_vec").cast("long").alias("r_vec"))
         )
 
-        # the pool never visits the driver: the two <=k_pool-per-qid rank
-        # frames full-outer join in-plan, and the chunk store is probed
-        # with a broadcast semi-join on the pool's distinct ids — not a
-        # collected-ids isin() literal (r8 verdict: at a 10k-query log
-        # that literal is a 400k-term IN expression; the semi-join stays
-        # one tiny broadcast whatever the request count)
-        pool = kw.join(vr, ["qid", "id"], "full_outer")
-        pool_ids = pool.select("id").distinct()
+        # ONE bounded collect (<= 2*k_pool per request — k-clamped driver
+        # data) materializes the pool exactly once: unlike the registry
+        # twin, whose legs are PERSISTED run artifacts, kw and vr here
+        # are live plans, and referencing an unpersisted pool twice
+        # (probe semi-join + feature join) would re-run the corpus
+        # scoring per reference (r9 review).  The probe side is a
+        # broadcast semi-join on the collected ids — never an isin()
+        # literal (r8 verdict: a 400k-term IN expression at a 10k-query
+        # log); the collect is the verdict-sanctioned bounded one.
+        pool_rows = kw.join(vr, ["qid", "id"], "full_outer").collect()
+        pool = self.spark.createDataFrame(
+            [
+                (r["qid"], r["id"], r["r_kw"], r["r_vec"], r["bm25"])
+                for r in pool_rows
+            ],
+            "qid int, id string, r_kw bigint, r_vec bigint, bm25 double",
+        )
+        pool_ids = self.spark.createDataFrame(
+            [(i,) for i in sorted({r["id"] for r in pool_rows})],
+            "id string",
+        )
         qterms = self.spark.createDataFrame(
             [(qid, ts) for qid, ts in enumerate(term_lists)],
             "qid int, terms array<string>",
