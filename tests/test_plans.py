@@ -485,9 +485,9 @@ def test_window_gate_requires_declared_bound_for_qid(spark):
         "window-over-undeclared-bound:qid"
     ]
     # the same keys pass WITH a declared bound...
-    assert PR.window_key_violations("bm25_batch_topk", {"qid"}) == []
+    assert PR.window_key_violations("hybrid_batch_rrf_topk", {"qid"}) == []
     # ...but a declaration for one key does not bless others
-    assert PR.window_key_violations("bm25_batch_topk", {"cluster_id"}) == [
+    assert PR.window_key_violations("hybrid_batch_rrf_topk", {"cluster_id"}) == [
         "window-over-undeclared-bound:cluster_id"
     ]
     # structurally-bounded keys and the grouped_topk shard marker still

@@ -1089,7 +1089,8 @@ class VectorEngine:
         coordinator, a batch makes the fusion itself data-parallel.
         The keyword legs run as one plan (``bm25_mod.bm25_batch_search``
         — a broadcast (qid, term) table against the stored postings,
-        per-qid ranking window), the vector legs as one broadcast of
+        grouped_topk sharded top-k since r9), the vector legs as one
+        broadcast of
         ALL query vectors against the chunk embeddings, and RRF is a
         (qid, id) FULL OUTER join of two <=k-row-per-qid rank frames
         plus a fused per-qid window.  No per-request work, no
