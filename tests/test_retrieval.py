@@ -567,3 +567,29 @@ def test_ir_metric_exprs_degenerate_cases(spark):
     assert s["recall10"] == pytest.approx(1.0)
     assert s["map10"] == pytest.approx(1.0)  # both relevant, found at 1 and 2
     assert s["ndcg10"] == pytest.approx(1.0)  # ideal order for its qrels
+
+
+def test_batch_run_rank_matches_plain_window_to_20(spark, sf_dir):
+    """r9: the batch run's rank column is a grouped_topk top-20
+    left-joined onto the unranked scored frame (the full per-qid
+    ranking window it replaced was corpus-scale on this tiny-vocab
+    corpus — every batch term matches ~77% of docs).  Pin the refactor
+    row-for-row against the window form: ranks 1..20 identical
+    (including (bm25 DESC, doc_id) tie-breaks at the 20/21 boundary),
+    NULL beyond, and the unranked rel/bm25 rows unchanged."""
+    from pyspark.sql import Window
+
+    scored, run = q._bm25_batch_frames(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    expect = (
+        scored.withColumn("_wr", F.row_number().over(w))
+        .withColumn(
+            "rank", F.when(F.col("_wr") <= 20, F.col("_wr"))
+        )
+        .select("qid", "doc_id", "bm25", "rel", "rank")
+    )
+    got_rows = sorted(map(tuple, run.collect()))
+    exp_rows = sorted(map(tuple, expect.collect()))
+    assert got_rows == exp_rows
+    assert any(r[-1] is None for r in got_rows)  # unranked tail exists
+    assert sum(1 for r in got_rows if r[-1] is not None) == 6 * 20
