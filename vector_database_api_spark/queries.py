@@ -10705,7 +10705,7 @@ branked AS (
 
 
 def _bm25_batch_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, persist_scored: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """(scored, run) for the fixed 6-query batch, served from the
     postings/vocab/stats artifacts.
@@ -10775,6 +10775,15 @@ def _bm25_batch_frames(
     )
     from vector_database_api_spark.operators.skew import grouped_topk
 
+    if persist_scored:
+        # run references scored TWICE (left side + the rank side's
+        # input); a materializing caller (_cached_batch_run) persists
+        # scored so the cold build scores once, not twice (r9 review:
+        # the unpersisted self-join doubled the audited build plan) —
+        # and unpersists it after the run itself is materialized.
+        # Plan-audit callers leave this False: persist() on a
+        # never-executed audit build would only pollute the cache.
+        scored = scored.persist()
     top = grouped_topk(
         scored.select("qid", "doc_id", "bm25"), "qid", "bm25", "doc_id", 20
     ).select("qid", "doc_id", "rank")
@@ -10786,18 +10795,21 @@ def _cached_batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized batch RUN (qid, doc_id, bm25, rel, rank<=20 or
     NULL) — persisted once per sf_dir, the exact analogue of the TREC
     run file an evaluation pipeline writes once and reads per metric:
-    the batch rescore (`_bm25_batch_frames`) is the cold cost (two
-    passes over the artifact-served scoring plan — scored + its
-    grouped_topk rank side; both read the persisted postings/vocab/
-    stats frames, never parquet); retrieval cutoffs and every
+    the batch rescore (`_bm25_batch_frames` with scored persisted for
+    the build, so the scoring plan runs ONCE and the grouped_topk rank
+    side reads the cached rows) is the cold cost; retrieval cutoffs
+    and every
     evaluation metric then serve from the stored run without
     re-scoring, which is how a nightly eval over a 10k-query log
     actually runs (score once, evaluate many)."""
     key = ("bm25-batch-run", sf_dir)
     if key not in _SERVING_INDEXES:
-        _, run_df = _bm25_batch_frames(spark, sf_dir)
+        scored, run_df = _bm25_batch_frames(
+            spark, sf_dir, persist_scored=True
+        )
         run = run_df.persist()
         run.count()
+        scored.unpersist()  # the run holds its own materialized rows
         _SERVING_INDEXES[key] = run
     return _SERVING_INDEXES[key]
 
@@ -11092,9 +11104,11 @@ def hybrid_batch_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hybrid_rrf_fusion` + service `_hybrid_topk`) fuse at the
     coordinator because one request's legs are two collected k-row
     lists; a BATCH of requests makes the fusion itself data-parallel
-    (per-qid rank windows on both legs, a (qid, doc) FULL OUTER join
-    of two <=20-row-per-qid frames, a fused ranking window) — every
-    window is qid-keyed, k rows of state per query.  Rank-only RRF is
+    (both legs rank via grouped_topk sharded reduces — r9, no per-qid
+    window touches anything corpus-sized — then a (qid, doc) FULL
+    OUTER join of two <=20-row-per-qid frames and ONE fused ranking
+    window whose input is that <=40-row-per-qid join, the bound
+    declared in WINDOW_BOUNDS).  Rank-only RRF is
     integer arithmetic until the final 1/(60+r) doubles, identical on
     both engines by construction.  Query vectors are embeddings
     vec_id 1..6 standing in for the 6 keyword queries' dense twins;
