@@ -22,6 +22,7 @@ from vector_database_api_spark import queries  # noqa: F401 (registers)
 from vector_database_api_spark.functions.vector import cosine_similarity
 from vector_database_api_spark.operators import dedup as D
 from vector_database_api_spark.operators import lsh as L
+from vector_database_api_spark.operators.skew import grouped_topk
 from vector_database_api_spark.session import get_spark
 from vector_database_api_spark.sources.tables import load_table
 
@@ -1341,10 +1342,10 @@ def main() -> None:
         # docs (replication makes every term's posting list corpus-
         # sized — the viral worst case): 18-row query table broadcast,
         # per-(qid, doc) pivot to fixed position columns, fixed-order
-        # scalar scoring, per-qid ranking window.  Nothing per-query,
-        # nothing driver-sized.
-        from pyspark.sql import Window
-
+        # scalar scoring, per-qid top-k via grouped_topk (the post-r9
+        # product shape — a plain qid window here would single-task
+        # sort ~77%-of-corpus matched sets per query).  Nothing
+        # per-query, nothing driver-sized.
         from vector_database_api_spark.operators import bm25 as B
         from vector_database_api_spark.queries import (
             _BATCH_QUERIES,
@@ -1383,12 +1384,7 @@ def main() -> None:
             .crossJoin(F.broadcast(stats))
             .select("qid", "doc_id", F.expr(contribs).alias("bm25"))
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
-        out = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .collect()
-        )
+        out = grouped_topk(scored, "qid", "bm25", "doc_id", 10).collect()
         assert len(out) == 6 * 10, f"batch run rows: {len(out)}"
         return len(out)
 
@@ -1405,8 +1401,6 @@ def main() -> None:
     # memory holding it) no matter how many executors exist, while the
     # salted form splits that group over `shards` tasks — the regime it
     # exists for is the 100M-row viral domain, not this smoke.
-    from vector_database_api_spark.operators.skew import grouped_topk
-
     topk_n = 1_000_000
     hotdf = (
         spark.range(topk_n)
@@ -1574,19 +1568,18 @@ def main() -> None:
             f"({_bm25_contrib_cols_sql(f'tf_p{p}', f'df_p{p}')})"
             for p in (1, 2, 3)
         )
-        kw = (
+        # keyword leg mirrors the POST-FIX product plan too (r9): the
+        # per-qid cut is grouped_topk, never a qid window over the
+        # matched set (~77% of the corpus per query here)
+        kw = grouped_topk(
             piv.join(doclens8.select(F.col("id").alias("doc_id"), "dl"), "doc_id")
             .crossJoin(F.broadcast(stats8))
-            .select("qid", "doc_id", F.expr(contribs).alias("bm25"))
-            .withColumn(
-                "r_kw",
-                F.row_number().over(
-                    _W8.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
-                ),
-            )
-            .filter(F.col("r_kw") <= 10)
-            .select("qid", "doc_id", "r_kw")
-        )
+            .select("qid", "doc_id", F.expr(contribs).alias("bm25")),
+            "qid",
+            "bm25",
+            "doc_id",
+            10,
+        ).select("qid", "doc_id", F.col("rank").alias("r_kw"))
         req_ids = [qid for qid, _ in requests]
         # dense leg mirrors the POST-FIX product plan (r9): the per-qid
         # top-k is grouped_topk's sharded reduce, never a qid window
