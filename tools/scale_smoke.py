@@ -1391,16 +1391,16 @@ def main() -> None:
     results["bm25_batch_rescore_sec"], _ = timed(batch_rescore)
 
     # salted per-group top-k vs the plain window on an engineered hot
-    # group (20% of 1M rows in ONE group): identical rows REQUIRED; the
-    # seconds pair is recorded for honesty, not victory — on local[32]
-    # a single-task in-memory sort of even a 4M-row group beats the
-    # sharded plan's extra shuffle (measured 1.2 s vs 3.1 s), so the
-    # crossover sits beyond what this box can hold.  What the operator
-    # buys is the removal of the single-task CEILING: the window's
+    # group (20% of 1M rows in ONE group): identical rows REQUIRED,
+    # seconds recorded for both.  History of this pair: with the mono%
+    # shards salt the sharded plan LOST at this scale (1.78 vs 0.96 s —
+    # recorded as honesty, the win being the removed single-task
+    # ceiling); with the r9 hashed salt (_row_salt) the shards balance
+    # and the sharded form wins outright even here (1.16 vs 1.38 s).
+    # The structural claim is unchanged either way: the window's
     # wall-clock equals one executor sorting the hottest group (and its
     # memory holding it) no matter how many executors exist, while the
-    # salted form splits that group over `shards` tasks — the regime it
-    # exists for is the 100M-row viral domain, not this smoke.
+    # salted form splits that group over `shards` tasks.
     topk_n = 1_000_000
     hotdf = (
         spark.range(topk_n)
