@@ -111,6 +111,26 @@ def test_null_embeddings_excluded(spark):
     assert got == ["a", "c"]
 
 
+def test_null_element_embeddings_excluded(spark):
+    """r9 ADVICE parity fix: a stored embedding with a NULL ELEMENT
+    (NULL similarity) must never surface, even when the library has
+    fewer than k healthy chunks — matching the batch dense leg, which
+    drops NULL-similarity rows before grouped_topk."""
+    rows = [
+        ("a", "lib", [1.0, 0.0], {}),
+        ("b", "lib", [None, 1.0], {}),
+        ("c", "lib", [0.9, 0.1], {}),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        r["id"]
+        for r in knn_brute_force(
+            df, _query_df(spark, np.array([1.0, 0.0])), k=10
+        ).collect()
+    ]
+    assert got == ["a", "c"]
+
+
 def test_tie_break_deterministic(spark):
     """Duplicate vectors: ties broken by id ascending (reference relies on
     dict order — we make it total, SURVEY §2.7 T1)."""

@@ -496,6 +496,39 @@ def test_window_gate_requires_declared_bound_for_qid(spark):
     assert PR.window_key_violations("anything", {"fingerprint"}) == [
         "window-over-unbounded-key:fingerprint"
     ]
+    # r10: enumerable DIM keys are no longer blessed by name — per-key
+    # input is N/|dim| (linear in corpus size), so an undeclared window
+    # over them is rejected exactly like an undeclared qid window...
+    for dim_key in (
+        "source",
+        "lang",
+        "split",
+        "o_orderpriority",
+        "c_mktsegment",
+        "s_nationkey",
+        "n_name",
+    ):
+        assert dim_key not in PR.BOUNDED_WINDOW_KEYS, dim_key
+        assert PR.window_key_violations("planted_query", {dim_key}) == [
+            f"window-over-undeclared-bound:{dim_key}"
+        ], dim_key
+    # ...and pass only with a declared input bound (the two-phase
+    # prefix-scan queries declare both the dim key and `_pid`)
+    assert (
+        PR.window_key_violations("sequence_packing_bins", {"source", "_pid"})
+        == []
+    )
+    assert (
+        PR.window_key_violations(
+            "ranking_window_profile", {"c_mktsegment", "_pid"}
+        )
+        == []
+    )
+    # `_pid` itself is provenance-unprovable from the plan, so it too
+    # needs a declaration
+    assert PR.window_key_violations("planted_query", {"_pid"}) == [
+        "window-over-undeclared-bound:_pid"
+    ]
     # every declared bound refers to a real registry query / audit leg,
     # and declares only keys the gate actually defers on
     registry = set(q.spark_queries()) | set(q.demo_queries())

@@ -1389,6 +1389,16 @@ def test_batch_requests_reject_nonfinite_embeddings(engine):
             engine.search_hybrid_batch(
                 "libA", [(None, good), (None, bad)], k=5
             )
+    # r9 ADVICE: a non-NUMERIC element (None/str) must raise the same
+    # per-request ValueError naming the qid, not an opaque TypeError
+    # from the float() coercion
+    for bad_val in (None, "x"):
+        bad = [0.1] * dim
+        bad[3] = bad_val
+        with pytest.raises(ValueError, match="request 1: .*non-numeric"):
+            engine.search_hybrid_batch(
+                "libA", [(None, good), (None, bad)], k=5
+            )
     # finite requests still flow
     out = engine.search_hybrid_batch(
         "libA", [(None, good), ("python", None)], k=3

@@ -43,21 +43,29 @@ ALLOWED_PYTHON = {
 # Window.partitionBy keys with BOUNDED per-key cardinality BY
 # CONSTRUCTION: per-key row counts do not grow with corpus size because
 # the key is a unique-entity id (one user's events, one document's
-# terms, one order's lines) or an enumerable dim attribute.  A window
-# over any key NOT listed here (and not covered by a declared bound,
-# below) is a regression: window partitions run on a single task and
-# AQE never skew-splits them (round-4 verdict: the span doc-frequency
-# window serialized viral spans — rewritten to groupBy+join in round
-# 5).  ``<global>`` (no partition spec) is never allowed on the bench
-# surface.
+# terms, one order's lines).  A window over any key NOT listed here
+# (and not covered by a declared bound, below) is a regression: window
+# partitions run on a single task and AQE never skew-splits them
+# (round-4 verdict: the span doc-frequency window serialized viral
+# spans — rewritten to groupBy+join in round 5).  ``<global>`` (no
+# partition spec) is never allowed on the bench surface.
+#
+# NOT in this set (r10, closing the r9 verdict's finding): enumerable
+# DIM attributes (source/lang/split/o_orderpriority/c_mktsegment/
+# s_nationkey/n_name).  An earlier comment here claimed their per-key
+# counts "do not grow with corpus size" — FALSE: a dim key's per-key
+# input is N/|dim|, linear in corpus size, and worse than a per-query
+# key because the partitions are fewer and bigger (5 segments => 5
+# tasks each sorting 20% of the table).  They moved to
+# DECLARED_BOUND_KEYS: each use must declare what bounds the window's
+# INPUT (e.g. a two-phase prefix scan's <=P-rows-per-key block-offset
+# frame, operators/prefix.py) or shard via grouped_topk.
 BOUNDED_WINDOW_KEYS = {
     "id",                               # unique chunk id: one chunk's rows
     "user_id",                          # one user's events
     "doc_id",                           # one document's terms/chunks
     "vec_id",                           # one vector's probe rows
-    "source", "lang", "split",          # enumerable corpus facets
-    "o_orderpriority", "c_mktsegment",  # TPC-H enumerable dims
-    "s_nationkey", "n_name", "o_custkey",  # per-nation / per-customer
+    "o_custkey",                        # one customer's orders
     "l_orderkey", "o_orderkey",         # one order's lines
     "l_partkey", "ps_partkey",          # one part's suppliers (~4, SF-independent)
     "band", "probe_rank", "bucket",     # bounded index structure keys
@@ -67,16 +75,27 @@ BOUNDED_WINDOW_KEYS = {
     "_salt",
 }
 
-# Keys whose per-key input is NOT structurally bounded — a qid window
+# Keys whose per-key input is NOT structurally bounded — the window
 # partitions whatever the plan feeds it, which can be the whole scored
 # corpus.  The r8 verdict found exactly that class shipped FOUR times
 # because this gate blessed `qid` by name ("per-query top-k: k rows per
-# key" — true of the window's OUTPUT, not its input).  These keys now
-# require the audit target to declare WHAT bounds the window's input in
-# queries.WINDOW_BOUNDS; the declaration is rendered into
-# PLANS_AUDIT.md so the claim is reviewable.  An undeclared qid window
-# fails the gate (tests/test_plans.py pins this).
-DECLARED_BOUND_KEYS = {"qid", "query_id", "cluster_id"}
+# key" — true of the window's OUTPUT, not its input); the r9 verdict
+# found the same hole one tier down for enumerable dims (per-key input
+# N/|dim|).  These keys now require the audit target to declare WHAT
+# bounds the window's input in queries.WINDOW_BOUNDS; the declaration
+# is rendered into PLANS_AUDIT.md so the claim is reviewable.  An
+# undeclared window over them fails the gate (tests/test_plans.py pins
+# this).  ``_pid`` is here too: a spark_partition_id captured after an
+# explicit repartition bounds its window blocks at ~N/P rows — but the
+# plan cannot prove the column's provenance, so each use declares it
+# rather than being blessed by name.
+DECLARED_BOUND_KEYS = {
+    "qid", "query_id", "cluster_id",
+    "source", "lang", "split",          # enumerable corpus facets
+    "o_orderpriority", "c_mktsegment",  # TPC-H enumerable dims
+    "s_nationkey", "n_name",            # per-nation (25 values)
+    "_pid",                             # range-block id (operators/prefix.py)
+}
 
 
 def window_key_violations(name: str, wkeys) -> list[str]:

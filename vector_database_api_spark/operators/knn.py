@@ -99,7 +99,18 @@ def knn_brute_force(
         .otherwise(F.col("_dot") / (F.sqrt(F.col("_na2")) * F.sqrt(F.col("_qn2"))))
         .alias("similarity")
     )
-    scored = staged.select(F.col(id_col), sim, F.col("distance"))
+    # a stored embedding with a NULL ELEMENT yields NULL dot/norm and
+    # hence NULL similarity AND distance (the isNotNull filter above only
+    # screens whole-array NULLs).  Drop such rows before ranking: the
+    # desc orderBy ranks NULLs last, so they only surfaced when a
+    # library had fewer than k healthy chunks — accident, not semantics
+    # — and the batch dense leg (service._batch_dense_leg) already
+    # drops them for grouped_topk's non-NULL contract.  Filtering here
+    # keeps single-request and batch results identical in the
+    # degraded-embedding corner (r9 ADVICE).
+    scored = staged.select(F.col(id_col), sim, F.col("distance")).filter(
+        F.col("similarity").isNotNull()
+    )
 
     if after is not None:
         a_score, a_id = after

@@ -184,7 +184,7 @@ def window_partition_keys(plan: str) -> set[str]:
         # column name alone would also bless any query that happens to
         # name a column `_salt`.  Obligation documented at the gate:
         # `shards` must be sized so hottest_group/shards fits one task
-        # (grouped_topk's default 32 assumes groups up to ~32x a
+        # (grouped_topk's default shards=16 assumes groups up to ~16x a
         # task-sized row budget; hotter data needs a larger shards).
         if "_salt" in names and len(names) >= 2:
             keys.add("_salt")

@@ -1037,18 +1037,27 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window function: top-3 orders per priority class
-    (extended surface — absent in reference, SURVEY §2.11)."""
+    """Analytic top-3 orders per priority class (extended surface —
+    absent in reference, SURVEY §2.11).
+
+    r10: ranked via operators/skew.py::grouped_topk, not a
+    ``row_number()`` window over ``o_orderpriority`` — the dim key has
+    5 values, so the window form ran 5 tasks each sorting N/5 of the
+    orders table (the r9 verdict's enumerable-dim weak class; per-key
+    input is N/|dim|, LINEAR in corpus size).  grouped_topk shards each
+    priority class across 16 tasks and reduces the <=16*3 survivors
+    with a combinable aggregate — row-identical to the window (pinned
+    by tests/test_skew.py), oracle hash unchanged."""
+    from vector_database_api_spark.operators.skew import grouped_topk
+
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    )
+    return grouped_topk(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
 
 
 # ---------------------------------------------------------------------------
@@ -2049,14 +2058,24 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2-shaped correlated max: window max per partition + equality
-    keep (no comparison arithmetic, so doubles stay bit-exact)."""
+    """TPC-H Q2-shaped correlated max: per-nation max + equality keep
+    (no comparison arithmetic, so doubles stay bit-exact).
+
+    r10: the max is a combinable groupBy aggregate broadcast back onto
+    the fact side, not ``max().over(partitionBy(s_nationkey))`` — the
+    window form clustered ALL suppliers into 25 nation partitions (one
+    task each sorting N/25 rows, the enumerable-dim weak class).  The
+    groupBy form computes map-side partials and the 25-row max table
+    broadcasts; the supplier scan never shuffles.  Hash-identical: the
+    kept rows are exactly those equal to their nation's max."""
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     joined = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-    w = Window.partitionBy("s_nationkey")
+    max_bal = joined.groupBy("s_nationkey").agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
     return (
-        joined.withColumn("max_bal", F.max("s_acctbal").over(w))
+        joined.join(F.broadcast(max_bal), "s_nationkey")
         .filter(F.col("s_acctbal") == F.col("max_bal"))
         .select("n_name", "s_name", "s_acctbal")
     )
@@ -2583,20 +2602,44 @@ def ranking_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_rank / ntile / percent_rank / cume_dist / lag / lead over a
     deterministic total order.  percent_rank and cume_dist are exact
     rationals of row counts — identical in both engines without rounding;
-    rounded anyway for defense in depth."""
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.col("c_custkey")
+    rounded anyway for defense in depth.
+
+    r10: two-phase global rank (operators/prefix.py), not a window over
+    ``c_mktsegment`` — 5 segments meant 5 tasks each sorting 20% of all
+    customers (the enumerable-dim weak class).  Because the ORDER BY
+    (c_acctbal DESC, c_custkey) is a TOTAL order (custkey unique), every
+    peer group is a singleton, so dense_rank == rank == row_number,
+    percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile derives
+    from (rn, n) — all from the two-phase ``_rn``/``_n`` plus the
+    block-seam boundary exchange for lag/lead.  Same doubles: the
+    rationals are bit-identical to Spark's own percent_rank/cume_dist
+    arithmetic, pinned exactly-vs-window by tests/test_prefix.py."""
+    from vector_database_api_spark.operators.prefix import (
+        ntile_from_rank,
+        partitioned_order_stats,
     )
-    cust = load_table(spark, sf_dir, "customer")
-    return cust.select(
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    stats = partitioned_order_stats(
+        cust,
+        "c_mktsegment",
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        "c_acctbal",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return stats.select(
         "c_custkey",
         "c_mktsegment",
-        F.dense_rank().over(w).alias("drank"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.lag("c_acctbal", 1).over(w).alias("prev_bal"),
-        F.lead("c_acctbal", 1).over(w).alias("next_bal"),
+        rn.cast("int").alias("drank"),
+        ntile_from_rank(rn, n, 4).alias("quartile"),
+        F.round(
+            F.when(n == 1, F.lit(0.0)).otherwise((rn - 1) / (n - 1)), 6
+        ).alias("prank"),
+        F.round(rn / n, 6).alias("cdist"),
+        F.col("_prev").alias("prev_bal"),
+        F.col("_next").alias("next_bal"),
     )
 
 
@@ -5519,24 +5562,35 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LM training: concatenate each source's
     documents in doc_id order and cut the stream into 2048-token bins
     (a document's bin = its start offset / budget — the concat-then-
-    chunk packing GPT-style pipelines use).  One running-sum window per
-    source (a single sort within the source partition) then a per-bin
-    rollup; integer token counts keep both engines exact."""
+    chunk packing GPT-style pipelines use).  Integer token counts keep
+    both engines exact.
+
+    r10: the running sum is the two-phase distributed prefix scan
+    (operators/prefix.py), not a window over ``source`` — a source is
+    an enumerable dim, so the window form streamed each source's
+    ENTIRE corpus share through one task (at common-crawl-style skew,
+    one task scanning ~90% of a 100 TB corpus).  The two-phase form
+    range-partitions on (source, doc_id), running-sums each ~N/P block
+    locally, and broadcasts the P*|sources| block offsets back — the
+    only bare-``source`` window left scans that metadata frame.  Hash
+    identical: prefix sums are associative along the total order, so
+    block boundaries never change a document's global offset."""
+    from vector_database_api_spark.operators.prefix import (
+        partitioned_running_sum,
+    )
+
     toks = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         F.expr(text_fns.spark_token_count("text")).alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
+    packed = partitioned_running_sum(
+        toks, "source", [F.asc("doc_id")], "n_tok", out_col="_run"
+    ).withColumn(
         "bin",
-        F.floor(
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)
-        ).cast("bigint"),
+        F.floor((F.col("_run") - F.col("n_tok")) / F.lit(2048.0)).cast(
+            "bigint"
+        ),
     )
     return packed.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -9470,12 +9524,53 @@ _BLOCKED_KNN_QID_BOUND = (
     "in corpus size, and the cluster co-partitioning already bounds "
     "each task to one cell's pairs."
 )
+# Two-phase prefix-scan bounds (operators/prefix.py, r10): the local
+# window co-keys on `_pid` (each block ~N/P rows by repartitionByRange
+# sizing, P = spark.sql.shuffle.partitions — the knob that scales with
+# the data); the only bare-dim-key window runs over the per-(_pid, key)
+# block-aggregate frame — <=P rows per key of METADATA, not corpus rows.
+_PREFIX_PID_BOUND = (
+    "range-block local scan: `_pid` is spark_partition_id captured "
+    "directly above repartitionByRange(P, key, *order), so each "
+    "(_pid, key) window block is one range slot's share of one key — "
+    "~N/P rows by the partitioner's sizing, whatever the dim "
+    "cardinality (operators/prefix.py::_range_blocks)."
+)
+
+
+def _prefix_dim_bound(key: str) -> str:
+    return (
+        f"two-phase prefix scan: the bare-`{key}` window runs over the "
+        "per-(_pid, {key}) block-aggregate frame — <=P rows per key "
+        "(P = range partitions) of block totals/boundaries, not corpus "
+        "rows; the corpus-sized scan is the (_pid, {key})-blocked local "
+        "window above (operators/prefix.py)."
+    ).replace("{key}", key)
+
+
 WINDOW_BOUNDS: dict[str, dict[str, str]] = {
     "ir_eval_hybrid_metrics": {"qid": _FUSION_QID_BOUND},
     "hybrid_batch_rrf_topk": {"qid": _FUSION_QID_BOUND},
     "knn_join_blocked_topk": {"qid": _BLOCKED_KNN_QID_BOUND},
     "knn_join_multiprobe_topk": {"qid": _BLOCKED_KNN_QID_BOUND},
     "knn_join_trained_multiprobe": {"qid": _BLOCKED_KNN_QID_BOUND},
+    "sequence_packing_bins": {
+        "source": _prefix_dim_bound("source"),
+        "_pid": _PREFIX_PID_BOUND,
+    },
+    "collapsed_topk_by_source": {
+        "source": (
+            "field collapse inside the retrieved window: the window's "
+            "input is the BM25 top-50 (TakeOrderedAndProject(50) "
+            "upstream) joined to its source tags — <=50 rows TOTAL, "
+            "whatever the corpus size; a source with a million hits "
+            "still contributes only its share of the 50-row window."
+        ),
+    },
+    "ranking_window_profile": {
+        "c_mktsegment": _prefix_dim_bound("c_mktsegment"),
+        "_pid": _PREFIX_PID_BOUND,
+    },
 }
 
 # Coordinator-fusion queries execute their data-sized subplans inside

@@ -1004,10 +1004,18 @@ class VectorEngine:
         import math
 
         for qid, v in enumerate(vecs):
-            if any(not math.isfinite(float(x)) for x in v):
+            # float(x) on a None/str element raises TypeError/ValueError,
+            # not the documented per-request error — coerce under the
+            # same contract so the caller always learns WHICH request is
+            # bad (r9 ADVICE)
+            try:
+                ok = all(math.isfinite(float(x)) for x in v)
+            except (TypeError, ValueError):
+                ok = False
+            if not ok:
                 raise ValueError(
                     f"request {qid}: query embedding contains a "
-                    "non-finite value (NaN/Inf)"
+                    "non-finite or non-numeric value"
                 )
         qdf = self.spark.createDataFrame(
             [(qid, v) for qid, v in enumerate(vecs)],
@@ -1249,27 +1257,23 @@ class VectorEngine:
             .select("qid", "id", F.col("r_vec").cast("long").alias("r_vec"))
         )
 
-        # ONE bounded collect (<= 2*k_pool per request — k-clamped driver
-        # data) materializes the pool exactly once: unlike the registry
-        # twin, whose legs are PERSISTED run artifacts, kw and vr here
-        # are live plans, and referencing an unpersisted pool twice
-        # (probe semi-join + feature join) would re-run the corpus
-        # scoring per reference (r9 review).  The probe side is a
-        # broadcast semi-join on the collected ids — never an isin()
-        # literal (r8 verdict: a 400k-term IN expression at a 10k-query
-        # log); the collect is the verdict-sanctioned bounded one.
-        pool_rows = kw.join(vr, ["qid", "id"], "full_outer").collect()
-        pool = self.spark.createDataFrame(
-            [
-                (r["qid"], r["id"], r["r_kw"], r["r_vec"], r["bm25"])
-                for r in pool_rows
-            ],
-            "qid int, id string, r_kw bigint, r_vec bigint, bm25 double",
-        )
-        pool_ids = self.spark.createDataFrame(
-            [(i,) for i in sorted({r["id"] for r in pool_rows})],
-            "id string",
-        )
+        # kw and vr are LIVE plans referenced twice downstream (probe
+        # semi-join + feature join), so the pool must materialize
+        # exactly once — via persist(), never a driver round-trip (r9
+        # verdict watch item: the "bounded" collect this replaces was
+        # 2*k*Q rows THROUGH THE DRIVER — 2M rows at a 10k-query log
+        # with k=100; persist() buys the same single materialization of
+        # the corpus-scoring legs executor-side, and the count() below
+        # is the 1-scalar action that forces it before either
+        # reference).  The pool stays cached for the caller's
+        # materialization of the returned frame; Spark evicts LRU, and
+        # the <=2*k*Q cached rows are k-clamped.  The probe side is a
+        # broadcast semi-join on the pool's distinct ids — never an
+        # isin() literal (r8 verdict: a 400k-term IN expression at a
+        # 10k-query log).
+        pool = kw.join(vr, ["qid", "id"], "full_outer").persist()
+        pool.count()
+        pool_ids = pool.select("id").distinct()
         qterms = self.spark.createDataFrame(
             [(qid, ts) for qid, ts in enumerate(term_lists)],
             "qid int, terms array<string>",
