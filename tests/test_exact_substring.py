@@ -1,0 +1,100 @@
+"""Exact-substring dedup (operators/dedup.py::exact_substring_runs):
+seed-and-extend over the positional k-gram index must recover maximal
+common runs with EXACT lengths and offsets — the property the winnowing
+family deliberately trades away."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_database_api_spark.operators.dedup import (
+    exact_substring_runs,
+    kgram_positions,
+)
+
+# 28 chars including both spaces; fillers use disjoint alphabets so no
+# accidental 8-gram crosses doc boundaries after lower()
+COMMON = " ABCDEFGHIJKLMNOPQRSTUVWXYZ "
+
+
+def _runs(spark, rows, k=8, max_df=32):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    return exact_substring_runs(
+        kgram_positions(docs, k=k), k=k, max_df=max_df
+    ).collect()
+
+
+def test_single_maximal_run_exact_length_and_offsets(spark):
+    rows = [
+        (1, "s", "qqqqqqqqqqq" + COMMON + "rrrrrrrrrr"),
+        (2, "s", "mmmmmmmmm" + COMMON + "nnnnnnnnnnnn"),
+        (3, "s", "totally unrelated filler text with zero overlap here"),
+    ]
+    got = _runs(spark, rows)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id"], r["doc_id_b"]) == (1, 2)
+    assert r["run_len"] == len(COMMON) == 28
+    # kgram_positions is 0-based: the run starts where the filler ends
+    assert r["run_start"] == 11
+    assert r["run_start_b"] == 9
+    assert r["diag"] == 2
+
+
+def test_repeated_run_yields_one_row_per_diagonal(spark):
+    rows = [
+        (1, "s", "qqqqqqqqqqq" + COMMON + "rrrrrrrrrr"),
+        (2, "s", COMMON + "bbbbbbbbbbbb" + COMMON),
+    ]
+    got = sorted(_runs(spark, rows), key=lambda r: r["diag"])
+    # doc 2 contains the run twice -> two diagonals vs doc 1, each an
+    # exact maximal run
+    assert len(got) == 2
+    assert all(r["run_len"] == 28 for r in got)
+    assert {r["run_start_b"] for r in got} == {0, 28 + 12}
+
+
+def test_viral_gram_cap_suppresses_boilerplate(spark):
+    # 40 docs sharing the same 28-char run: every gram INSIDE the run
+    # occurs 40 > max_df=32 times, so the df cap drops those buckets
+    # before pairing (quadratic-output guard) and the viral run never
+    # surfaces at its real length.  Grams CROSSING the run boundary mix
+    # in per-doc suffix chars (docs 0-9 share the "v0" suffix prefix,
+    # an honest sub-cap match), so the assertion is about run LENGTH:
+    # nothing close to the viral run's 28 chars survives.
+    rows = [
+        (i, "s", f"u{i:02d}" * 4 + COMMON + f"v{i:02d}" * 4)
+        for i in range(40)
+    ]
+    capped = _runs(spark, rows)
+    assert all(r["run_len"] < len(COMMON) // 2 for r in capped), sorted(
+        {r["run_len"] for r in capped}
+    )
+    # the same corpus under a laxer cap surfaces the full run for every
+    # one of the 40*39/2 pairs — 28 chars, +1/+2 where the suffixes
+    # share their decade prefix ("v0…" vs "v0…" extends the run)
+    lax = _runs(spark, rows, max_df=100_000)
+    full = [r for r in lax if r["run_len"] >= len(COMMON)]
+    assert len(full) == 40 * 39 // 2
+    assert all(len(COMMON) <= r["run_len"] <= len(COMMON) + 2 for r in full)
+
+
+def test_scope_and_short_docs(spark):
+    rows = [
+        (1, "sA", "qqqqqqqqqqq" + COMMON),
+        (2, "sB", "mmmmmmmmm" + COMMON),  # other source: never paired
+        (3, "sA", "short"),  # < k: dropped before hashing
+    ]
+    assert _runs(spark, rows) == []
+
+
+def test_runs_below_k_never_seed(spark):
+    # common substring of k-1 chars produces no k-gram seed
+    sub = "ABCDEFG"  # 7 < k=8
+    rows = [
+        (1, "s", "qqqqqqqqqq" + sub + "rrrrrrrrrr"),
+        (2, "s", "mmmmmmmmmm" + sub + "nnnnnnnnnn"),
+    ]
+    assert _runs(spark, rows) == []

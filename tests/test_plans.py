@@ -529,6 +529,19 @@ def test_window_gate_requires_declared_bound_for_qid(spark):
     assert PR.window_key_violations("planted_query", {"_pid"}) == [
         "window-over-undeclared-bound:_pid"
     ]
+    # r10 co-key rule: partitionBy(a, b) is at least as fine as
+    # partitionBy(a), so a spec CONTAINING a structurally bounded
+    # unique-entity key is bounded by it — (doc_id, doc_id_b, diag)
+    # <= one document's rows — while the same co-keys WITHOUT the
+    # bounded entity key still fail
+    assert (
+        PR.window_key_violations("anything", {"doc_id", "doc_id_b", "diag"})
+        == []
+    )
+    assert PR.window_key_violations("anything", {"doc_id_b", "diag"}) == [
+        "window-over-unbounded-key:diag",
+        "window-over-unbounded-key:doc_id_b",
+    ]
     # every declared bound refers to a real registry query / audit leg,
     # and declares only keys the gate actually defers on
     registry = set(q.spark_queries()) | set(q.demo_queries())

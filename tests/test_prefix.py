@@ -142,8 +142,10 @@ def test_order_stats_tiny_groups(spark):
 def test_running_sum_never_windows_on_bare_key_over_data(spark):
     """Plan shape: the corpus-sized scan windows on (_pid, key); the
     only bare-`key` window input is the per-block totals frame.  The
-    audit must therefore see both keys — and the physical plan must
-    range-partition before the local window."""
+    audit must therefore see both keys — and the lineage must
+    range-partition before the local window (the range exchange sits
+    inside the persisted block frame, so it shows in the full
+    plan-with-cached-data string, not the top-level executed plan)."""
     from vector_database_api_spark.plans.audit import audit_plan
 
     df = _events(spark)
@@ -152,5 +154,55 @@ def test_running_sum_never_windows_on_bare_key_over_data(spark):
     )
     a = audit_plan(out)
     assert a["window_partition_keys"] == {"_pid", "key"}
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    qe = out._jdf.queryExecution()
+    full = qe.executedPlan().toString() + qe.optimizedPlan().toString()
+    assert "inmemory" in full.lower()  # the pinned block frame
+    from vector_database_api_spark.operators.prefix import _range_blocks
+
+    blocks = _range_blocks(df, "key", [F.asc("seq")], 8)
+    bplan = blocks._jdf.queryExecution().analyzed().toString()
+    assert "repartitionbyexpression" in bplan.lower().replace(" ", "") or (
+        "rangepartitioning" in bplan.lower()
+    )
+
+
+def test_running_sum_block_offsets_consistent_at_scale(spark):
+    """Regression pin for the r10 bring-up bug: an UNPERSISTED range
+    exchange is instantiated once per reference with freshly sampled
+    boundaries (seeded by the instantiated RDD), so the offsets branch
+    and the local-rank branch silently disagreed on block membership —
+    32/32 blocks differed at 50k rows, +4511 drift in the running sums
+    (tiny uniform data never exposed it: all samples land on identical
+    boundaries).  _range_blocks persists the stamped frame to pin one
+    boundary draw; this test replays the exposing shape: 50k rows,
+    90% of them in one hot key."""
+    n = 50_000
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+            .alias("key"),
+            F.col("id").alias("seq"),
+            ((F.col("id") % 400) + 1).alias("tokens"),
+        )
+        .repartition(16)
+    )
+    got = partitioned_running_sum(
+        df, "key", [F.asc("seq")], "tokens", out_col="run", partitions=16
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("run", F.sum("tokens").over(w))
+
+    def _chk(frame):
+        r = frame.agg(
+            F.sum(F.col("run") * (F.col("seq") % 9973)).alias("chk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (r["chk"], r["n"])
+
+    assert _chk(got) == _chk(want)

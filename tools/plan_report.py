@@ -100,14 +100,24 @@ DECLARED_BOUND_KEYS = {
 
 def window_key_violations(name: str, wkeys) -> list[str]:
     """Violation strings for ``name``'s window partition keys: empty iff
-    every key is structurally bounded (BOUNDED_WINDOW_KEYS), sharded
-    (`_salt`), or carries a declared input bound (queries.WINDOW_BOUNDS
-    entry for this audit target)."""
+    the spec is structurally bounded, sharded (`_salt`), or covered by
+    declared input bounds (queries.WINDOW_BOUNDS entries for this audit
+    target).
+
+    Co-key rule (r10): a partition spec is the INTERSECTION of its
+    keys — partitionBy(a, b) is at least as fine as partitionBy(a) —
+    so a spec CONTAINING any structurally bounded unique-entity key is
+    bounded by that key's per-entity row count, whatever the other
+    keys are (e.g. (doc_id, doc_id_b, diag) <= one document's rows).
+    This is the same argument audit.py applies to `_salt` co-keys,
+    stated once for the whole set instead of blessing every co-key
+    name individually."""
+    keyset = set(wkeys)
+    if keyset & BOUNDED_WINDOW_KEYS:
+        return []
     declared = q.WINDOW_BOUNDS.get(name, {})
     bad = []
-    for key in sorted(wkeys):
-        if key in BOUNDED_WINDOW_KEYS:
-            continue
+    for key in sorted(keyset):
         if key in DECLARED_BOUND_KEYS:
             if not declared.get(key):
                 bad.append(f"window-over-undeclared-bound:{key}")

@@ -1697,6 +1697,52 @@ def main() -> None:
 
     results["ltr_export_sec"], _ = timed(ltr_export)
 
+    # r10: the SERVED batched-export pool discipline at Q=256
+    # (service.export_ltr_features): the live dense legs rank via the
+    # _salt-sharded grouped_topk, and the pool is persist()-
+    # materialized EXECUTOR-SIDE — the r9 watch item's bounded collect
+    # pushed 2*k*Q rows through the driver (2M rows at a 10k-query
+    # log); the persisted pool is referenced twice (probe semi-join +
+    # feature join) with zero driver rows.  Row-count asserts pin the
+    # pool bound; the audit asserts the sharded top-k shape.
+    def ltr_export_q256():
+        from vector_database_api_spark.plans.audit import audit_plan
+
+        q256 = (
+            load_table(spark, SF_DIR, "embeddings")
+            .filter(F.col("vec_id") < 256)
+            .select(
+                F.col("vec_id").cast("int").alias("qid"),
+                F.col("embedding").alias("qvec"),
+            )
+        )
+        sub = embs.filter(F.col("vec_id") < 100_000)
+        scored = sub.crossJoin(F.broadcast(q256)).select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "qvec").alias("sim"),
+        )
+        vr = grouped_topk(scored, "qid", "sim", "doc_id", 20)
+        a9 = audit_plan(vr)
+        assert a9["window_partition_keys"] == {"_salt"}, a9[
+            "window_partition_keys"
+        ]
+        pool = vr.select(
+            "qid", "doc_id", F.col("rank").alias("r_vec")
+        ).persist()
+        n_pool = pool.count()  # the ONE materialization, executor-side
+        assert n_pool == 256 * 20, n_pool
+        pool_ids = pool.select("doc_id").distinct()
+        feats = docs.join(F.broadcast(pool_ids), "doc_id", "left_semi").select(
+            "doc_id", F.length("text").alias("n_chars")
+        )
+        out = pool.join(F.broadcast(feats), "doc_id").count()
+        assert out == n_pool, (out, n_pool)  # every pool id has features
+        pool.unpersist()
+        return out
+
+    results["ltr_export_q256_sec"], _ = timed(ltr_export_q256)
+
     # score-once / evaluate-many: metrics re-read the persisted run,
     # never the corpus — each evaluation pass must be a small constant,
     # not another rescore
@@ -1854,6 +1900,209 @@ def main() -> None:
     ]
     results["prefix_qid_window_tasks_nonempty_q6"] = len(window_counts)
     assert len(window_counts) <= 6, window_counts
+
+    # ------------------------------------------------------------------
+    # r10: two-phase prefix scan vs the plain enumerable-dim window at
+    # 1M rows with common-crawl-style source skew (90% of rows in ONE
+    # source).  The r9 verdict's weak class: a window partitioned by
+    # `source` streams each source's ENTIRE corpus share through one
+    # task — here one task scanning 900k rows while 31 cores idle; the
+    # two-phase form (operators/prefix.py) splits that stream across
+    # every range block.  Three measurements, same discipline as the
+    # grouped_topk pair above: (a) value-identical rows REQUIRED
+    # (checksum + deterministic sample), (b) seconds for both forms,
+    # (c) the LAYOUT — max task share of the corpus-sized scan stage,
+    # the number that actually predicts the 100 TB ceiling.
+    # ------------------------------------------------------------------
+    from vector_database_api_spark.operators.prefix import (
+        _range_blocks,
+        partitioned_running_sum,
+    )
+
+    par10 = spark.sparkContext.defaultParallelism
+    prefix_n = 1_000_000
+    skewdf = (
+        spark.range(prefix_n)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("common_crawl"))
+            .otherwise(F.concat(F.lit("src"), (F.col("id") % 7).cast("string")))
+            .alias("source"),
+            F.col("id").alias("seq"),
+            ((F.col("id") % 400) + 1).alias("tokens"),
+        )
+        .repartition(par10)
+        .persist()
+    )
+    skewdf.count()
+
+    def prefix_two_phase():
+        out = partitioned_running_sum(
+            skewdf, "source", [F.asc("seq")], "tokens", out_col="run"
+        )
+        # checksum couples every running-sum value to its row: any
+        # mis-assigned block offset shifts it
+        row = out.agg(
+            F.sum(F.col("run") * (F.col("seq") % 9973)).alias("chk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["chk"], row["n"])
+
+    def prefix_plain_window():
+        from pyspark.sql import Window as _W
+
+        w = (
+            _W.partitionBy("source")
+            .orderBy("seq")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        out = skewdf.withColumn("run", F.sum("tokens").over(w))
+        row = out.agg(
+            F.sum(F.col("run") * (F.col("seq") % 9973)).alias("chk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["chk"], row["n"])
+
+    results["prefix_two_phase_sec"], chk_tp = timed(prefix_two_phase)
+    results["prefix_plain_window_sec"], chk_pw = timed(prefix_plain_window)
+    assert chk_tp == chk_pw, (chk_tp, chk_pw)
+    # deterministic row-level sample equality (~100 rows)
+    sample_tp = sorted(
+        map(
+            tuple,
+            partitioned_running_sum(
+                skewdf, "source", [F.asc("seq")], "tokens", out_col="run"
+            )
+            .filter(F.col("seq") % 9973 == 0)
+            .collect(),
+        )
+    )
+    from pyspark.sql import Window as _W10
+
+    _w10 = (
+        _W10.partitionBy("source")
+        .orderBy("seq")
+        .rowsBetween(_W10.unboundedPreceding, _W10.currentRow)
+    )
+    sample_pw = sorted(
+        map(
+            tuple,
+            skewdf.withColumn("run", F.sum("tokens").over(_w10))
+            .filter(F.col("seq") % 9973 == 0)
+            .collect(),
+        )
+    )
+    assert sample_tp == sample_pw, "two-phase prefix diverged from window"
+    # (c) the layout: per-task share of the corpus-sized scan stage.
+    # Plain window: everything for a source meets in ONE hash partition
+    # — the hot source's task holds ~90%.  Two-phase: the local scan
+    # runs per (range-block, source); blocks are sized ~n/P by the
+    # range partitioner regardless of skew.
+    def _max_share(df_blocks, keys):
+        counts = [
+            r["n"]
+            for r in df_blocks.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return max(counts) / sum(counts)
+
+    hash_share = _max_share(skewdf.select("source"), ["source"])
+    block_share = _max_share(
+        _range_blocks(skewdf, "source", [F.asc("seq")], par10).select(
+            "_pid", "source"
+        ),
+        ["_pid", "source"],
+    )
+    results["prefix_window_max_task_share"] = round(hash_share, 4)
+    results["prefix_two_phase_max_task_share"] = round(block_share, 4)
+    assert hash_share >= 0.85  # the engineered skew is real
+    # every local-scan block must stay near the range partitioner's
+    # uniform share: no block above 3x the ideal n/P
+    assert block_share <= 3.0 / par10, (block_share, par10)
+    skewdf.unpersist()
+
+    # ------------------------------------------------------------------
+    # r10: hot-ENTITY layout measurement (the r9 verdict's remaining
+    # by-name keys: user_id/o_custkey/doc_id are blessed as
+    # unique-entity keys, but per-key rows grow with entity ACTIVITY —
+    # a bot user, a mega-customer).  Engineered: one bot user holding
+    # 10% of 1M events.  The user_id-windowed queries
+    # (gap_sessionization, forward_fill_locf, trailing_range_window,
+    # user_value_moving_avg, the asof pair) all cluster one user onto
+    # one task, so the measured numbers are (a) the max task share of
+    # the window exchange — which IS the bot's share, the
+    # scale-invariant ceiling signal — and (b) wall-clock of a
+    # representative sessionization-shaped window (lag + running sum
+    # per user) on the skewed layout vs a uniform layout of identical
+    # size.  Bound: the skewed run must stay within 3x uniform at this
+    # scale (a 100k-row single-task sort is minutes-not-hours material;
+    # the assertion converts "we assume entity keys are fine" into a
+    # measured budget — if a future corpus pushes one entity past ~10%,
+    # this leg is the tripwire and the bounded-range rewrite the fix).
+    # ------------------------------------------------------------------
+    ev_n = 1_000_000
+    n_users = 50_000
+
+    def _events_frame(bot: bool):
+        uid = (
+            F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(
+                (F.col("id") % n_users).cast("long")
+            )
+            if bot
+            else (F.col("id") % n_users).cast("long")
+        )
+        return (
+            spark.range(ev_n)
+            .select(
+                uid.alias("user_id"),
+                F.col("id").alias("seq"),
+                ((F.col("id") % 3600) * 7).alias("ts_s"),
+            )
+            .repartition(par10)
+            .persist()
+        )
+
+    hot_ev = _events_frame(bot=True)
+    uni_ev = _events_frame(bot=False)
+    hot_ev.count(), uni_ev.count()
+
+    def _session_scan(df):
+        from pyspark.sql import Window as _WS
+
+        w = _WS.partitionBy("user_id").orderBy("seq")
+        gap = F.col("ts_s") - F.lag("ts_s", 1).over(w)
+        out = df.withColumn(
+            "session_id",
+            F.sum(
+                F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+            ).over(
+                _WS.partitionBy("user_id")
+                .orderBy("seq")
+                .rowsBetween(_WS.unboundedPreceding, _WS.currentRow)
+            ),
+        )
+        return out.agg(
+            F.sum(F.col("session_id") * (F.col("seq") % 9973))
+        ).collect()[0][0]
+
+    results["hot_user_window_sec"], _ = timed(lambda: _session_scan(hot_ev))
+    results["uniform_user_window_sec"], _ = timed(
+        lambda: _session_scan(uni_ev)
+    )
+    bot_share = _max_share(hot_ev.select("user_id"), ["user_id"])
+    results["hot_user_max_task_share"] = round(bot_share, 4)
+    assert 0.08 <= bot_share <= 0.15, bot_share  # the bot is real: ~10%
+    assert (
+        results["hot_user_window_sec"]
+        <= 3.0 * max(results["uniform_user_window_sec"], 0.5)
+    ), (
+        "hot-entity window blew the task-time budget — rewire the "
+        "user_id windows to bounded-range forms",
+        results["hot_user_window_sec"],
+        results["uniform_user_window_sec"],
+    )
+    hot_ev.unpersist()
+    uni_ev.unpersist()
 
     print(
         json.dumps(

@@ -53,12 +53,27 @@ def _range_blocks(
     stage that reads the range exchange (it must materialize before
     any later shuffle keys on it), so every row's slot reflects the
     global order even though downstream windows re-shuffle by
-    ``(_pid, part_col)``."""
+    ``(_pid, part_col)``.
+
+    The stamped frame is PERSISTED, and that is load-bearing for
+    correctness, not a performance tweak: both callers reference it
+    twice (the row-level local scan AND the block-totals branch), and
+    an unpersisted range exchange is instantiated once PER REFERENCE
+    with freshly sampled boundaries (the RangePartitioner sample seed
+    derives from the instantiated RDD, and exchange reuse does not
+    dedupe the two subtrees) — measured during r10 bring-up: 32/32
+    blocks differed between the two references in one plan, silently
+    mis-joining offsets onto ranks.  The persisted frame pins ONE
+    boundary draw; both branches read the same materialized blocks.
+    The cache entry is the narrow projected input (callers project
+    first) and is deduped across repeat builds of the same plan by the
+    cache manager; eviction is LRU like every staged artifact in this
+    engine."""
     p = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     rep = df.repartitionByRange(p, F.col(part_col), *order_exprs)
-    return rep.withColumn("_pid", F.spark_partition_id())
+    return rep.withColumn("_pid", F.spark_partition_id()).persist()
 
 
 def partitioned_running_sum(

@@ -7786,6 +7786,159 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XSUB_K = 20       # seed gram length = minimum detectable run, chars
+_XSUB_MIN_RUN = 25  # report pairs sharing a maximal run of >= this
+_XSUB_DF = 32      # viral-gram cap, same rationale as winnow_hot_cap
+_XSUB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE length(text) >= {_XSUB_K}
+),
+h AS (
+  SELECT doc_id, source,
+         {text_fns.duck_kgram_hashes('text', _XSUB_K)} AS hs
+  FROM d
+),
+g AS (
+  SELECT doc_id, source, unnest(hs) AS h,
+         generate_subscripts(hs, 1) AS pos
+  FROM h
+),
+freq AS (
+  SELECT source, h FROM g GROUP BY source, h
+  HAVING count(*) BETWEEN 2 AND {_XSUB_DF}
+),
+kept AS (
+  SELECT g.* FROM g
+  WHERE EXISTS (SELECT 1 FROM freq
+                WHERE freq.source = g.source AND freq.h = g.h)
+),
+seeds AS (
+  SELECT a.source, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+         a.pos - b.pos AS diag, a.pos AS pos_a
+  FROM kept a
+  JOIN kept b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT source, doc_id, doc_id_b, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_id, doc_id_b, diag
+                                    ORDER BY pos_a) AS island
+  FROM seeds
+),
+runs AS (
+  SELECT source, doc_id, doc_id_b,
+         count(*) + {_XSUB_K} - 1 AS run_len
+  FROM isl GROUP BY source, doc_id, doc_id_b, diag, island
+),
+pairs AS (
+  SELECT source, doc_id, doc_id_b, max(run_len) AS max_run,
+         sum(CASE WHEN run_len >= {_XSUB_MIN_RUN} THEN 1 ELSE 0 END)
+           AS n_long_runs,
+         sum(CASE WHEN run_len >= {_XSUB_MIN_RUN} THEN run_len ELSE 0 END)
+           AS dup_chars
+  FROM runs GROUP BY source, doc_id, doc_id_b
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS dup_pairs,
+       CAST(max(max_run) AS BIGINT) AS max_run,
+       CAST(sum(n_long_runs) AS BIGINT) AS long_runs,
+       CAST(sum(dup_chars) AS BIGINT) AS dup_chars
+FROM pairs WHERE max_run >= {_XSUB_MIN_RUN}
+GROUP BY source ORDER BY source
+"""
+
+
+def _cached_xsub_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional k-gram occurrence ARTIFACT (doc_id, source, pos, h),
+    persisted once per sf_dir — the index side of exact-substring dedup
+    is write-once serve-many exactly like the winnowing fingerprint
+    store (same build cost profile: one md5-per-position HOF pass over
+    the corpus; ~15 s at sf0.1), so repeat pair queries must not
+    re-hash the corpus.  Both occurrence filters are baked in at build
+    (dedup.prune_for_pairing): the [>=2] singleton prune is LOSSLESS
+    for pairing and shrinks the stored index ~10x (most positions of
+    real text are unique), the df cap is the viral-boilerplate policy
+    — the winnow artifact applies its cap at build for the same
+    reason."""
+    key = ("xsub-grams", sf_dir)
+    if key not in _SERVING_INDEXES:
+        from vector_database_api_spark.operators.dedup import (
+            kgram_positions,
+            prune_for_pairing,
+        )
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            # one local parquet file = one input split: spread the
+            # md5-per-position stage across all cores (same rationale
+            # as the winnow artifact build)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        g = prune_for_pairing(
+            kgram_positions(docs, k=_XSUB_K), _XSUB_DF
+        ).persist()
+        g.count()
+        _SERVING_INDEXES[key] = g
+    return _SERVING_INDEXES[key]
+
+
+@register("exact_substring_dedup_stats", _XSUB_ORACLE)
+def exact_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring dedup (Lee et al. 2022, the suffix-array family
+    — the one public dedup family the other five here approximate):
+    per source, the document pairs sharing a maximal exact character
+    run of >= {min_run} chars, with the exact maximal run length and
+    duplicated-char mass.  Where the paper builds a corpus-wide suffix
+    array on one machine, this is the Spark-native seed-and-extend:
+    positional k-gram inverted index (every position's 20-gram hash —
+    O(total chars) rows, the same asymptotics as suffix-array
+    construction but distributed), viral-gram df cap (quadratic-OUTPUT
+    guard, as winnow_hot_cap), equi-join on (source, hash) so pairs
+    with no common 20-gram never materialize, then diagonal island
+    chaining: a common run of length R yields R-19 consecutive seeds
+    on one (pos_a - pos_b) diagonal, so pos - row_number() recovers
+    each maximal run EXACTLY (operators/dedup.py::exact_substring_runs;
+    contrast winnowing, which samples ~2/(w+1) of these seeds and
+    bounds, not measures, the run).  All-integer output, bit-exact in
+    both engines.  Plan at 100 TB: seed join shuffles on
+    high-cardinality (source, h); the island window partitions by
+    (doc_id, doc_id_b, diag) — bounded by ONE document's positions
+    however big the corpus (the co-key rule in tools/plan_report.py).
+    The reference has no dedup surface at all (SURVEY §2 ends at
+    vector search)."""
+    from vector_database_api_spark.operators.dedup import (
+        exact_substring_runs,
+    )
+
+    runs = exact_substring_runs(
+        _cached_xsub_grams(spark, sf_dir), k=_XSUB_K, max_df=None
+    )
+    long_run = F.col("run_len") >= _XSUB_MIN_RUN
+    pairs = runs.groupBy("source", "doc_id", "doc_id_b").agg(
+        F.max("run_len").alias("max_run"),
+        F.sum(F.when(long_run, 1).otherwise(0)).alias("n_long_runs"),
+        F.sum(F.when(long_run, F.col("run_len")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    return (
+        pairs.filter(F.col("max_run") >= _XSUB_MIN_RUN)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+            F.max("max_run").cast("long").alias("max_run"),
+            F.sum("n_long_runs").cast("long").alias("long_runs"),
+            F.sum("dup_chars").cast("long").alias("dup_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+exact_substring_dedup_stats.__doc__ = exact_substring_dedup_stats.__doc__.replace(
+    "{min_run}", str(_XSUB_MIN_RUN)
+)
+
+
 _DSIR_BUCKETS = 1024
 _DSIR_ORACLE = f"""
 WITH toks AS (
