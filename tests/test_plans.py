@@ -406,7 +406,10 @@ def test_fusion_leg_plans_are_topk_and_python_free(spark, sf_dir):
             assert a["row_python_udfs"] == 0, (name, leg)
             assert wkeys in (set(), {"qid"}, {"_salt"}), (name, leg)
             assert (
-                PR.window_key_violations(f"{name}:{leg}", wkeys) == []
+                PR.window_key_violations(
+                    f"{name}:{leg}", a["window_partition_specs"]
+                )
+                == []
             ), (name, leg, wkeys)
 
 
@@ -541,6 +544,43 @@ def test_window_gate_requires_declared_bound_for_qid(spark):
     assert PR.window_key_violations("anything", {"doc_id_b", "diag"}) == [
         "window-over-unbounded-key:diag",
         "window-over-unbounded-key:doc_id_b",
+    ]
+    # ...and the rule is applied PER WINDOW SPEC, never to the union of
+    # a plan's window keys: a bounded key in one window must not mask
+    # an unbounded key in a different window of the same plan
+    assert PR.window_key_violations(
+        "anything", [("user_id",), ("fingerprint",)]
+    ) == ["window-over-unbounded-key:fingerprint"]
+
+
+def test_window_gate_evaluates_each_window_of_a_plan(spark):
+    """Live-plan pin for the per-spec gate: a plan containing BOTH a
+    user_id window and a content-key window must fail on the content
+    key even though the flat key union contains the blessed user_id
+    (the union would pass under the co-key rule — the masking hole
+    found while introducing it in r10)."""
+    import tools.plan_report as PR
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") % 7).alias("fingerprint"),
+        F.col("id").alias("v"),
+    )
+    planted = df.withColumn(
+        "r1",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("v")),
+    ).withColumn(
+        "r2",
+        F.row_number().over(Window.partitionBy("fingerprint").orderBy("v")),
+    )
+    a = audit_plan(planted)
+    assert ("fingerprint",) in a["window_partition_specs"]
+    assert ("user_id",) in a["window_partition_specs"]
+    assert a["window_partition_keys"] == {"user_id", "fingerprint"}
+    assert PR.window_key_violations("planted", a["window_partition_specs"]) == [
+        "window-over-unbounded-key:fingerprint"
     ]
     # every declared bound refers to a real registry query / audit leg,
     # and declares only keys the gate actually defers on

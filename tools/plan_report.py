@@ -98,32 +98,47 @@ DECLARED_BOUND_KEYS = {
 }
 
 
-def window_key_violations(name: str, wkeys) -> list[str]:
-    """Violation strings for ``name``'s window partition keys: empty iff
-    the spec is structurally bounded, sharded (`_salt`), or covered by
-    declared input bounds (queries.WINDOW_BOUNDS entries for this audit
-    target).
+def window_key_violations(name: str, specs) -> list[str]:
+    """Violation strings for ``name``'s window partition specs: empty
+    iff EVERY per-window spec is structurally bounded, sharded
+    (`_salt`), or covered by declared input bounds (queries.
+    WINDOW_BOUNDS entries for this audit target).
+
+    ``specs`` is audit_plan's ``window_partition_specs`` — one key
+    group per Window node.  (A flat collection of strings is accepted
+    as a single spec, for single-window callers.)  The gate is
+    per-spec, never on the union of a plan's window keys: a bounded
+    key in one window must not mask an unbounded key in a DIFFERENT
+    window of the same plan.
 
     Co-key rule (r10): a partition spec is the INTERSECTION of its
     keys — partitionBy(a, b) is at least as fine as partitionBy(a) —
     so a spec CONTAINING any structurally bounded unique-entity key is
-    bounded by that key's per-entity row count, whatever the other
-    keys are (e.g. (doc_id, doc_id_b, diag) <= one document's rows).
-    This is the same argument audit.py applies to `_salt` co-keys,
-    stated once for the whole set instead of blessing every co-key
-    name individually."""
-    keyset = set(wkeys)
-    if keyset & BOUNDED_WINDOW_KEYS:
-        return []
+    at most that key's per-entity row count, whatever the other keys
+    are (e.g. (doc_id, doc_id_b, diag) <= one document's rows).  This
+    is the same argument audit.py applies to `_salt` co-keys, stated
+    once for the whole set instead of blessing every co-key name
+    individually.  Caveat it shares with all by-name blessing: the
+    per-entity bound is a claim about the FRAME (a doc's rows), which
+    the plan string cannot verify — a frame that fans an entity key
+    out (a pair join) weakens the bound to the fan size; declared
+    bounds (WINDOW_BOUNDS) remain the strong, reviewable form."""
+    specs = list(specs)
+    if specs and all(isinstance(s, str) for s in specs):
+        specs = [tuple(specs)]
     declared = q.WINDOW_BOUNDS.get(name, {})
-    bad = []
-    for key in sorted(keyset):
-        if key in DECLARED_BOUND_KEYS:
-            if not declared.get(key):
-                bad.append(f"window-over-undeclared-bound:{key}")
+    bad: list[str] = []
+    for spec in specs:
+        keyset = set(spec)
+        if keyset & BOUNDED_WINDOW_KEYS:
             continue
-        bad.append(f"window-over-unbounded-key:{key}")
-    return bad
+        for key in sorted(keyset):
+            if key in DECLARED_BOUND_KEYS:
+                if not declared.get(key):
+                    bad.append(f"window-over-undeclared-bound:{key}")
+                continue
+            bad.append(f"window-over-unbounded-key:{key}")
+    return list(dict.fromkeys(bad))
 
 
 def main() -> None:
@@ -155,8 +170,10 @@ def main() -> None:
         unexpected = [n for n in py if not any(al in n for al in ALLOWED_PYTHON)]
         if unexpected:
             violations.append((name, unexpected))
-        wkeys = sorted(a["window_partition_keys"])
-        bad_wkeys = window_key_violations(name, wkeys)
+        wkeys = sorted(a["window_partition_keys"])  # display (union)
+        bad_wkeys = window_key_violations(
+            name, a["window_partition_specs"]  # gate (per window)
+        )
         if bad_wkeys:
             violations.append((name, bad_wkeys))
         # Arrow grouped-map seams, rendered alongside the EvalPython names

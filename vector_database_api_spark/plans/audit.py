@@ -108,6 +108,7 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
             )
         ),
         "window_partition_keys": window_partition_keys(plan),
+        "window_partition_specs": window_partition_specs(plan),
         # Arrow grouped-map seams (applyInPandas / cogroup / mapInPandas /
         # applyInPandasWithState): batch-level Python, allowed by design
         # (one NumPy/BLAS call per group or batch) but must stay VISIBLE
@@ -126,20 +127,34 @@ def audit_plan(df: DataFrame) -> dict[str, bool | int]:
 
 
 def window_partition_keys(plan: str) -> set[str]:
-    """Base column names every Window node in ``plan`` partitions by.
+    """Union of :func:`window_partition_specs` — kept for display (the
+    PLANS_AUDIT windowkeys column) and for single-window callers.  The
+    GATE must use the per-window specs, not this union: the r10 co-key
+    rule (a spec containing a bounded entity key is bounded) is only
+    sound PER SPEC — on the union, a bounded key from one window would
+    mask an unbounded key from a DIFFERENT window in the same plan
+    (pinned by tests/test_plans.py)."""
+    keys: set[str] = set()
+    for spec in window_partition_specs(plan):
+        keys.update(spec)
+    return keys
+
+
+def window_partition_specs(plan: str) -> list[tuple[str, ...]]:
+    """Per-Window-node partition key names: one sorted tuple per Window
+    node in ``plan``.
 
     Why this is audited: a window partition is processed by a SINGLE
     task and AQE never skew-splits windows (it splits skewed joins and
     aggregations only), so ``Window.partitionBy`` over an
     unbounded-cardinality content key (a text fingerprint, a span, a
     chunk body) serializes the hottest key's whole row set onto one
-    executor at scale.  Bounded keys (a query id, a user id, a dim
-    attribute) are fine — per-key row counts don't grow with corpus
-    size.  tools/plan_report.py keeps the allowlist of bounded keys;
-    anything else appearing here is a regression (round-4 verdict: the
-    span doc-frequency window).  An empty partition spec (a GLOBAL
-    window — one task for the whole input) is reported as ``<global>``."""
-    keys: set[str] = set()
+    executor at scale.  tools/plan_report.py keeps the allowlist of
+    bounded keys and the per-spec gate; anything else appearing here is
+    a regression (round-4 verdict: the span doc-frequency window).  An
+    empty partition spec (a GLOBAL window — one task for the whole
+    input) is reported as ``("<global>",)``."""
+    specs: list[tuple[str, ...]] = []
     for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan):
         # Arguments prints [exprs] then only the NON-EMPTY specs:
         # [exprs], [part], [order] / [exprs], [part] (no order) /
@@ -165,7 +180,7 @@ def window_partition_keys(plan: str) -> set[str]:
             if not is_order:
                 part = groups[1]
         if part is None:
-            keys.add("<global>")
+            specs.append(("<global>",))
             continue
         names = [
             tok.strip().split("#")[0]
@@ -187,14 +202,13 @@ def window_partition_keys(plan: str) -> set[str]:
         # (grouped_topk's default shards=16 assumes groups up to ~16x a
         # task-sized row budget; hotter data needs a larger shards).
         if "_salt" in names and len(names) >= 2:
-            keys.add("_salt")
+            specs.append(("_salt",))
             continue
         if names == ["_salt"]:
-            keys.add("<bare-salt>")
+            specs.append(("<bare-salt>",))
             continue
-        for name in names:
-            keys.add(name)
-    return keys
+        specs.append(tuple(sorted(set(names))))
+    return specs
 
 
 def _bracket_groups(line: str) -> list[str]:
