@@ -404,3 +404,33 @@ def test_compactor_on_missing_store_releases_lock(spark, tmp_path):
     # and a writer can proceed afterwards
     with M.writer_guard(store):
         pass
+
+
+def test_xsub_compaction_preserves_rows(spark, sf_dir, tmp_path):
+    """r10 exact-substring gram store joins the compaction contract:
+    the fold is row-preserving (both occurrence filters are merge-on-
+    read), so the raw occurrence multiset AND the filtered served view
+    are unchanged; a second compaction is a no-op."""
+    batches = _doc_batches(spark, sf_dir, bounds=(0, 20, 40))
+    store = str(tmp_path / "xsub")
+    proc = M.xsub_gram_batch_processor(store)
+    for i, b in enumerate(batches):
+        proc(b.select("doc_id", "source", "text"), i)
+
+    def served():
+        return sorted(
+            map(tuple, M.xsub_grams_serving(spark, store).collect())
+        )
+
+    def raw_multiset():
+        return sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        )
+
+    before, raw_before = served(), raw_multiset()
+    res = M.compact_xsub_store(spark, store)
+    assert res["compacted"] and res["folded_partitions"] == 2
+    assert served() == before
+    assert raw_multiset() == raw_before
+    assert _partition_ids(spark, store) == [M.COMPACTED_BATCH_ID, 2]
+    assert M.compact_xsub_store(spark, store)["compacted"] is False

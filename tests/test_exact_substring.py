@@ -98,3 +98,79 @@ def test_runs_below_k_never_seed(spark):
         (2, "s", "mmmmmmmmmm" + sub + "nnnnnnnnnn"),
     ]
     assert _runs(spark, rows) == []
+
+
+def test_streaming_xsub_matches_batch_and_replay(spark, tmp_path, sf_dir):
+    """Streamed gram store == batch artifact over the same docs (after
+    the merge-on-read occurrence filters), replay of a committed batch
+    is a no-op — AND the cross-batch pair property that makes
+    merge-on-read a correctness requirement here: a run shared by two
+    docs that arrive in DIFFERENT batches must still pair (a per-batch
+    [>=2] prune would have dropped both sides as singletons)."""
+    from pyspark.sql import functions as F
+
+    import vector_database_api_spark.streaming.maintenance as M
+    from vector_database_api_spark.operators import dedup as dedup_mod
+    from vector_database_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 20), (20, 35), (35, 10**9)]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "xsub_store")
+    M.incremental_xsub_maintenance(
+        spark,
+        M.read_event_stream(spark, src, schema),
+        store,
+        str(tmp_path / "ckpt_xsub"),
+    ).awaitTermination(300)
+
+    def rows_of(df):
+        return {
+            (r["doc_id"], r["source"], r["pos"], r["h"]) for r in df.collect()
+        }
+
+    served = rows_of(M.xsub_grams_serving(spark, store))
+    want = rows_of(
+        dedup_mod.prune_for_pairing(dedup_mod.kgram_positions(docs), 32)
+    )
+    assert served == want and served
+
+    # cross-batch pair: with the corpus-wide filters applied merge-on-
+    # read, the exact-substring runs derived from the STREAMED store
+    # equal those from the batch store — including pairs whose two docs
+    # arrived in different micro-batches (doc_id boundaries 20/35 split
+    # the corpus arbitrarily, so the sf testdata's near-dup pairs cross
+    # them)
+    got_runs = sorted(
+        map(
+            tuple,
+            dedup_mod.exact_substring_runs(
+                M.xsub_grams_serving(spark, store), k=20, max_df=None
+            ).collect(),
+        )
+    )
+    want_runs = sorted(
+        map(
+            tuple,
+            dedup_mod.exact_substring_runs(
+                dedup_mod.prune_for_pairing(
+                    dedup_mod.kgram_positions(docs), 32
+                ),
+                k=20,
+                max_df=None,
+            ).collect(),
+        )
+    )
+    assert got_runs == want_runs and got_runs
+
+    # crash-replay: reprocess batch 0's content under the same id
+    proc = M.xsub_gram_batch_processor(store)
+    proc(docs.filter(F.col("doc_id") < 20), 0)
+    assert rows_of(M.xsub_grams_serving(spark, store)) == want

@@ -1026,6 +1026,82 @@ def winnow_fingerprints_serving(
     return dedup_mod.winnow_hot_cap(ex, max_df=max_df)
 
 
+def xsub_gram_batch_processor(store_dir: str, k: int = 20):
+    """foreachBatch body of :func:`incremental_xsub_maintenance`,
+    exposed at module level so tests drive crash/replay directly.
+
+    Maintains the exact-substring positional gram artifact (the
+    (doc_id, source, pos, h) occurrence store
+    `queries._cached_xsub_grams` builds in batch): each micro-batch
+    hashes ONLY its own documents (`operators.dedup.kgram_positions` —
+    a per-doc pure function, so streamed rows are identical to the
+    batch build's) and writes them as its own ``_batch_id`` partition
+    with dynamic partition overwrite — replay rewrites identical
+    content, fully idempotent (the established upkeep pattern).
+
+    NEITHER occurrence filter is applied per batch — and here that is
+    not just the winnow hot-cap argument but a CORRECTNESS one in both
+    directions: the [>=2] singleton prune counts corpus-wide
+    occurrences, and a run shared by two documents arriving in
+    DIFFERENT batches has one occurrence in each (a per-batch prune
+    would silently drop the pair); symmetrically a gram that goes
+    viral only across batches must still be capped.  Both filters are
+    re-evaluated MERGE-ON-READ by :func:`xsub_grams_serving` over the
+    full store."""
+    from vector_database_api_spark.operators import dedup as dedup_mod
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        g = dedup_mod.kgram_positions(batch, k=k)
+        with writer_guard(store_dir):
+            (
+                g.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_dir)
+            )
+
+    return process_batch
+
+
+def incremental_xsub_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 20,
+) -> StreamingQuery:
+    """Streaming maintenance of the exact-substring gram artifact — the
+    r10 dedup family joins the same incremental discipline as every
+    other served artifact (BM25 stats, LSH/IVF/PQ/SQ8, sketches,
+    winnow): as documents arrive the positional index stays fresh
+    without re-hashing the corpus.  Semantics, replay safety, and the
+    merge-on-read occurrence filters on
+    :func:`xsub_gram_batch_processor`."""
+    process_batch = xsub_gram_batch_processor(store_dir, k=k)
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def xsub_grams_serving(
+    spark: SparkSession, store_dir: str, max_df: int = 32
+) -> DataFrame:
+    """Served view of the streamed gram store: merge the per-batch
+    partitions and apply BOTH occurrence filters over the FULL corpus
+    seen so far (merge-on-read — rationale on
+    :func:`xsub_gram_batch_processor`).  Row-identical to the batch
+    artifact built over the same documents; feed straight into
+    `operators.dedup.exact_substring_runs(…, max_df=None)`."""
+    from vector_database_api_spark.operators import dedup as dedup_mod
+
+    g = spark.read.parquet(store_dir).select("doc_id", "source", "pos", "h")
+    return dedup_mod.prune_for_pairing(g, max_df=max_df)
+
+
 def incremental_bm25_index_maintenance(
     chunk_stream: DataFrame,
     index_dir: str,
@@ -1595,6 +1671,15 @@ def compact_winnow_store(spark: SparkSession, store_dir: str) -> dict:
     occurrence rows (the df>32 hot cap is merge-on-read, never baked
     in), so the fold is row-preserving — compaction only collapses the
     per-batch partition fan-out."""
+    return compact_batch_store(spark, store_dir, None)
+
+
+def compact_xsub_store(spark: SparkSession, store_dir: str) -> dict:
+    """Compact the exact-substring gram store.  Like the winnow store
+    it is append-only occurrence rows (BOTH occurrence filters — the
+    [>=2] singleton prune and the viral df cap — are merge-on-read,
+    never baked in), so the fold is row-preserving: compaction only
+    collapses the per-batch partition fan-out."""
     return compact_batch_store(spark, store_dir, None)
 
 
