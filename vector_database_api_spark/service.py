@@ -1271,7 +1271,17 @@ class VectorEngine:
         # broadcast semi-join on the pool's distinct ids — never an
         # isin() literal (r8 verdict: a 400k-term IN expression at a
         # 10k-query log).
+        # one-slot pool lifecycle: each call persists one pool, so a
+        # long-lived engine would accumulate cached pools (the leak the
+        # replaced driver collect did not have).  The previous call's
+        # pool is unpersisted here — by which point its export is
+        # either materialized or abandoned; an export frame held across
+        # a LATER export call recomputes its legs if touched again,
+        # the standard lazily-returned-frame contract.
+        if getattr(self, "_ltr_pool", None) is not None:
+            self._ltr_pool.unpersist()
         pool = kw.join(vr, ["qid", "id"], "full_outer").persist()
+        self._ltr_pool = pool
         pool.count()
         pool_ids = pool.select("id").distinct()
         qterms = self.spark.createDataFrame(
