@@ -318,11 +318,14 @@ def trimmed_anchor_mean(reads: list[float], trim: float = 0.2) -> float:
 #   dsir_importance_weights   1.82 / 1.79 / 1.75
 #   winnow_passage_lookup     2.72 / 3.07 / 2.80
 #   bpe_merge_rounds_r6       3.07 / 3.64 / 3.22
-# r10 rewires (enumerable-dim two-phase forms), two windows:
-#   topk_per_group 1.37/1.62, sequence_packing_bins 1.74/1.19,
-#   ranking_window_profile 1.70/1.47, top_supplier_per_nation 0.97/0.77
-# exact_substring_dedup_stats (new r10): 2.58 single reading, ~30%
-# headroom pending a quiet series.
+# r10 rewires (enumerable-dim two-phase forms), three windows:
+#   topk_per_group 1.37/1.62/1.16, sequence_packing_bins
+#   1.74/1.19/1.05, ranking_window_profile 1.70/1.47/1.21,
+#   top_supplier_per_nation 0.97/0.77/0.65
+# exact_substring_dedup_stats (new r10): 2.58/1.88.
+# Validation window (r10 close, tm 0.4313, total/tm 237.8): all 11
+# bands hold — knn_many 2.76 (the 3.34 was that window's noise),
+# ltr 2.94, batch 3.69, bpe_r6 3.63, winnow 3.12, dsir 1.80.
 BANDS = {
     "ltr_feature_matrix": 3.6,
     "ltr_feature_matrix_batch": 4.3,

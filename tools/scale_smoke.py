@@ -2085,10 +2085,48 @@ def main() -> None:
             F.sum(F.col("session_id") * (F.col("seq") % 9973))
         ).collect()[0][0]
 
-    results["hot_user_window_sec"], _ = timed(lambda: _session_scan(hot_ev))
+    results["hot_user_window_sec"], cs_hot = timed(
+        lambda: _session_scan(hot_ev)
+    )
     results["uniform_user_window_sec"], _ = timed(
         lambda: _session_scan(uni_ev)
     )
+
+    # the REWIRE RECIPE, measured: the same sessionization via the
+    # two-phase operators (order_stats pass for the lag, running-sum
+    # pass for the session ids) — the hot-entity-proof form this leg's
+    # 3x tripwire would call for if a future corpus pushes one entity
+    # past ~10%.  Not the production shape today (the plain form reuses
+    # ONE user_id shuffle across both windows and the rollup, clearly
+    # better at normal entity skew); recording seconds + pinned
+    # equality here keeps the escape hatch a measured recipe instead of
+    # a claim.
+    from vector_database_api_spark.operators import prefix as P
+
+    def session_two_phase():
+        stats = P.partitioned_order_stats(
+            hot_ev, "user_id", [F.asc("seq")], "ts_s"
+        )
+        flagged = stats.select(
+            "user_id",
+            "seq",
+            (
+                F.col("_prev").isNull()
+                | ((F.col("ts_s") - F.col("_prev")) > 1800)
+            )
+            .cast("int")
+            .alias("flag"),
+        )
+        out = P.partitioned_running_sum(
+            flagged, "user_id", [F.asc("seq")], "flag", out_col="session_id"
+        )
+        return out.agg(
+            F.sum(F.col("session_id") * (F.col("seq") % 9973))
+        ).collect()[0][0]
+
+    results["hot_user_two_phase_sec"], cs_tp = timed(session_two_phase)
+    assert cs_tp == cs_hot, (cs_tp, cs_hot)
+
     bot_share = _max_share(hot_ev.select("user_id"), ["user_id"])
     results["hot_user_max_task_share"] = round(bot_share, 4)
     assert 0.08 <= bot_share <= 0.15, bot_share  # the bot is real: ~10%
