@@ -1268,6 +1268,18 @@ def test_export_ltr_features_batch(engine):
     with pytest.raises(ValueError, match="bm25 or hybrid"):
         engine.export_ltr_features("libB", reqs)
 
+    # r10 pool lifecycle: the pool is persist()-materialized (never a
+    # driver collect), exactly ONE pool stays cached, and a new export
+    # unpersists the previous call's (a long-lived engine must not
+    # accumulate cached pools)
+    p1 = engine._ltr_pool
+    assert p1 is not None and p1.storageLevel.useMemory
+    out2 = engine.export_ltr_features("libA", reqs[:1], k_pool=3).collect()
+    assert out2
+    p2 = engine._ltr_pool
+    assert p2 is not p1 and p2.storageLevel.useMemory
+    assert not p1.storageLevel.useMemory  # previous slot released
+
 
 def test_evaluate_search_matches_python_recompute(engine):
     """evaluate_search (served twin of the ir_eval registry pair, qrels
