@@ -101,6 +101,7 @@ HEADLINE = [
     "sq8_search_topk",
     "semdedup_fixed_centroids",
     "exact_substring_dedup_stats",
+    "self_repetition_stats",
     "zorder_addresses",
     "boilerplate_ngrams",
     "boilerplate_doc_fraction",
@@ -322,10 +323,16 @@ def trimmed_anchor_mean(reads: list[float], trim: float = 0.2) -> float:
 #   topk_per_group 1.37/1.62/1.16, sequence_packing_bins
 #   1.74/1.19/1.05, ranking_window_profile 1.70/1.47/1.21,
 #   top_supplier_per_nation 0.97/0.77/0.65
-# exact_substring_dedup_stats (new r10): 2.58/1.88.
-# Validation window (r10 close, tm 0.4313, total/tm 237.8): all 11
-# bands hold — knn_many 2.76 (the 3.34 was that window's noise),
-# ltr 2.94, batch 3.69, bpe_r6 3.63, winnow 3.12, dsir 1.80.
+# exact_substring_dedup_stats (new r10): 2.58/1.88/1.76/3.02 — an
+# artifact-cached query, noisier than scan queries; 3.4 covers the
+# spread.  self_repetition_stats (new r10): 1.02/1.57.
+# Validation windows (r10 close): tm 0.4313 window — all bands hold,
+# knn_many 2.76 (its 3.34 was that window's noise), ltr 2.94, batch
+# 3.69, bpe_r6 3.63, winnow 3.12, dsir 1.80.  One later window grazed
+# ltr at 3.609 (first reading above its 2.9-3.2 series); the
+# immediate re-run read 2.52, adjudicating it as window noise — the
+# band stays 3.6 on the same rule as knn_many: bands move on a quiet
+# SERIES, not one reading in either direction.
 BANDS = {
     "ltr_feature_matrix": 3.6,
     "ltr_feature_matrix_batch": 4.3,
@@ -338,6 +345,7 @@ BANDS = {
     "ranking_window_profile": 2.3,
     "top_supplier_per_nation": 1.4,
     "exact_substring_dedup_stats": 3.4,
+    "self_repetition_stats": 2.2,
 }
 
 

@@ -174,3 +174,63 @@ def test_streaming_xsub_matches_batch_and_replay(spark, tmp_path, sf_dir):
     proc = M.xsub_gram_batch_processor(store)
     proc(docs.filter(F.col("doc_id") < 20), 0)
     assert rows_of(M.xsub_grams_serving(spark, store)) == want
+
+
+def test_self_repetition_exact_lengths(spark):
+    """Within-doc repeats (self_repetition_runs): a substring repeated
+    later in the same doc is recovered with exact length, start, and
+    diagonal (= the repeat distance); docs without repeats contribute
+    nothing."""
+    from vector_database_api_spark.operators.dedup import (
+        kgram_positions,
+        prune_for_pairing,
+        self_repetition_runs,
+    )
+
+    # all three segments have pairwise-disjoint, internally unique
+    # alphabets: an "mmmm…" style filler would itself self-repeat (the
+    # operator correctly finds those runs — first draft of this test
+    # proved it)
+    body = "ABCDEFGHIJKLMNOPQRSTUVWXYZ!?"  # 28 unique chars
+    rows = [
+        # repeat at distance 28 + 9 = 37
+        (1, "s", body + "123456789" + body + "@@"),
+        (2, "s", "no internal repetition right here"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = self_repetition_runs(
+        prune_for_pairing(kgram_positions(docs, k=8), 32), k=8
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_id"] == 1
+    assert r["diag"] == len(body) + 9
+    assert r["run_len"] == len(body) == 28
+    assert r["run_start"] == 0
+
+
+def test_self_repetition_tandem_periodic(spark):
+    """Tandem repeat with period p over a span of length L produces one
+    maximal run per multiple of p, of exact length L - diag — the
+    suffix-array family's self-overlap structure, recovered from the
+    diagonal islands."""
+    from vector_database_api_spark.operators.dedup import (
+        kgram_positions,
+        prune_for_pairing,
+        self_repetition_runs,
+    )
+
+    unit = "abcdefghij"  # period 10
+    text = unit * 4 + "klmnopqrstuv"  # span 40, non-repeating tail
+    docs = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    got = {
+        r["diag"]: r["run_len"]
+        for r in self_repetition_runs(
+            prune_for_pairing(kgram_positions(docs, k=8), 32), k=8
+        ).collect()
+    }
+    assert got == {10: 30, 20: 20, 30: 10}

@@ -1174,3 +1174,42 @@ def exact_substring_runs(
         F.min("pos_b").alias("run_start_b"),
         (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run_len"),
     ).drop("_island")
+
+
+def self_repetition_runs(grams: DataFrame, k: int) -> DataFrame:
+    """WITHIN-document repeated runs — the other half of the Lee et al.
+    dedup (their pipeline also collapses internal repeats; tandem or
+    templated repetition is a strong low-quality signal, RefinedWeb's
+    repetition filters measure the same thing at word level):
+    (source, doc_id, diag, run_start, run_len) where the document's
+    substring at ``run_start`` reappears ``diag`` characters later,
+    for ``run_len`` (maximal, exact).  ``grams`` is the SAME pruned
+    positional artifact the cross-doc pairing uses — the [>=2]
+    occurrence prune is lossless here too (a self-repeat means the
+    gram occurs >= 2 times), and the df cap bounds the self-join fan
+    per gram at <= C(32,2) pairs, which is also the quadratic guard
+    for degenerate all-one-char documents (their grams exceed the cap
+    and drop).  The island window partitions by (doc_id, diag) —
+    bounded by one document's positions (the co-key rule)."""
+    a = grams.select(
+        "source", "doc_id", "h", F.col("pos").alias("pos_a")
+    )
+    b = grams.select("doc_id", "h", F.col("pos").alias("pos_b"))
+    seeds = (
+        a.join(b, ["doc_id", "h"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            "source",
+            "doc_id",
+            (F.col("pos_b") - F.col("pos_a")).alias("diag"),
+            "pos_a",
+        )
+    )
+    iw = Window.partitionBy("doc_id", "diag").orderBy("pos_a")
+    islands = seeds.withColumn(
+        "_island", F.col("pos_a") - F.row_number().over(iw)
+    )
+    return islands.groupBy("source", "doc_id", "diag", "_island").agg(
+        F.min("pos_a").alias("run_start"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run_len"),
+    ).drop("_island")

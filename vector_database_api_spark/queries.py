@@ -7789,8 +7789,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XSUB_K = 20       # seed gram length = minimum detectable run, chars
 _XSUB_MIN_RUN = 25  # report pairs sharing a maximal run of >= this
 _XSUB_DF = 32      # viral-gram cap, same rationale as winnow_hot_cap
-_XSUB_ORACLE = f"""
-WITH d AS (
+_XSUB_KEPT_CTES = f"""d AS (
   SELECT doc_id, source, text FROM documents WHERE length(text) >= {_XSUB_K}
 ),
 h AS (
@@ -7811,7 +7810,9 @@ kept AS (
   SELECT g.* FROM g
   WHERE EXISTS (SELECT 1 FROM freq
                 WHERE freq.source = g.source AND freq.h = g.h)
-),
+)"""
+_XSUB_ORACLE = f"""
+WITH {_XSUB_KEPT_CTES},
 seeds AS (
   SELECT a.source, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
          a.pos - b.pos AS diag, a.pos AS pos_a
@@ -7937,6 +7938,75 @@ def exact_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 exact_substring_dedup_stats.__doc__ = exact_substring_dedup_stats.__doc__.replace(
     "{min_run}", str(_XSUB_MIN_RUN)
 )
+
+
+_SELF_REP_ORACLE = f"""
+WITH {_XSUB_KEPT_CTES},
+seeds AS (
+  SELECT a.source, a.doc_id, b.pos - a.pos AS diag, a.pos AS pos_a
+  FROM kept a
+  JOIN kept b ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos
+),
+isl AS (
+  SELECT source, doc_id, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_id, diag
+                                    ORDER BY pos_a) AS island
+  FROM seeds
+),
+runs AS (
+  SELECT source, doc_id, count(*) + {_XSUB_K} - 1 AS run_len
+  FROM isl GROUP BY source, doc_id, diag, island
+),
+perdoc AS (
+  SELECT source, doc_id, max(run_len) AS max_run, count(*) AS n_runs
+  FROM runs GROUP BY source, doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS rep_docs,
+       CAST(max(max_run) AS BIGINT) AS max_run,
+       CAST(sum(n_runs) AS BIGINT) AS total_runs
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+@register("self_repetition_stats", _SELF_REP_ORACLE)
+def self_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated runs — the other half of the Lee et al.
+    dedup (their pipeline also collapses a document's internal repeats)
+    and the exact-measurement sibling of the word-level repetition
+    screens (`text_repetition_profile`): per source, how many documents
+    contain an exact >= 20-char substring that reappears later in the
+    SAME document, the longest such run, and the total repeated-run
+    count.  Tandem/templated self-repetition is a canonical
+    low-quality-document signal (RefinedWeb/Gopher repetition filters).
+    Reuses the SAME pruned positional gram artifact as
+    `exact_substring_dedup_stats` — the [>=2] occurrence prune is
+    lossless here too (a self-repeat means >= 2 occurrences), and the
+    df cap both drops cross-corpus boilerplate AND bounds the per-gram
+    self-join fan at C(32,2), which is the quadratic guard for
+    degenerate all-one-char documents (their grams blow the cap and
+    drop).  Plan: one artifact-local self-join on (doc_id, h), island
+    window over (doc_id, diag) — bounded by one document's positions
+    (the co-key rule) — then combinable rollups; all-integer output,
+    bit-exact in both engines."""
+    from vector_database_api_spark.operators.dedup import (
+        self_repetition_runs,
+    )
+
+    runs = self_repetition_runs(_cached_xsub_grams(spark, sf_dir), k=_XSUB_K)
+    perdoc = runs.groupBy("source", "doc_id").agg(
+        F.max("run_len").alias("max_run"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rep_docs"),
+            F.max("max_run").cast("long").alias("max_run"),
+            F.sum("n_runs").cast("long").alias("total_runs"),
+        )
+        .orderBy("source")
+    )
 
 
 _DSIR_BUCKETS = 1024
