@@ -204,19 +204,45 @@ def range_join(
 ) -> DataFrame:
     """Pairs (a, b) sharing the blocking key with |ts_a - ts_b| <= gap and
     a.id < b.id.  The equality on ``on`` confines the quadratic expansion
-    to per-key groups — the only range-join shape that scales."""
+    to per-key groups; since the r10 optimization round the join key also
+    carries a GAP-SIZED TIME BUCKET, which confines it further to
+    per-(key, ~gap window) groups — the banded interval-join form.
+
+    Why: a bare equi-join on ``on`` materializes sum-over-keys(n_k^2)
+    intermediate pairs before the |Δts| filter — measured 6.77M
+    intermediate rows for 1,491 survivors on the sf0.1 events table, and
+    at 100 TB one bot user with 1M events would expand 10^12 pairs that
+    no skew splitting fixes (the OUTPUT is quadratic, not a partition).
+    Bucketing ts into floor(epoch_us / gap) cells and exploding the LEFT
+    side to (bucket-1, bucket, bucket+1) makes every |Δts| <= gap pair
+    land in exactly one (key, bucket_b) join cell (the right side keeps
+    its single bucket, so no pair can match twice), while pairs farther
+    apart than 2 gaps never meet.  The exact |Δts| predicate still runs
+    as the post-join filter, so the result set is row-identical to the
+    un-banded form (the DuckDB oracle is the plain range join — the
+    value hash proves the banding is the identity).  Cost: the left side
+    shuffles 3x its rows (3 skinny columns); buy: the intermediate pair
+    explosion collapses to per-window density."""
+    bucket = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp"))
+        / F.lit(max_gap_seconds * 1_000_000)
+    )
     a = left.select(
         F.col(on),
         F.col(left_id).alias("id_a"),
         F.col(ts_col).alias("ts_a"),
+        F.explode(
+            F.array(bucket(ts_col) - 1, bucket(ts_col), bucket(ts_col) + 1)
+        ).alias("_tb"),
     )
     b = right.select(
         F.col(on),
         F.col(right_id).alias("id_b"),
         F.col(ts_col).alias("ts_b"),
+        bucket(ts_col).alias("_tb"),
     )
     return (
-        a.join(b, on)
+        a.join(b, [on, "_tb"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (

@@ -8306,36 +8306,63 @@ def quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(text_fns.spark_quality_score("text")).alias("q"),
         F.expr(text_fns.spark_token_count("text")).alias("n_tok"),
     )
-    tot = scored.agg(
+    # ONE corpus scan for the whole curve (r10 optimization round): the
+    # previous form scanned the corpus twice (a totals pass + the
+    # 9-way-exploded rollup pass, each paying the regex scoring) and
+    # multiplied every scored row x9 before the shuffle.  All 9
+    # thresholds are conditional aggregates over the same row, so one
+    # combinable aggregation computes the totals AND every (kept_docs,
+    # kept_tokens) pair in a single pass; the 9-row curve is then an
+    # explode of the 1-row result.  Values are identical: count(CASE)
+    # == coalesce(sum(CASE WHEN.. 1), 0), and the retention divisions
+    # round the same exact counts.
+    thrs = [t / 10.0 for t in range(1, 10)]
+    one = scored.agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("n_tok").cast("long").alias("tok_all"),
-    )
-    grid = F.explode(
-        F.array(*[F.lit(t / 10.0) for t in range(1, 10)])
-    ).alias("thr")
-    kept = F.when(F.col("q") >= F.col("thr"), 1)
-    kept_tok = F.when(F.col("q") >= F.col("thr"), F.col("n_tok"))
-    return (
-        scored.select("q", "n_tok", grid)
-        .crossJoin(F.broadcast(tot))
-        .groupBy("thr", "n_all", "tok_all")
-        .agg(
-            F.count(kept).cast("long").alias("kept_docs"),
-            F.coalesce(F.sum(kept_tok), F.lit(0))
+        *[
+            F.coalesce(F.sum(F.when(F.col("q") >= F.lit(t), 1)), F.lit(0))
             .cast("long")
-            .alias("kept_tokens"),
+            .alias(f"kd_{i}")
+            for i, t in enumerate(thrs)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("q") >= F.lit(t), F.col("n_tok"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"kt_{i}")
+            for i, t in enumerate(thrs)
+        ],
+    )
+    curve = one.select(
+        "n_all",
+        "tok_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("thr"),
+                        F.col(f"kd_{i}").alias("kept_docs"),
+                        F.col(f"kt_{i}").alias("kept_tokens"),
+                    )
+                    for i, t in enumerate(thrs)
+                ]
+            )
+        ).alias("s"),
+    )
+    return (
+        curve.select(
+            F.col("s.thr").alias("thr"),
+            F.col("s.kept_docs").alias("kept_docs"),
+            F.col("s.kept_tokens").alias("kept_tokens"),
             F.round(
-                F.count(kept).cast("double") / F.col("n_all"), 6
+                F.col("s.kept_docs").cast("double") / F.col("n_all"), 6
             ).alias("doc_retention"),
             F.round(
-                F.coalesce(F.sum(kept_tok), F.lit(0)).cast("double")
-                / F.col("tok_all"),
-                6,
+                F.col("s.kept_tokens").cast("double") / F.col("tok_all"), 6
             ).alias("token_retention"),
-        )
-        .select(
-            "thr", "kept_docs", "kept_tokens", "doc_retention",
-            "token_retention",
         )
         .orderBy("thr")
     )
@@ -8560,6 +8587,19 @@ def winnow_passage_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at some future SF yields an empty result, not a degenerate
         # descending `sequence` feeding `slice(_, 0, _)`
         .filter(F.length("ptxt") >= 17)
+        # materialize the 1-row request frame per invocation (r10
+        # optimization round): downstream, `explode(fps)` makes the
+        # optimizer infer `size(<kgram+winnow chain>) > 0` and push it
+        # into the scan-side Filter, and whole-stage subexpression
+        # elimination then hoists that chain ABOVE the short-circuiting
+        # cheap conjuncts — the per-position md5 array was evaluated for
+        # EVERY row of the scanned row group, not the one matching row
+        # (measured 0.64 s of the query's 1.3 s in one 1-task stage;
+        # floor 0.2 s with the row materialized).  An eager 1-row
+        # localCheckpoint also stops the passage subtree re-running for
+        # the verify crossJoin.  Per-invocation, computed from parquet —
+        # nothing crosses runs.
+        .localCheckpoint(eager=True)
     )
     pfp = (
         passage.select(
@@ -11727,18 +11767,26 @@ def ltr_feature_matrix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             (F.col("lang") == "en").alias("is_en"),
             "n_chars",
-        )
-        .select(
-            "*",
-            F.size("_toks").cast("long").alias("dl"),
-            *[
-                F.expr(f"size(filter(_toks, x -> x = '{t}'))")
-                .cast("long")
-                .alias(f"tf_{t}")
-                for t in _BATCH_DISTINCT_TERMS
-            ],
+            F.size(F.expr("split(lower(text), ' ', -1)"))
+            .cast("long")
+            .alias("dl"),
         )
     )
+    # tf_sum as ONE token-membership lambda against the row's qid's
+    # 3-term array (r10 optimization round).  The previous form staged
+    # {len(_BATCH_DISTINCT_TERMS)} separate `size(filter(_toks, x ->
+    # x = t))` columns and dispatched a 6-branch CASE over their sums —
+    # value-identical to counting tokens that match ANY of the qid's
+    # terms, because each query's terms are distinct
+    # (`_BATCH_QUERIES`), but ~18 lambda expressions heavier: per-run
+    # DataFrame ANALYSIS alone measured 0.69-0.89 s (plan build 0.13 s,
+    # execution 0.75-0.97 s), pure driver time repeated per request.
+    # The oracle keeps the per-term-column arithmetic; the value hash
+    # proves the membership form equal.
+    qterms = "CASE qid " + " ".join(
+        f"WHEN {qid} THEN array({', '.join(repr(t) for t in ts)})"
+        for qid, ts in _BATCH_QUERIES
+    ) + " END"
     staged = (
         pool.join(F.broadcast(doc_feats), "doc_id")
         .join(F.broadcast(_batch_query_vectors(spark, sf_dir)), "qid")
@@ -11761,7 +11809,11 @@ def ltr_feature_matrix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25",
         "n_hit_terms",
         "dl",
-        F.expr(_LTR_BATCH_TFSUM).cast("long").alias("tf_sum"),
+        F.expr(
+            f"size(filter(_toks, x -> array_contains({qterms}, x)))"
+        )
+        .cast("long")
+        .alias("tf_sum"),
         F.round(cosine_similarity("embedding", "qv"), 6).alias("cos_sim"),
         "is_en",
         "n_chars",
