@@ -107,13 +107,19 @@ def demo_queries() -> dict[str, SparkQuery]:
 # gate is unaffected, and bench's best-of-2 measures steady-state serving.
 # ---------------------------------------------------------------------------
 
-# Every builder below follows the same pinning discipline: persist()
-# then an immediate count(), so the artifact is FULLY materialized inside
-# whatever pass first touches it (bench's untimed pre-pass runs every
-# query once, so first-build cost can never land inside a timed run).
-# persist() uses PySpark's default StorageLevel.MEMORY_AND_DISK: a
-# memory-pressure eviction spills the blocks to disk instead of silently
-# dropping them, so a later read can never trigger a full rebuild.
+# Every builder below follows the same pinning discipline: the artifact
+# is FULLY materialized inside whatever pass first touches it (bench's
+# untimed pre-pass runs every query once, so first-build cost can never
+# land inside a timed run).  Since the r10 optimization round most
+# builders materialize via `_artifact` (an eager localCheckpoint — see
+# its docstring: same executor-block storage, but readers plan against a
+# LogicalRDD leaf instead of re-analyzing the full build lineage per
+# run); the ANN cluster stores keep the older persist()+count() form
+# because their readers' join-strategy choice needs InMemoryRelation's
+# actual cached-size statistics (rationale at each site).  Blocks live
+# MEMORY_AND_DISK either way: a memory-pressure eviction spills instead
+# of silently dropping, so a later read can never trigger a rebuild
+# (persist) or a failure (checkpoint).
 
 
 def _unpersist_artifacts(value: object) -> None:
