@@ -249,7 +249,17 @@ def bounded_payload(
 ) -> dict:
     """Summary payload whose JSON form stays under MAX_LINE_BYTES: totals
     for everything, per-query seconds for as many of the slowest queries
-    as fit."""
+    as fit.
+
+    Anchor-normalized fields (r11, additions-only): raw seconds on this
+    box whipsaw +-20% window-to-window while trimmed-anchor-mean RATIOS
+    hold within a few percent (the r10 verdict adjudicated 17 "regressed"
+    queries as pure window noise this way), so the line also carries
+    ``total_anchor_units`` (= value / anchor_trimmed_mean_sec — the
+    suite's total cost in anchor units) and ``tm_ratios_slowest`` (each
+    kept query's seconds / the same trimmed mean, a list ALIGNED to the
+    insertion order of ``queries``), letting a round-over-round diff read
+    ratios instead of cold-box seconds without unbounding the line."""
     total = round(sum(timings.values()), 4)
     by_slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     payload = {
@@ -267,13 +277,17 @@ def bounded_payload(
         payload["anchor_median_sec"] = anchor_median
     if anchor_tm is not None:
         payload["anchor_trimmed_mean_sec"] = round(anchor_tm, 4)
-    if n_band_breaches is not None:
-        payload["band_breaches"] = n_band_breaches
+        payload["total_anchor_units"] = round(total / anchor_tm, 2)
+        payload["tm_ratios_slowest"] = []
     for name, sec in by_slowest:
         payload["queries"][name] = sec
+        if anchor_tm is not None:
+            payload["tm_ratios_slowest"].append(round(sec / anchor_tm, 2))
         payload["queries_omitted"] = len(timings) - len(payload["queries"])
         if len(json.dumps(payload)) > MAX_LINE_BYTES:
             del payload["queries"][name]
+            if anchor_tm is not None:
+                payload["tm_ratios_slowest"].pop()
             payload["queries_omitted"] = len(timings) - len(payload["queries"])
             break
     return payload

@@ -27,6 +27,27 @@ def test_payload_is_bounded_and_keeps_slowest():
     assert payload["queries_omitted"] == 200 - len(kept)
 
 
+def test_payload_anchor_normalized_fields():
+    """r11 (verdict item 2): the stdout line carries anchor-normalized
+    totals and per-kept-query tm ratios so the driver's round-over-round
+    diff can read ratios instead of cold-box seconds — additions-only,
+    still one bounded line."""
+    timings = {f"query_{i:03d}": round(0.01 * i, 4) for i in range(200)}
+    payload = bench.bounded_payload(timings, sf=0.1, anchor_tm=0.4)
+    line = json.dumps(payload)
+    assert len(line) <= bench.MAX_LINE_BYTES + 200
+    assert payload["total_anchor_units"] == round(payload["value"] / 0.4, 2)
+    # ratios align 1:1 with the kept queries, in insertion order
+    ratios = payload["tm_ratios_slowest"]
+    assert len(ratios) == len(payload["queries"])
+    for (name, sec), ratio in zip(payload["queries"].items(), ratios):
+        assert ratio == round(sec / 0.4, 2), name
+    # and the no-anchor form stays exactly the old shape
+    bare = bench.bounded_payload(timings, sf=0.1)
+    assert "total_anchor_units" not in bare
+    assert "tm_ratios_slowest" not in bare
+
+
 def test_payload_small_suite_fits_entirely():
     timings = {"a": 1.0, "b": 2.0}
     payload = bench.bounded_payload(timings, sf=0.01)

@@ -1,15 +1,20 @@
-"""Dump .explain("formatted") for headline queries to plans/r10/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/.
 
 Usage::
 
     python tools/explain_dump.py <suffix> [query ...]
 
-Writes ``plans/r10/<query>_<suffix>.txt`` (suffix = before/after) for the
-named queries, or every bench HEADLINE query when none are named.  Plans
-are built (not executed) against $SPARK_GRAFT_SF_DIR — the same
-plan-build-only posture as tools/plan_report.py, so the files reflect
-exactly what the driver's bench run would execute (modulo AQE runtime
-re-planning, which explain() cannot show pre-execution).
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt`` (suffix =
+before/after; round defaults to r11) for the named queries, or every
+bench HEADLINE query when none are named.  Plans are dumped at build
+time against $SPARK_GRAFT_SF_DIR — the same posture as
+tools/plan_report.py — so the files reflect what the driver's bench run
+would execute (modulo AQE runtime re-planning, which explain() cannot
+show pre-execution).  Note that "build time" is not job-free: serving-
+artifact builders and the eager localCheckpoints some queries take
+(winnow_passage_lookup's per-invocation passage pin, every _artifact
+materialization) RUN Spark jobs while the plan is being constructed;
+only the dumped query itself is left unexecuted.
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE
 from vector_database_api_spark import queries as q
@@ -32,7 +37,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump")

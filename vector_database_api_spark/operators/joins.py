@@ -222,11 +222,23 @@ def range_join(
     un-banded form (the DuckDB oracle is the plain range join — the
     value hash proves the banding is the identity).  Cost: the left side
     shuffles 3x its rows (3 skinny columns); buy: the intermediate pair
-    explosion collapses to per-window density."""
-    bucket = lambda c: F.floor(  # noqa: E731
-        F.unix_micros(F.col(c).cast("timestamp"))
-        / F.lit(max_gap_seconds * 1_000_000)
-    )
+    explosion collapses to per-window density.
+
+    The bucket is INTEGER floor-division on the long micros (r11; r10
+    verdict item 3): the original ``floor(us / gap)`` divided doubles,
+    provably exact only while epoch_us < 2^53, and the banding identity
+    rested on that FP argument — a 1-ulp flip at an exact bucket edge
+    would place a within-gap pair two cells apart and silently drop it.
+    ``(us - pmod(us, gap)) div gap`` is floor semantics on longs for any
+    sign (pmod is the non-negative remainder), no FP anywhere; the edge
+    case is pinned by tests/test_joins.py::
+    test_range_join_exact_bucket_boundary."""
+    gap_us = max_gap_seconds * 1_000_000
+
+    def bucket(c: str) -> F.Column:
+        us = f"unix_micros(cast(`{c}` as timestamp))"
+        return F.expr(f"({us} - pmod({us}, {gap_us})) div {gap_us}")
+
     a = left.select(
         F.col(on),
         F.col(left_id).alias("id_a"),
