@@ -52,6 +52,46 @@ def test_against_numpy(spark):
         assert euc == pytest.approx(float(np.linalg.norm(ad - bd)), rel=1e-12)
 
 
+def test_cosine_sql_text_twin_is_bit_exact(spark, sf_dir):
+    """cosine_similarity_sql (the sql()-built queries' form, r11) must
+    be BIT-identical to the Column form on real corpus vectors — the
+    top-k legs order by the unrounded value, so even a 1-ulp drift
+    could flip a near-tie.  Checked over every (embedding, query-0)
+    pair of the test corpus, plus the zero-norm edge."""
+    from vector_database_api_spark.functions.vector import (
+        cosine_similarity_sql,
+    )
+    from vector_database_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    both = (
+        emb.crossJoin(qv.hint("broadcast"))
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("col_form"),
+            F.expr(cosine_similarity_sql("embedding", "qv")).alias(
+                "sql_form"
+            ),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert r["col_form"] == r["sql_form"], r  # exact doubles
+    zero = spark.sql(
+        "SELECT "
+        + cosine_similarity_sql(
+            "array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))",
+            "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))",
+        )
+        + " AS c"
+    ).collect()[0]["c"]
+    assert zero == 0.0
+
+
 def test_zero_norm_cosine_is_exactly_zero(spark):
     zero = [0.0] * 4
     other = [1.0, 2.0, 3.0, 4.0]

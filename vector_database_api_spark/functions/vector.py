@@ -57,6 +57,41 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     ).otherwise(dot_product(a, b) / (F.sqrt(na2) * F.sqrt(nb2)))
 
 
+def norm2_sql(a: str) -> str:
+    """SQL-text twin of :func:`norm2` for single-pass ``spark.sql``
+    query construction (r11, guide §5: one sql() call analyzes a whole
+    tree once instead of per chained Dataset op).  Same functions, same
+    operation order, same casts -> the parser builds the IDENTICAL
+    Catalyst expressions, so values are bit-equal to the Column form
+    (pinned by tests/test_vector_functions.py)."""
+    return (
+        f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot_product` (see :func:`norm2_sql`)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`cosine_similarity` (see
+    :func:`norm2_sql`): dot/(|a||b|), exactly 0.0 when either norm is
+    zero.  The norm subexpressions appear twice (condition + else
+    branch) exactly as the Column form references them twice; codegen
+    subexpression elimination collapses both the same way."""
+    na2, nb2 = norm2_sql(a), norm2_sql(b)
+    return (
+        f"CASE WHEN ({na2} = CAST(0.0 AS DOUBLE)) OR "
+        f"({nb2} = CAST(0.0 AS DOUBLE)) THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {dot_product_sql(a, b)} / (sqrt({na2}) * sqrt({nb2})) END"
+    )
+
+
 def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """L2 distance (reference embedding.py:87-96)."""
     a, b = _col(a), _col(b)
