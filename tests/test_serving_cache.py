@@ -37,6 +37,36 @@ def test_eviction_unpersists_lru_entry(spark):
         df.unpersist()
 
 
+def test_eviction_releases_checkpoint_blocks(spark):
+    """r10 verdict item 7: evicting a localCheckpoint-backed artifact
+    (queries._artifact) must free its executor blocks DETERMINISTICALLY
+    — plain unpersist() is a no-op on a checkpointed frame, so before
+    the LogicalRDD release the blocks lingered until the ContextCleaner
+    happened to GC the RDD.  Release is async; poll briefly."""
+    import time
+
+    from vector_database_api_spark.queries import _artifact
+
+    sc = spark.sparkContext
+
+    def cached_rdd_ids() -> set[int]:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    cache = _BoundedServingCache()
+    cache.CAP = 1
+    art = _artifact(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    rdd_id = art._jdf.queryExecution().analyzed().rdd().id()
+    assert rdd_id in cached_rdd_ids()
+    cache[("x",)] = art
+    cache[("y",)] = spark.range(1).persist()  # evicts ("x",)
+    assert ("x",) not in cache
+    deadline = time.time() + 10
+    while rdd_id in cached_rdd_ids() and time.time() < deadline:
+        time.sleep(0.2)
+    assert rdd_id not in cached_rdd_ids()
+    _unpersist_artifacts(cache[("y",)])
+
+
 def test_read_refreshes_recency(spark):
     cache = _BoundedServingCache()
     cache.CAP = 2
