@@ -279,6 +279,8 @@ def bounded_payload(
         payload["anchor_trimmed_mean_sec"] = round(anchor_tm, 4)
         payload["total_anchor_units"] = round(total / anchor_tm, 2)
         payload["tm_ratios_slowest"] = []
+    if n_band_breaches is not None:
+        payload["band_breaches"] = n_band_breaches
     for name, sec in by_slowest:
         payload["queries"][name] = sec
         if anchor_tm is not None:
@@ -347,9 +349,20 @@ def trimmed_anchor_mean(reads: list[float], trim: float = 0.2) -> float:
 # immediate re-run read 2.52, adjudicating it as window noise — the
 # band stays 3.6 on the same rule as knn_many: bands move on a quiet
 # SERIES, not one reading in either direction.
+# r11 restatements: the single-sql rewrites moved ltr_feature_matrix to
+# 1.02/1.12 tm-units and its batch twin to 1.47/1.60 across the round's
+# two committed windows (plans/r11, OPTIMIZATION_r11.md), so their
+# bands re-tighten (3.6 -> 2.8, 4.3 -> 3.4 — the r10 verdict's item-1
+# "done" criterion) with the usual artifact-cache noise headroom; three
+# new bands pin the round's other structural rewrites at ~1.6-2x their
+# two-window series (join_key_skew_profile 1.59/1.61, data_quality_report
+# 0.70/0.77, ir_eval_hybrid_metrics 2.05/2.29).
 BANDS = {
-    "ltr_feature_matrix": 3.6,
-    "ltr_feature_matrix_batch": 4.3,
+    "ltr_feature_matrix": 2.8,
+    "ltr_feature_matrix_batch": 3.4,
+    "join_key_skew_profile": 2.6,
+    "data_quality_report": 1.6,
+    "ir_eval_hybrid_metrics": 3.4,
     "knn_many_queries": 3.6,
     "dsir_importance_weights": 2.4,
     "winnow_passage_lookup": 3.6,

@@ -46,6 +46,14 @@ def test_payload_anchor_normalized_fields():
     bare = bench.bounded_payload(timings, sf=0.1)
     assert "total_anchor_units" not in bare
     assert "tm_ratios_slowest" not in bare
+    # additions must never displace the pre-r11 fields (the first cut
+    # of this feature silently dropped band_breaches from the line)
+    full = bench.bounded_payload(
+        timings, sf=0.1, anchor_median=0.4, anchor_tm=0.4, n_band_breaches=0
+    )
+    for key in ("anchor_median_sec", "anchor_trimmed_mean_sec",
+                "band_breaches", "total_anchor_units", "tm_ratios_slowest"):
+        assert key in full, key
 
 
 def test_payload_small_suite_fits_entirely():

@@ -8981,13 +8981,46 @@ def bm25_postings_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF twin.  The pivot shuffles only the HITTING docs (query-bounded,
     not corpus-bounded); AQE broadcast-converts the hits side of the
     doclens join at realistic selectivities."""
-    scored = (
-        _bm25_postings_pivoted(spark, sf_dir)
-        .crossJoin(F.broadcast(_cached_bm25_stats(spark, sf_dir)))
-        .withColumn("bm25", F.round(F.expr(_BM25_SUM), 6))
-        .select("doc_id", "dl", *[f"tf_{t}" for t in _BM25_TERMS], "bm25")
+    # one sql() string over the postings/doclens artifacts with the
+    # statistics scalars bound as literals (r11, guide §5 — the
+    # _sql_ref / _stats_literal_cols rationale); same pivot-equivalent
+    # conditional aggregation and the same _BM25_SUM text as always
+    return spark.sql(f"""
+        SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+               bm25
+        FROM {_postings_scored_sql(spark, sf_dir)} s
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """)
+
+
+def _postings_scored_sql(spark: SparkSession, sf_dir: str) -> str:
+    """Parenthesized SQL-text subquery `(doc_id, dl, tf_*, bm25)` scored
+    from the postings artifact — the sql()-built twin of
+    `_bm25_postings_pivoted` + stats + `_BM25_SUM`, shared by
+    `bm25_postings_topk` and `_ltr_kw_leg` (r11).  The pivot's
+    ``sum per term + coalesce 0`` is the equivalent conditional
+    aggregation; statistics bind as exact literals
+    (_stats_literal_cols)."""
+    postings, doclens = _cached_bm25_postings(spark, sf_dir)
+    p = _sql_ref_df(postings, "_postings_art")
+    dlv = _sql_ref_df(doclens, "_doclens_art")
+    stats = _stats_literal_cols(_cached_stats_row(spark, sf_dir, "bm25-stats"))
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf_cols = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN term = '{t}' THEN tf END), 0)"
+        f" AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
     )
-    return scored.orderBy(F.desc("bm25"), "doc_id").limit(10)
+    tf_names = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""(
+        SELECT doc_id, dl, {tf_names}, round({_BM25_SUM}, 6) AS bm25
+        FROM (
+          SELECT piv.id AS doc_id, dl, {tf_names}, {stats}
+          FROM (SELECT id, {tf_cols} FROM {p}
+                WHERE term IN ({terms_in}) GROUP BY id) piv
+          JOIN {dlv} dlens ON piv.id = dlens.id
+        )
+    )"""
 
 
 def _bm25_postings_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9163,32 +9196,12 @@ def _ltr_kw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built as ONE sql() string since r11 (guide §5, the _sql_ref
     rationale): the chained form staged ~10 eagerly-analyzed Dataset
-    ops per request.  The pivot's ``sum per term + coalesce 0`` becomes
-    the equivalent conditional aggregation; same scoring expression
-    text (_BM25_SUM), same top-k shape; the 5 corpus-statistics scalars
-    bind as literals (_stats_literal_cols) instead of a broadcast
-    cross join."""
-    postings, doclens = _cached_bm25_postings(spark, sf_dir)
-    p = _sql_ref_df(postings, "_ltr_postings")
-    dlv = _sql_ref_df(doclens, "_ltr_doclens")
-    stats = _stats_literal_cols(_cached_stats_row(spark, sf_dir, "bm25-stats"))
-    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    tf_cols = ", ".join(
-        f"CAST(coalesce(sum(CASE WHEN term = '{t}' THEN tf END), 0)"
-        f" AS BIGINT) AS tf_{t}"
-        for t in _BM25_TERMS
-    )
+    ops per request.  Shares `_postings_scored_sql` with
+    `bm25_postings_topk` — same pivot-equivalent aggregation, same
+    _BM25_SUM text, statistics bound as literals."""
     return spark.sql(f"""
-        SELECT doc_id FROM (
-          SELECT doc_id, round({_BM25_SUM}, 6) AS bm25
-          FROM (
-            SELECT piv.id AS doc_id, dl,
-                   {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, {stats}
-            FROM (SELECT id, {tf_cols} FROM {p}
-                  WHERE term IN ({terms_in}) GROUP BY id) piv
-            JOIN {dlv} dlens ON piv.id = dlens.id
-          )
-        ) ORDER BY bm25 DESC, doc_id LIMIT 20
+        SELECT doc_id FROM {_postings_scored_sql(spark, sf_dir)} s
+        ORDER BY bm25 DESC, doc_id LIMIT 20
     """)
 
 
