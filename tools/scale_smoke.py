@@ -2142,6 +2142,51 @@ def main() -> None:
     hot_ev.unpersist()
     uni_ev.unpersist()
 
+    # ------------------------------------------------------------------
+    # r11: banded range join at scale (operators/joins.py::range_join,
+    # banded in r10 + integer-exact buckets in r11).  The scale story is
+    # the INTERMEDIATE pair count: a bare equi-join on user_id expands
+    # sum-over-users(n_k^2) rows before the |Δts| filter — computed here
+    # as an aggregate (no join needed) for the contrast — while the
+    # banded join's cells bound it to per-~gap-window density.  The bot
+    # user from the hot-entity leg above is exactly the shape that
+    # makes the unbanded form quadratic.
+    # ------------------------------------------------------------------
+    from vector_database_api_spark.operators.joins import range_join
+
+    rj_ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts")
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("_r"))))
+        .select(
+            (F.col("event_id") * 10 + F.col("_r")).alias("event_id"),
+            "user_id",
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.col("_r") * 31_000_000
+            ).alias("ts"),
+        )
+        .persist()
+    )
+    n_rj = rj_ev.count()
+    unbanded_pairs = rj_ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(F.sum(F.col("n") * F.col("n"))).collect()[0][0]
+
+    def banded_range_join():
+        return range_join(
+            rj_ev, rj_ev, on="user_id", max_gap_seconds=600
+        ).count()
+
+    results["range_join_10x_sec"], rj_pairs = timed(banded_range_join)
+    results["range_join_10x_rows"] = n_rj
+    results["range_join_10x_pairs"] = rj_pairs
+    results["range_join_unbanded_intermediate"] = int(unbanded_pairs)
+    # the banded form must never materialize anything near the
+    # unbanded quadratic intermediate; survivors are within-gap pairs
+    assert rj_pairs < unbanded_pairs / 10, (rj_pairs, unbanded_pairs)
+    rj_ev.unpersist()
+
     print(
         json.dumps(
             {
